@@ -1,0 +1,178 @@
+"""Deduplication operators for the LLM-data-pipeline surface: exact,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the reason these shapes were chosen):
+- Exact dedup: hash-groupBy on a content digest — one shuffle keyed on the
+  digest; digests distribute uniformly so no skew.
+- MinHash+LSH: signature is a pure projection; candidate generation is a
+  self-equi-join on (band_index, band_hash) buckets — the only shuffle is on
+  bucket keys, and bucket sizes are bounded by collision probability, never
+  by corpus size.  This is the classic shingle→minhash→band→bucket-join
+  pipeline; no pairwise O(n²) stage ever materializes.
+- SimHash: projection to a 16-bit fingerprint; near-dup candidates share a
+  fingerprint (or a band of it) — again a groupBy, not a cross join.
+- n-gram Jaccard: exact verification for *candidate pairs only* (from LSH
+  or blocking), via array_intersect/array_union on distinct shingle sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafkastreamsjavachallenge_spark.functions.text import (
+    hex4_to_int,
+    minhash_signature,
+    shingles,
+    tokens,
+)
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content digest: (digest, keeper id, count).
+
+    md5 here is the portable digest; at 100 TB you shard by digest prefix —
+    the groupBy already partitions on the digest so the plan is unchanged.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct content (the min-id representative)."""
+    w_keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(w_keep, on=id_col, how="left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature over distinct k-token shingles.
+
+    Pure projection (no shuffle).  Returns (id, sig: array<string>).
+    """
+    sh = F.array_distinct(shingles(tokens(text_col), shingle_k))
+    return (
+        df.select(F.col(id_col), sh.alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(F.col(id_col), minhash_signature(F.col("sh"), n_perm).alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    One explode (docs × bands) + one self-equi-join on (band, band_hash).
+    Distinct (id_a < id_b) pairs out.  Bucket-join keys are hashes →
+    uniform partitioning, no skew; AQE splits any pathological bucket.
+    """
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for given candidate pairs.
+
+    Two broadcast-able joins to attach shingle sets, then per-row array
+    intersection — never an all-pairs computation.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(tokens(text_col), shingle_k)).alias("sh"),
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round(inter / union, 4).alias("jaccard"),
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over distinct tokens (md5-derived 16-bit planes).
+
+    Explode tokens × bit positions → per-bit ±1 vote sum → sign bits →
+    integer fingerprint.  Two groupBys keyed on (id, bit) then (id): both
+    partition on doc id, so this is one logical shuffle at scale.  Tie
+    (vote sum == 0) counts as bit set, fixed so oracles agree.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).withColumn("v", hex4_to_int(F.md5(F.col("tok"))))
+    votes = (
+        toks.select(id_col, "v", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
+        .withColumn(
+            "vote",
+            F.when(F.expr("shiftright(v, b) % 2") == 1, 1).otherwise(-1),
+        )
+        .groupBy(id_col, "b")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return (
+        votes.withColumn(
+            "bitval",
+            F.when(F.col("s") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bitval").alias("simhash"))
+    )

@@ -1,0 +1,285 @@
+"""LLM-data-pipeline queries (BASELINE.json north star): dedup (exact /
+MinHash+LSH / SimHash / n-gram Jaccard), similarity search, text analysis,
+multimodal binary plumbing — over documents/embeddings (FIXTURES.md §4).
+
+Oracles reproduce the exact same md5-derived hashing so results match
+bit-for-bit (see functions/text.py hashing note)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafkastreamsjavachallenge_spark.catalog import load_table
+from kafkastreamsjavachallenge_spark.functions import text as T
+from kafkastreamsjavachallenge_spark.functions.vector import cosine
+from kafkastreamsjavachallenge_spark.operators import dedup as D
+from kafkastreamsjavachallenge_spark.operators import similarity as S
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ------------------------------------------------------------- dedup
+
+def q_doc_dedup(spark, sf_dir):
+    return D.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", T.token_fingerprint("text").alias("fp"))
+
+
+def q_minhash_sig(spark, sf_dir):
+    sigs = D.minhash_signatures(_docs(spark, sf_dir), n_perm=4)
+    return sigs.select("doc_id", F.concat_ws(",", "sig").alias("sig"))
+
+
+def q_minhash_pairs(spark, sf_dir):
+    sigs = D.minhash_signatures(_docs(spark, sf_dir), n_perm=8)
+    return D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Jaccard verification over deterministic candidate pairs (id, id+1)."""
+    d = _docs(spark, sf_dir)
+    pairs = d.select(F.col("doc_id").alias("id_a")).join(
+        d.select((F.col("doc_id")).alias("id_b")),
+        on=F.col("id_b") == F.col("id_a") + 1,
+    )
+    return D.ngram_jaccard(d, pairs)
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir))
+
+
+# -------------------------------------------------------- similarity
+
+def q_cosine_topk(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    query = e.filter(F.col("vec_id") == 0)
+    return S.cosine_topk(e.filter(F.col("vec_id") != 0), query, k=10)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate NN — approximate by design → rows-only."""
+    e = _embs(spark, sf_dir)
+    query = e.filter(F.col("vec_id") == 0)
+    return S.lsh_ann_topk(e.filter(F.col("vec_id") != 0), query, k=10)
+
+
+# ------------------------------------------------------ text analysis
+
+def q_token_count(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(T.tokens("text")).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
+
+
+def q_text_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir).withColumn("toks", T.tokens("text"))
+    n = F.count(F.lit(1))
+    return d.groupBy("lang").agg(
+        n.alias("n_docs"),
+        (F.sum("n_chars").cast("double") / n).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum(F.size("toks")).cast("double") / n).alias("avg_tokens"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    d = _docs(spark, sf_dir).withColumn("toks", T.tokens("text"))
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.round(T.type_token_ratio(F.col("toks")), 4).alias("ttr"),
+        F.round(T.mean_token_len(F.col("toks")), 4).alias("mean_tok_len"),
+        T.quality_score(F.col("toks")).alias("score"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Corpus-trained token-overlap language ID (deterministic heuristic):
+    top-20 tokens per language by frequency → per-doc overlap → argmax."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", "lang", F.explode(T.tokens("text")).alias("tok"))
+    tf = toks.groupBy(F.col("lang").alias("l2"), "tok").agg(F.count(F.lit(1)).alias("c"))
+    w_rank = Window.partitionBy("l2").orderBy(F.col("c").desc(), "tok")
+    top = tf.withColumn("rn", F.row_number().over(w_rank)).filter(F.col("rn") <= 20)
+    score = (
+        toks.join(F.broadcast(top.select("l2", "tok")), "tok")
+        .groupBy("doc_id", "l2")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(F.col("overlap").desc(), "l2")
+    pred = (
+        score.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("l2").alias("pred_lang"))
+    )
+    return d.select("doc_id", F.col("lang").alias("true_lang")).join(
+        pred, "doc_id"
+    ).select(
+        "doc_id",
+        "pred_lang",
+        "true_lang",
+        (F.col("pred_lang") == F.col("true_lang")).cast("int").alias("is_correct"),
+    )
+
+
+def q_udf_text(spark, sf_dir):
+    """Arrow-vectorized pandas UDF token count (the UDF-surface query)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", T.pandas_token_count()(F.col("text")).alias("tok_cnt"))
+
+
+# -------------------------------------------------------- multimodal
+
+def q_binary_meta(spark, sf_dir):
+    """Binary-column plumbing: byte length + content digest of the payload
+    (stand-in for image/audio blobs; decode path lives in
+    operators/multimodal.py)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("digest"),
+    )
+
+
+_TOKS = "string_split(trim(text), ' ')"
+_SHINGLES = (
+    "list_distinct([array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)])"
+)
+_HEXVAL = (
+    "((strpos('0123456789abcdef', substr(m,1,1))-1)*4096 + "
+    "(strpos('0123456789abcdef', substr(m,2,1))-1)*256 + "
+    "(strpos('0123456789abcdef', substr(m,3,1))-1)*16 + "
+    "(strpos('0123456789abcdef', substr(m,4,1))-1))"
+)
+_DOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))"
+)
+
+_MINHASH_SIG_CTE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+d AS (SELECT doc_id, {_SHINGLES} AS sh FROM t WHERE len(l) >= 3),
+sig AS (SELECT doc_id,
+  [list_min(list_transform(sh, x -> md5(CAST(s AS VARCHAR) || '|' || x))) for s in range(0, {{nperm}})] AS sigl
+FROM d)
+"""
+
+QUERIES = {
+    "q_doc_dedup": (
+        q_doc_dedup,
+        "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_docs "
+        "FROM documents GROUP BY md5(text)",
+    ),
+    "q_fingerprint": (
+        q_fingerprint,
+        f"SELECT doc_id, list_min(list_transform({_TOKS}, t -> md5(t))) AS fp FROM documents",
+    ),
+    "q_minhash_sig": (
+        q_minhash_sig,
+        _MINHASH_SIG_CTE.format(nperm=4)
+        + "SELECT doc_id, array_to_string(sigl, ',') AS sig FROM sig",
+    ),
+    "q_minhash_pairs": (
+        q_minhash_pairs,
+        _MINHASH_SIG_CTE.format(nperm=8)
+        + ", bands AS (SELECT doc_id, b, md5(array_to_string(sigl[b*2+1:b*2+2], '|')) AS bucket "
+        "FROM sig, (SELECT unnest(range(0, 4)) AS b)) "
+        "SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a "
+        "JOIN bands c ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id",
+    ),
+    "q_ngram_jaccard": (
+        q_ngram_jaccard,
+        f"WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents), "
+        f"d AS (SELECT doc_id, {_SHINGLES} AS sh FROM t WHERE len(l) >= 3) "
+        "SELECT a.doc_id AS id_a, c.doc_id AS id_b, "
+        "round(len(list_intersect(a.sh, c.sh)) / len(list_distinct(a.sh || c.sh)), 4) AS jaccard "
+        "FROM d a JOIN d c ON c.doc_id = a.doc_id + 1",
+    ),
+    "q_simhash": (
+        q_simhash,
+        f"WITH toks AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents), "
+        f"h AS (SELECT doc_id, {_HEXVAL} AS v FROM (SELECT doc_id, md5(tok) AS m FROM toks)), "
+        "bits AS (SELECT doc_id, b, sum(CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+        "FROM h, (SELECT unnest(range(0, 16)) AS b) GROUP BY doc_id, b) "
+        "SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash "
+        "FROM bits GROUP BY doc_id",
+    ),
+    "q_cosine_topk": (
+        q_cosine_topk,
+        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+        "n AS (SELECT sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS qnorm FROM q) "
+        f"SELECT a.vec_id, round({_DOT} / "
+        "(sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) * n.qnorm), 4) AS cos_sim "
+        "FROM embeddings a, q, n WHERE a.vec_id <> 0 "
+        "ORDER BY cos_sim DESC, a.vec_id LIMIT 10",
+    ),
+    "q_ann_lsh": (q_ann_lsh, None),
+    "q_token_count": (
+        q_token_count,
+        f"SELECT tok, count(*) AS n FROM (SELECT unnest({_TOKS}) AS tok FROM documents) "
+        "GROUP BY tok ORDER BY n DESC, tok LIMIT 20",
+    ),
+    "q_text_stats": (
+        q_text_stats,
+        f"SELECT lang, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars, "
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
+        f"CAST(sum(len({_TOKS})) AS DOUBLE) / count(*) AS avg_tokens "
+        "FROM documents GROUP BY lang",
+    ),
+    "q_quality_score": (
+        q_quality_score,
+        f"SELECT doc_id, len(l) AS n_tokens, "
+        "round(len(list_distinct(l)) / len(l), 4) AS ttr, "
+        "round(list_sum(list_transform(l, x -> length(x))) / len(l), 4) AS mean_tok_len, "
+        "round((len(list_distinct(l)) / len(l)) * 0.5 + "
+        "least((list_sum(list_transform(l, x -> length(x))) / len(l)) / 10.0, 1.0) * 0.5, 4) AS score "
+        f"FROM (SELECT doc_id, {_TOKS} AS l FROM documents)",
+    ),
+    "q_lang_id": (
+        q_lang_id,
+        f"WITH toks AS (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents), "
+        "tf AS (SELECT lang AS l2, tok, count(*) AS c FROM toks GROUP BY l2, tok), "
+        "top AS (SELECT l2, tok FROM (SELECT l2, tok, row_number() OVER "
+        "(PARTITION BY l2 ORDER BY c DESC, tok) AS rn FROM tf) WHERE rn <= 20), "
+        "score AS (SELECT t.doc_id, p.l2, count(*) AS overlap FROM toks t "
+        "JOIN top p ON t.tok = p.tok GROUP BY t.doc_id, p.l2), "
+        "pred AS (SELECT doc_id, l2 AS pred_lang FROM (SELECT doc_id, l2, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, l2) AS rn "
+        "FROM score) WHERE rn = 1) "
+        "SELECT d.doc_id, p.pred_lang, d.lang AS true_lang, "
+        "CAST(p.pred_lang = d.lang AS INTEGER) AS is_correct "
+        "FROM documents d JOIN pred p ON d.doc_id = p.doc_id",
+    ),
+    "q_udf_text": (
+        q_udf_text,
+        f"SELECT doc_id, len({_TOKS}) AS tok_cnt FROM documents",
+    ),
+    "q_binary_meta": (
+        q_binary_meta,
+        "SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS digest "
+        "FROM documents",
+    ),
+}

@@ -1,0 +1,489 @@
+"""Relational-breadth queries (SURVEY.md §2.2): joins, aggregation
+variants, analytic windows, sorts/top-k, set ops, scalar-function packs,
+sliding/session windows, TPC-H-style composites.
+
+Determinism conventions (oracle-drift guards, SURVEY.md §7.3):
+- Money/quantity sums go through DECIMAL then cast to DOUBLE so the
+  aggregation is exact and engine-order-independent.
+- Every top-k has a unique tie-break key.
+- Averages are expressed as exact decimal sum / count in double math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kafkastreamsjavachallenge_spark.catalog import load_table
+from kafkastreamsjavachallenge_spark.operators import relational as R
+from kafkastreamsjavachallenge_spark.operators import windows as W
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum(col, scale=4, alias=None):
+    """Exact sum: decimal accumulate, double out (engine-order independent)."""
+    c = F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+    return c.alias(alias) if alias else c
+
+
+# ------------------------------------------------------------------ joins
+
+def q_join_inner(spark, sf_dir):
+    orders, customer = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return R.equi_join(
+        orders, customer, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+
+
+def q_join_left(spark, sf_dir):
+    orders, customer = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    joined = R.equi_join(
+        customer, orders, F.col("o_custkey") == F.col("c_custkey"), "left"
+    )
+    return joined.groupBy("c_custkey", "c_name").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.coalesce(_dsum(F.col("o_totalprice"), 2), F.lit(0.0)).alias("total_spend"),
+    )
+
+
+def q_join_semi(spark, sf_dir):
+    orders, customer = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    big = orders.filter(F.col("o_totalprice") > 250000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.join(big, "c_custkey", "left_semi").select("c_custkey", "c_name")
+
+
+def q_join_anti(spark, sf_dir):
+    orders, customer = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    big = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.join(big, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+def q_join_broadcast(spark, sf_dir):
+    lineitem, part = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    joined = R.broadcast_join(
+        lineitem, part, F.col("l_partkey") == F.col("p_partkey")
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("l_extendedprice"), 2, "revenue"),
+    )
+
+
+def q_join_range(spark, sf_dir):
+    lineitem, part = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    small = part.filter(F.col("p_size") <= 5)  # bound the NLJ side first
+    joined = R.range_join(
+        small,
+        lineitem,
+        (F.col("l_quantity") >= F.col("p_size") - 1)
+        & (F.col("l_quantity") < F.col("p_size") + 1),
+    )
+    return joined.groupBy("p_partkey", "p_size").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_asof_join(spark, sf_dir):
+    """AS-OF: per order, latest lineitem shipdate <= orderdate + 60 days."""
+    orders, lineitem = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    left = orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("deadline"),
+    )
+    right = lineitem.select("l_orderkey", "l_shipdate")
+    out = R.asof_join(
+        left, right.withColumnRenamed("l_orderkey", "o_orderkey"),
+        on="o_orderkey", left_ts="deadline", right_ts="l_shipdate",
+    )
+    return out.select("o_orderkey", "o_orderdate", F.col("l_shipdate").alias("asof_ship"))
+
+
+# ----------------------------------------------------------- aggregation
+
+def q_agg_multi(spark, sf_dir):
+    """TPC-H Q1 shape: multi-aggregate with partial/final hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity"), 4, "sum_qty"),
+        _dsum(F.col("l_extendedprice"), 4, "sum_base_price"),
+        _dsum(disc_price, 6, "sum_disc_price"),
+        (_dsum(F.col("l_quantity"), 4) / n).alias("avg_qty"),
+        (_dsum(F.col("l_extendedprice"), 4) / n).alias("avg_price"),
+        n.alias("count_order"),
+    )
+
+
+def q_rollup(spark, sf_dir):
+    customer, nation = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    joined = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return R.rollup_agg(joined, ["n_name", "c_mktsegment"], F.count(F.lit(1)).alias("n"))
+
+
+def q_cube(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return R.cube_agg(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("o_totalprice"), 2, "total"),
+    )
+
+
+def q_approx_distinct(spark, sf_dir):
+    """HLL++ sketch — algorithm differs from DuckDB's, so rows-only check."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+# ----------------------------------------------------- analytic windows
+
+def q_row_number(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_lag_lead(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
+
+
+def q_running_sum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 3).alias("run_sum"),
+    )
+
+
+# ------------------------------------------------------------- sorts
+
+def q_topk(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return R.top_k(
+        orders.select("o_orderkey", F.col("o_totalprice").alias("price")),
+        10,
+        F.col("price").desc(),
+        F.col("o_orderkey"),
+    )
+
+
+# ------------------------------------------------------------- set ops
+
+def q_union(spark, sf_dir):
+    customer, supplier = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    return customer.select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("src")
+    ).unionAll(
+        supplier.select(F.col("s_name").alias("name"), F.lit("supplier").alias("src"))
+    )
+
+
+def q_intersect(spark, sf_dir):
+    customer, supplier = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nk")).intersect(
+        supplier.select(F.col("s_nationkey").alias("nk"))
+    )
+
+
+def q_except(spark, sf_dir):
+    nation, supplier = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "supplier")
+    return nation.select(F.col("n_nationkey").alias("nk")).subtract(
+        supplier.select(F.col("s_nationkey").alias("nk"))
+    )
+
+
+# ------------------------------------------- sliding / session windows
+
+def q_sliding_window(spark, sf_dir):
+    ev = W.sliding(_t(spark, sf_dir, "events"), "ts", "2 minutes", "1 minute")
+    return ev.groupBy(F.col("window.start").alias("window_start")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_session_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = W.session_windows(ev, "ts", "5 minutes", "user_id")
+    return out.select("user_id", "session_start", "n")
+
+
+# -------------------------------------------------- scalar function packs
+
+def q_string_fns(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_pfx"),
+        F.concat_ws("-", "c_name", "c_mktsegment").alias("tagged"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_id"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("@")).alias("replaced"),
+    )
+
+
+def q_math_fns(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # raw double product: bit-identical across engines; round() near .005
+        # boundaries is not (half-up vs binary-double representation)
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "disc_price"
+        ),
+        F.floor("l_quantity").cast("bigint").alias("fq"),
+        F.ceil("l_quantity").cast("bigint").alias("cq"),
+        F.abs(F.col("l_discount") - F.lit(0.05)).alias("absd"),
+        F.sqrt("l_quantity").alias("sq"),
+        (F.col("l_orderkey") % 7).alias("okmod"),
+    )
+
+
+# ----------------------------------------------------- TPC-H composites
+
+def q_tpch_q3(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders, lineitem = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        _dsum(revenue, 6, "revenue")
+    )
+    return R.top_k(
+        agg.select("o_orderkey", "revenue", "o_orderdate"),
+        10,
+        F.col("revenue").desc(),
+        F.col("o_orderkey"),
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    t = lambda n: _t(spark, sf_dir, n)
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = (
+        t("lineitem")
+        .join(t("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t("supplier"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(t("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return joined.groupBy("n_name").agg(_dsum(revenue, 6, "revenue"))
+
+
+def q_tpch_q6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), 6, "revenue"))
+    )
+
+
+_Q1_AVG = (
+    "CAST(sum(CAST({x} AS DECIMAL(18,4))) AS DOUBLE) / count(*)"
+)
+
+QUERIES = {
+    "q_join_inner": (
+        q_join_inner,
+        "SELECT o_orderkey, c_custkey, c_name, o_totalprice FROM orders "
+        "JOIN customer ON o_custkey = c_custkey",
+    ),
+    "q_join_left": (
+        q_join_left,
+        "SELECT c_custkey, c_name, count(o_orderkey) AS n_orders, "
+        "coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spend "
+        "FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey, c_name",
+    ),
+    "q_join_semi": (
+        q_join_semi,
+        "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 250000)",
+    ),
+    "q_join_anti": (
+        q_join_anti,
+        "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000)",
+    ),
+    "q_join_broadcast": (
+        q_join_broadcast,
+        "SELECT p_brand, count(*) AS n, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand",
+    ),
+    "q_join_range": (
+        q_join_range,
+        "SELECT p_partkey, p_size, count(*) AS n FROM part, lineitem "
+        "WHERE p_size <= 5 AND l_quantity >= p_size - 1 AND l_quantity < p_size + 1 "
+        "GROUP BY p_partkey, p_size",
+    ),
+    "q_asof_join": (
+        q_asof_join,
+        "SELECT o_orderkey, o_orderdate, "
+        "(SELECT max(l_shipdate) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+        "AND l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY) AS asof_ship FROM orders o",
+    ),
+    "q_agg_multi": (
+        q_agg_multi,
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price, "
+        "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price, "
+        + _Q1_AVG.format(x="l_quantity")
+        + " AS avg_qty, "
+        + _Q1_AVG.format(x="l_extendedprice")
+        + " AS avg_price, count(*) AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+    ),
+    "q_rollup": (
+        q_rollup,
+        "SELECT n_name, c_mktsegment, count(*) AS n FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY ROLLUP(n_name, c_mktsegment)",
+    ),
+    "q_cube": (
+        q_cube,
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)",
+    ),
+    "q_approx_distinct": (q_approx_distinct, None),
+    "q_row_number": (
+        q_row_number,
+        "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER "
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+        "FROM orders) WHERE rn <= 3",
+    ),
+    "q_lag_lead": (
+        q_lag_lead,
+        "SELECT event_id, user_id, "
+        "lag(event_id) OVER w AS prev_event, lead(event_id) OVER w AS next_event "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)",
+    ),
+    "q_running_sum": (
+        q_running_sum,
+        "SELECT event_id, user_id, round(sum(value) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW), 3) AS run_sum FROM events",
+    ),
+    "q_topk": (
+        q_topk,
+        "SELECT o_orderkey, o_totalprice AS price FROM orders "
+        "ORDER BY price DESC, o_orderkey LIMIT 10",
+    ),
+    "q_union": (
+        q_union,
+        "SELECT c_name AS name, 'customer' AS src FROM customer "
+        "UNION ALL SELECT s_name AS name, 'supplier' AS src FROM supplier",
+    ),
+    "q_intersect": (
+        q_intersect,
+        "SELECT c_nationkey AS nk FROM customer INTERSECT "
+        "SELECT s_nationkey AS nk FROM supplier",
+    ),
+    "q_except": (
+        q_except,
+        "SELECT n_nationkey AS nk FROM nation EXCEPT "
+        "SELECT s_nationkey AS nk FROM supplier",
+    ),
+    "q_sliding_window": (
+        q_sliding_window,
+        "SELECT ws AS window_start, count(*) AS n FROM ("
+        "SELECT unnest([date_trunc('minute', ts), date_trunc('minute', ts) - INTERVAL 1 MINUTE]) AS ws "
+        "FROM events) GROUP BY ws",
+    ),
+    "q_session_window": (
+        q_session_window,
+        "WITH e AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+        "OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM e) "
+        "SELECT user_id, min(ts) AS session_start, count(*) AS n FROM s GROUP BY user_id, sid",
+    ),
+    "q_string_fns": (
+        q_string_fns,
+        "SELECT c_custkey, upper(c_name) AS uname, lower(c_mktsegment) AS lseg, "
+        "length(c_name) AS name_len, substr(c_name, 1, 8) AS name_pfx, "
+        "concat_ws('-', c_name, c_mktsegment) AS tagged, "
+        "lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_id, "
+        "replace(c_name, '#', '@') AS replaced FROM customer",
+    ),
+    "q_math_fns": (
+        q_math_fns,
+        "SELECT l_orderkey, l_linenumber, "
+        "l_extendedprice * (1.0 - l_discount) AS disc_price, "
+        "CAST(floor(l_quantity) AS BIGINT) AS fq, CAST(ceil(l_quantity) AS BIGINT) AS cq, "
+        "abs(l_discount - 0.05) AS absd, sqrt(l_quantity) AS sq, "
+        "l_orderkey % 7 AS okmod FROM lineitem",
+    ),
+    "q_tpch_q3": (
+        q_tpch_q3,
+        "SELECT o_orderkey, "
+        "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue, "
+        "o_orderdate FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey WHERE c_mktsegment = 'BUILDING' "
+        "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10",
+    ),
+    "q_tpch_q5": (
+        q_tpch_q5,
+        "SELECT n_name, "
+        "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' GROUP BY n_name",
+    ),
+    "q_tpch_q6": (
+        q_tpch_q6,
+        "SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue "
+        "FROM lineitem WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24",
+    ),
+}

@@ -1,0 +1,91 @@
+"""The reference topology as Structured Streaming
+(UniqueUsersApp.java:91-134 → readStream → dedup → windowed count →
+writeStream).
+
+Emission semantics (SURVEY.md §1.3.2):
+- ``update`` mode  = the shipped reference behavior (record cache 0 →
+  one changelog update per accepted record, UniqueUsersApp.java:76).
+- ``append`` mode + watermark = the intended suppressed behavior the
+  reference attempted via ``.suppress`` (X1, UniqueUsersApp.java:119,158);
+  Spark's watermark gives the bounded state the reference's broken RocksDB
+  retention never delivered (README.md:196).
+
+Streaming exact count-distinct is disallowed in Spark, so we use the
+reference's own trick (D1→A2): watermarked dropDuplicates on
+[window, uid], then count per window — semantically identical to the
+WindowStore probe at DeduplicateValueTransformer.java:40-44.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def streaming_unique_users(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    uid_col: str = "user_id",
+    duration: str = "1 minute",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Unique uids per tumbling window over a streaming DataFrame.
+
+    dropDuplicates on [window_start, uid] carries watermark-bounded state
+    (the fix for the reference's unbounded store growth), then a windowed
+    count of first-occurrences — exact distinct without countDistinct.
+    """
+    w = F.window(F.col(ts_col), duration)
+    deduped = (
+        stream.withWatermark(ts_col, watermark)
+        .withColumn("window_start", w.start)
+        .dropDuplicates(["window_start", uid_col])
+    )
+    return (
+        deduped.groupBy(F.window(F.col(ts_col), duration).alias("window"))
+        .agg(F.count(F.lit(1)).alias("unique_users"))
+        .select(F.col("window.start").alias("window_start"), "unique_users")
+    )
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based micro-batch source (the test stand-in for Kafka S1)."""
+    r = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.load(path)
+
+
+def run_to_memory(
+    result: DataFrame,
+    output_mode: str = "update",
+    query_name: str | None = None,
+) -> DataFrame:
+    """Execute a streaming result with availableNow into a memory sink and
+    return the sink contents as a batch DataFrame.
+
+    availableNow processes all currently-available input then stops —
+    letting the batch-oriented harness exercise the streaming engine.
+    """
+    spark = result.sparkSession
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
