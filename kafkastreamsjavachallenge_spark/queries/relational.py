@@ -217,9 +217,15 @@ def q_intersect(spark, sf_dir):
 
 
 def q_except(spark, sf_dir):
-    nation, supplier = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "supplier")
-    return nation.select(F.col("n_nationkey").alias("nk")).subtract(
-        supplier.select(F.col("s_nationkey").alias("nk"))
+    """Brands present in the catalog but absent from small-quantity sales —
+    non-degenerate EXCEPT (nation-vs-supplier keys fully overlap)."""
+    part, lineitem = _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    sold_small = part.join(
+        lineitem.filter(F.col("l_quantity") <= 2),
+        F.col("p_partkey") == F.col("l_partkey"),
+    )
+    return part.select(F.col("p_brand").alias("brand")).subtract(
+        sold_small.select(F.col("p_brand").alias("brand"))
     )
 
 
@@ -428,8 +434,9 @@ QUERIES = {
     ),
     "q_except": (
         q_except,
-        "SELECT n_nationkey AS nk FROM nation EXCEPT "
-        "SELECT s_nationkey AS nk FROM supplier",
+        "SELECT p_brand AS brand FROM part EXCEPT "
+        "SELECT p_brand AS brand FROM part JOIN lineitem ON p_partkey = l_partkey "
+        "WHERE l_quantity <= 2",
     ),
     "q_sliding_window": (
         q_sliding_window,

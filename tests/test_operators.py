@@ -1,0 +1,127 @@
+"""Unit tests per operator module (SURVEY.md §5.2): as-of join semantics,
+multimodal plumbing, dedup property checks, vector math, session factory."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row, functions as F
+
+from kafkastreamsjavachallenge_spark.catalog import load_table
+from kafkastreamsjavachallenge_spark.functions.vector import cosine
+from kafkastreamsjavachallenge_spark.operators.dedup import exact_dedup
+from kafkastreamsjavachallenge_spark.operators.multimodal import (
+    DECODED_SCHEMA,
+    decode_media,
+    fake_decode,
+    real_decode,
+    to_media,
+)
+from kafkastreamsjavachallenge_spark.operators.relational import asof_join
+from kafkastreamsjavachallenge_spark.operators.windows import (
+    unique_users,
+    windowed_dedup,
+)
+
+from tests.conftest import SF_DIR
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_basic(spark):
+    trades = spark.createDataFrame(
+        [
+            Row(sym="A", t=ts("2024-01-01 10:00:03"), px=1.0),
+            Row(sym="A", t=ts("2024-01-01 10:00:07"), px=2.0),
+            Row(sym="B", t=ts("2024-01-01 10:00:05"), px=3.0),
+        ]
+    )
+    quotes = spark.createDataFrame(
+        [
+            Row(sym="A", qt=ts("2024-01-01 10:00:01"), bid=10.0),
+            Row(sym="A", qt=ts("2024-01-01 10:00:05"), bid=11.0),
+            Row(sym="B", qt=ts("2024-01-01 10:00:09"), bid=12.0),
+        ]
+    )
+    out = {
+        (r["sym"], r["t"]): r["bid"]
+        for r in asof_join(trades, quotes, on="sym", left_ts="t", right_ts="qt").collect()
+    }
+    assert out[("A", ts("2024-01-01 10:00:03"))] == 10.0  # latest quote <= t
+    assert out[("A", ts("2024-01-01 10:00:07"))] == 11.0
+    assert out[("B", ts("2024-01-01 10:00:05"))] is None  # no quote yet → left row kept
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([Row(k="x", t=ts("2024-01-01 10:10:00"), v=1)])
+    right = spark.createDataFrame([Row(k="x", rt=ts("2024-01-01 10:00:00"), w=5)])
+    hit = asof_join(left, right, "k", "t", "rt").collect()[0]
+    assert hit["w"] == 5
+    miss = asof_join(
+        left, right, "k", "t", "rt", tolerance=F.expr("INTERVAL 5 MINUTES")
+    ).collect()[0]
+    assert miss["w"] is None  # quote is 10 min old, outside tolerance
+
+
+def test_multimodal_decode_plumbing(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    media = to_media(docs, "doc_id", "text", kind="image")
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "kind", "payload", "n_bytes", "mime",
+    ]
+    decoded = decode_media(media)
+    assert decoded.schema == DECODED_SCHEMA
+    rows = decoded.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert (r["width"], r["height"]) == fake_decode(b"x" * r["n_bytes"])
+        assert len(r["checksum"]) == 32
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        real_decode(b"payload")
+
+
+def test_exact_dedup_keeps_one_per_content(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(["a b", "a b", "c d", "a b"])]
+    )
+    kept = exact_dedup(df)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2]
+
+
+def test_cosine_self_similarity(spark):
+    e = load_table(spark, SF_DIR, "embeddings").limit(20)
+    out = e.select(F.round(cosine(F.col("embedding"), F.col("embedding")), 6).alias("c"))
+    assert all(abs(r["c"] - 1.0) < 1e-6 for r in out.collect())
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 300)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_dedup_count_property(shared_spark, events):
+    """Property (SURVEY.md §5.2): count distinct per window == row count
+    after windowed dedup, for any (uid, second-offset) stream."""
+    base = dt.datetime(2024, 1, 1)
+    df = shared_spark.createDataFrame(
+        [Row(user_id=u, ts=base + dt.timedelta(seconds=s)) for u, s in events]
+    )
+    n_dedup = windowed_dedup(df, "ts", "1 minute", "user_id").count()
+    total = sum(r["unique_users"] for r in unique_users(df, "ts", "user_id").collect())
+    assert n_dedup == total
+
+
+@pytest.fixture(scope="module")
+def shared_spark(spark):
+    return spark
