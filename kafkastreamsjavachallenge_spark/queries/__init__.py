@@ -14,9 +14,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafkastreamsjavachallenge_spark.queries import core, llm, relational, streaming_q
+from kafkastreamsjavachallenge_spark.queries import (
+    core,
+    extended,
+    llm,
+    relational,
+    streaming_q,
+)
 
-_MODULES = (core, relational, llm, streaming_q)
+_MODULES = (core, relational, extended, llm, streaming_q)
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

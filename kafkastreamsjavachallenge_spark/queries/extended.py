@@ -1,0 +1,138 @@
+"""Extended relational/vector surface: posexplode, range window frames,
+GROUPING SETS, pivot (conditional aggregation), embedding near-dup pairs.
+
+These round out categories SURVEY.md §2.2 lists beyond the reference's
+own operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kafkastreamsjavachallenge_spark.catalog import load_table, register_views
+from kafkastreamsjavachallenge_spark.functions.vector import cosine
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def q_posexplode(spark, sf_dir):
+    """Array explode with ordinality over embedding vectors (first 8 dims,
+    first 100 vectors — bounded, deterministic)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 8)).alias("i", "val")
+    ).withColumn("i", F.col("i") + 1)  # 1-based to match SQL ordinality
+
+
+def q_range_frame(spark, sf_dir):
+    """RANGE frame: count of same-customer orders within ±30 days of each
+    order — an interval self-window without a self-join."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) / 86400
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day.cast("double"))
+        .rangeBetween(-30, 30)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_near"),
+    )
+
+
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS via the SQL surface (engine exposes spark.sql over the
+    registered catalog views)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_pivot(spark, sf_dir):
+    """Pivot events: rows = event_type, columns = fixed user_id buckets.
+
+    Spark's native pivot operator with an explicit value list (explicit
+    values keep the plan one-pass — no values-discovery job — which is the
+    100 TB-safe form); oracle expresses the same as conditional aggregation.
+    """
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "bucket", F.concat(F.lit("b"), (F.col("user_id") % 4).cast("string"))
+    )
+    return (
+        ev.groupBy("event_type")
+        .pivot("bucket", ["b0", "b1", "b2", "b3"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["b0", "b1", "b2", "b3"])
+    )
+
+
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (bounded block).
+
+    Brute-force within an id-bounded block with a cosine threshold; ties to
+    the LSH-bucketed path (operators/similarity.py) at scale — buckets
+    first, exact cosine only within buckets.  Bounded here so the oracle
+    is exact and cost is flat across scale factors.
+    """
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
+    )
+    return scored.filter(F.col("cos_sim") >= 0.35)
+
+
+_DOT_AB = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+_NORM = (
+    "sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> CAST({v}.embedding[i] AS DOUBLE) * CAST({v}.embedding[i] AS DOUBLE))))"
+)
+
+QUERIES = {
+    "q_posexplode": (
+        q_posexplode,
+        "SELECT vec_id, CAST(generate_subscripts(embedding[1:8], 1) AS INTEGER) AS i, "
+        "unnest(embedding[1:8]) AS val FROM embeddings WHERE vec_id < 100",
+    ),
+    "q_range_frame": (
+        q_range_frame,
+        "SELECT o_orderkey, o_custkey, count(*) OVER "
+        "(PARTITION BY o_custkey ORDER BY epoch(o_orderdate)/86400 "
+        "RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING) AS n_near FROM orders",
+    ),
+    "q_grouping_sets": (
+        q_grouping_sets,
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())",
+    ),
+    "q_pivot": (
+        q_pivot,
+        "SELECT event_type, "
+        "count(*) FILTER (user_id % 4 = 0) AS b0, "
+        "count(*) FILTER (user_id % 4 = 1) AS b1, "
+        "count(*) FILTER (user_id % 4 = 2) AS b2, "
+        "count(*) FILTER (user_id % 4 = 3) AS b3 "
+        "FROM events GROUP BY event_type",
+    ),
+    "q_embed_neardup": (
+        q_embed_neardup,
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        f"round({_DOT_AB} / ({_NORM.format(v='a')} * {_NORM.format(v='b')}), 4) AS cos_sim "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE a.vec_id < 500 AND b.vec_id < 500 "
+        f"AND round({_DOT_AB} / ({_NORM.format(v='a')} * {_NORM.format(v='b')}), 4) >= 0.35",
+    ),
+}

@@ -42,6 +42,10 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Spark 4.1's checksummed checkpoint writer can deadlock awaiting its
+    # checksum future under applyInPandasWithState commits on local FS;
+    # plain checkpoint files are sufficient for a local/posix checkpoint dir.
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
 }
 
 
@@ -76,6 +80,7 @@ def build_session(config: EngineConfig | None = None) -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
     if config.shuffle_partitions is not None:
