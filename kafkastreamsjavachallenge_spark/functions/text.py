@@ -53,18 +53,58 @@ def seeded_md5(col: Column, seed: int) -> Column:
 
 
 def minhash_signature(items: Column, n_perm: int) -> Column:
-    """MinHash signature: per seed, min seeded-md5 over the item set.
-
-    Returns array<string> of length n_perm ([] items → nulls).  min over
-    fixed-width hex == numeric minhash; collision behavior matches the
-    classic scheme.  Scales as a single projection — no shuffle.
+    """MinHash signature as a pure projection (no shuffle): per permutation
+    s, min over the item set of (A[s]*base_hash28(x) + B[s]) mod p — the
+    same universal-hash family as operators/dedup.minhash_signatures, so
+    the two forms produce identical signatures.  Use the operator form in
+    hot paths (exploded codegen beats interpreted HOF lambdas ~10×); this
+    form suits signature-on-ingest projections.
     """
+    hashed = F.transform(items, lambda x: base_hash28(x))
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_perm - 1)),
         lambda s: F.array_min(
-            F.transform(items, lambda x: F.md5(F.concat_ws("|", s.cast("string"), x)))
+            F.transform(
+                hashed,
+                lambda v: (
+                    F.element_at(
+                        F.array(*[F.lit(a) for a in MINHASH_A]), s + 1
+                    ) * v
+                    + F.element_at(F.array(*[F.lit(b) for b in MINHASH_B]), s + 1)
+                )
+                % F.lit(MINHASH_P),
+            )
         ),
     )
+
+
+#: Universal-hash family for MinHash: h_s(v) = (A[s]*v + B[s]) mod MINHASH_P.
+#: Fixed constants (seeded once, hardcoded) so any engine — Spark, DuckDB,
+#: a warehouse — reproduces identical signatures.  MINHASH_P is the Mersenne
+#: prime 2^31-1; base values are 28-bit (7 hex chars of md5), so a*v < 2^59
+#: stays in exact BIGINT range on every engine.
+MINHASH_P = (1 << 31) - 1
+MINHASH_A = [1373158607, 239081664, 53710185, 1592467582, 590620972,
+             525901257, 479341424, 299655413, 1581559893, 220106708,
+             1453201079, 1590571866, 1915941033, 1171165723, 186699714,
+             1268073013]
+MINHASH_B = [906070220, 68252793, 63989047, 201209005, 469521477,
+             499635468, 1085242216, 1292825378, 56985561, 1205264595,
+             427000596, 1537640408, 1395616196, 1506083910, 1170252923,
+             900911954]
+
+
+def base_hash28(col: Column) -> Column:
+    """Portable 28-bit integer hash: first 7 hex chars of md5 → bigint.
+
+    DuckDB equivalent: ('0x' || substr(md5(x), 1, 7))::BIGINT.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
+
+
+def minhash_perm(v: Column, s: int) -> Column:
+    """The s-th permutation hash (a_s*v + b_s) mod p over a base-hash col."""
+    return (F.lit(MINHASH_A[s]) * v + F.lit(MINHASH_B[s])) % F.lit(MINHASH_P)
 
 
 def hex4_to_int(hex_col: Column) -> Column:

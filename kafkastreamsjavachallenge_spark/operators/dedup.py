@@ -21,8 +21,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafkastreamsjavachallenge_spark.functions.text import (
+    base_hash28,
     hex4_to_int,
-    minhash_signature,
+    minhash_perm,
     shingles,
     tokens,
 )
@@ -60,36 +61,37 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature over distinct k-token shingles.
 
-    Plan shape: explode shingles × seeds → whole-stage-codegen md5 →
-    partial min map-side → one shuffle on (id, seed) → reassemble the
-    signature array.  This beats the pure-projection higher-order-function
-    form ~10× because lambda-based HOFs are interpreted per element while
-    exploded md5/min run inside codegen with map-side partial aggregation —
-    and at 100 TB the (id, seed) shuffle is exactly how you'd shard the
-    signature computation anyway.  Returns (id, sig: array<string>).
+    Universal-hash scheme: one portable 28-bit base hash per shingle
+    (md5-derived), then n_perm linear permutation hashes
+    (a_s*v + b_s) mod 2^31-1 folded as n_perm `min` aggregates in a single
+    groupBy(id).  Plan shape: one repartition on id *before* the explode
+    (moves the cheap raw docs, makes the |docs|×|shingles| expansion
+    parallel on any input split layout), then explode → md5 → n_perm
+    min-aggregates, all whole-stage codegen with map-side partial
+    aggregation; HashPartitioning(id) satisfies the groupBy distribution so
+    there is no second exchange.  Versus hashing every shingle n_perm
+    times, the work drops by ~n_perm×.  Returns (id, sig: array<bigint>).
     """
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     sh = F.array_distinct(shingles(tokens(text_col), shingle_k))
-    per_seed = (
-        df.select(F.col(id_col), sh.alias("sh"))
+    base = (
+        spread.select(F.col(id_col), sh.alias("sh"))
         .filter(F.size("sh") > 0)
         .select(F.col(id_col), F.explode("sh").alias("shingle"))
-        .select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("s"),
-            "shingle",
-        )
-        .select(
-            F.col(id_col),
-            F.col("s"),
-            F.md5(F.concat_ws("|", F.col("s").cast("string"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy(id_col, "s")
-        .agg(F.min("h").alias("mh"))
+        .select(F.col(id_col), base_hash28(F.col("shingle")).alias("v"))
     )
-    return per_seed.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("s", "mh"))), lambda x: x["mh"]
-        ).alias("sig")
+    mins = [
+        F.min(minhash_perm(F.col("v"), s)).alias(f"mh{s}") for s in range(n_perm)
+    ]
+    return (
+        base.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"mh{s}") for s in range(n_perm)]).alias("sig"),
+        )
     )
 
 
@@ -114,7 +116,11 @@ def lsh_candidate_pairs(
                     b.alias("band"),
                     F.md5(
                         F.concat_ws(
-                            "|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                            "|",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
                         )
                     ).alias("bucket"),
                 ),
@@ -173,11 +179,16 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """SimHash fingerprint over distinct tokens (md5-derived 16-bit planes).
 
     Explode tokens × bit positions → per-bit ±1 vote sum → sign bits →
-    integer fingerprint.  Two groupBys keyed on (id, bit) then (id): both
-    partition on doc id, so this is one logical shuffle at scale.  Tie
-    (vote sum == 0) counts as bit set, fixed so oracles agree.
+    integer fingerprint.  Repartitioning on id up front makes the
+    token × bit expansion parallel on any input split layout, and both
+    downstream groupBys ((id, bit), then (id)) are satisfied by
+    HashPartitioning(id) — one shuffle total.  Tie (vote sum == 0) counts
+    as bit set, fixed so oracles agree.
     """
-    toks = df.select(
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    toks = spread.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     ).withColumn("v", hex4_to_int(F.md5(F.col("tok"))))
     votes = (

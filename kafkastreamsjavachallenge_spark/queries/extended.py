@@ -74,6 +74,41 @@ def q_pivot(spark, sf_dir):
     )
 
 
+def q_array_fns(spark, sf_dir):
+    """Array scalar + higher-order functions (SURVEY.md §2.2 array row):
+    split → size / array_contains / array_distinct / transform / aggregate.
+
+    Whole-stage-codegen JVM expressions end to end — the 100 TB-safe way to
+    do per-document token math (no Python boundary)."""
+    d = _t(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(tokens).alias("n_tokens"),
+        F.size(F.array_distinct(tokens)).alias("n_distinct"),
+        F.array_contains(tokens, "the").cast("int").alias("has_the"),
+        F.array_max(F.transform(tokens, lambda t: F.length(t))).alias("max_tok_len"),
+        F.aggregate(
+            F.transform(tokens, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_tok_len"),
+    )
+
+
+def q_map_fns(spark, sf_dir):
+    """Map functions over the events ``props`` JSON column: from_json to
+    map<string,int>, key extraction, lookup, cardinality."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys"),
+        F.size(m).alias("n_keys"),
+        m.getItem("k").alias("k_val"),
+    )
+
+
 def q_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (bounded block).
 
@@ -126,6 +161,24 @@ QUERIES = {
         "count(*) FILTER (user_id % 4 = 2) AS b2, "
         "count(*) FILTER (user_id % 4 = 3) AS b3 "
         "FROM events GROUP BY event_type",
+    ),
+    "q_array_fns": (
+        q_array_fns,
+        "SELECT doc_id, "
+        "len(string_split(text, ' ')) AS n_tokens, "
+        "len(list_distinct(string_split(text, ' '))) AS n_distinct, "
+        "CAST(list_contains(string_split(text, ' '), 'the') AS INTEGER) AS has_the, "
+        "list_max(list_transform(string_split(text, ' '), t -> length(t))) AS max_tok_len, "
+        "CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS sum_tok_len "
+        "FROM documents",
+    ),
+    "q_map_fns": (
+        q_map_fns,
+        "SELECT event_id, "
+        "list_aggregate(list_sort(json_keys(props)), 'string_agg', ',') AS keys, "
+        "len(json_keys(props)) AS n_keys, "
+        "CAST(json_extract(props, '$.k') AS INTEGER) AS k_val "
+        "FROM events",
     ),
     "q_embed_neardup": (
         q_embed_neardup,

@@ -37,7 +37,12 @@ def q_fingerprint(spark, sf_dir):
 
 def q_minhash_sig(spark, sf_dir):
     sigs = D.minhash_signatures(_docs(spark, sf_dir), n_perm=4)
-    return sigs.select("doc_id", F.concat_ws(",", "sig").alias("sig"))
+    return sigs.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("sig", lambda x: x.cast("string"))
+        ).alias("sig"),
+    )
 
 
 def q_minhash_pairs(spark, sf_dir):
@@ -176,12 +181,17 @@ _DOT = (
     "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))"
 )
 
+# Universal-hash MinHash (mirrors functions/text.py MINHASH_A/B/P): base
+# 28-bit md5-derived hash per shingle, then (a_s*v + b_s) mod 2^31-1 minima.
+_MINHASH_A = "[1373158607, 239081664, 53710185, 1592467582, 590620972, 525901257, 479341424, 299655413]"
+_MINHASH_B = "[906070220, 68252793, 63989047, 201209005, 469521477, 499635468, 1085242216, 1292825378]"
 _MINHASH_SIG_CTE = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents),
 d AS (SELECT doc_id, {_SHINGLES} AS sh FROM t WHERE len(l) >= 3),
+hv AS (SELECT doc_id, list_transform(sh, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS vs FROM d),
 sig AS (SELECT doc_id,
-  [list_min(list_transform(sh, x -> md5(CAST(s AS VARCHAR) || '|' || x))) for s in range(0, {{nperm}})] AS sigl
-FROM d)
+  [list_min(list_transform(vs, v -> (({_MINHASH_A}[s+1])*v + ({_MINHASH_B}[s+1])) % 2147483647)) for s in range(0, {{nperm}})] AS sigl
+FROM hv)
 """
 
 QUERIES = {
