@@ -1,7 +1,10 @@
 """Physical-plan quality gates: the properties that make these operators
 survive a 100 TB scale-up.  Each assertion pins a plan shape — if a code
 change silently introduces an extra shuffle, drops a broadcast, or breaks
-scan-level pushdown, these fail before any benchmark does."""
+scan-level pushdown, these fail before any benchmark does.
+
+Backed by the engine's own plan-introspection surface
+(kafkastreamsjavachallenge_spark.plans)."""
 
 from __future__ import annotations
 
@@ -9,6 +12,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from kafkastreamsjavachallenge_spark.catalog import load_table
+from kafkastreamsjavachallenge_spark.plans import (
+    executed_plan,
+    lint,
+    plan_summary,
+    pushed_filters,
+)
 from kafkastreamsjavachallenge_spark.queries import registry
 
 from tests.conftest import SF_DIR
@@ -17,25 +26,25 @@ REG = registry()
 
 
 def plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def optimized(df) -> str:
-    return df._jdf.queryExecution().optimizedPlan().toString()
+    return executed_plan(df)
 
 
 def test_filter_pushed_to_scan(spark):
     """Predicate + column pruning reach the parquet reader."""
     df = REG["q_filter"][0](spark, SF_DIR)
-    p = plan(df)
-    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)" in p
+    pf = pushed_filters(df)
+    assert any(
+        "IsNotNull(event_type)" in f and "EqualTo(event_type,error)" in f
+        for f in pf
+    ), pf
     # column pruning: scan must not read the unused props/value columns
-    assert "props" not in p.split("ReadSchema")[1]
+    s = plan_summary(df)
+    assert all("props" not in rs for rs in s.read_schemas)
 
 
 def test_broadcast_join_is_broadcast(spark):
-    df = REG["q_join_broadcast"][0](spark, SF_DIR)
-    assert "BroadcastHashJoin" in plan(df)
+    s = plan_summary(REG["q_join_broadcast"][0](spark, SF_DIR))
+    assert "BroadcastHashJoin" in s.joins
 
 
 def test_topk_is_take_ordered_not_global_sort(spark):
@@ -62,13 +71,50 @@ def test_lsh_self_join_reuses_exchange(spark):
     physical plan (with AQE resolved) reuses one shuffle exchange."""
     df = REG["q_minhash_pairs"][0](spark, SF_DIR)
     df.write.format("noop").mode("overwrite").save()  # resolve AQE
-    p = plan(df)
-    assert "ReusedExchange" in p or p.count("FileScan parquet") <= 2
+    s = plan_summary(df)
+    assert s.n_reused_exchanges >= 1 or s.n_file_scans <= 2
 
 
 def test_scalar_pack_is_whole_stage_codegen(spark):
     """Projection-only queries stay in one WholeStageCodegen span — no
     exchanges, no interpreted expressions in the hot path."""
-    p = plan(REG["q_string_fns"][0](spark, SF_DIR))
-    assert "Exchange" not in p
+    df = REG["q_string_fns"][0](spark, SF_DIR)
+    s = plan_summary(df)
+    assert s.n_exchanges == 0
+    assert s.codegen_spans == 1
+    p = plan(df)
     assert p.lstrip().startswith("*(1)")  # '*' marks a WholeStageCodegen span
+
+
+def test_minhash_single_shuffle(spark):
+    """Universal-hash MinHash signature computation: exactly one shuffle
+    (the id repartition before the fan-out) — the groupBy reuses it."""
+    from kafkastreamsjavachallenge_spark.operators.dedup import minhash_signatures
+
+    d = load_table(spark, SF_DIR, "documents")
+    s = plan_summary(minhash_signatures(d, n_perm=8))
+    assert s.n_exchanges == 1, s
+
+
+def test_lint_flags_cartesian(spark):
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    bad = a.crossJoin(b)
+    rules = {f.rule for f in lint(bad)}
+    assert "cartesian-product" in rules
+
+
+def test_lint_flags_row_python_udf(spark):
+    from pyspark.sql.functions import udf
+
+    slow = udf(lambda x: x + 1, "bigint")
+    df = spark.range(10).select(slow("id").alias("y"))
+    rules = {f.rule for f in lint(df)}
+    assert "python-row-eval" in rules
+
+
+def test_lint_clean_on_good_plans(spark):
+    """Headline queries lint clean (bounded block-join queries excepted)."""
+    for name in ["q_unique_users", "q_tpch_q3", "q_join_broadcast", "q_agg_multi"]:
+        findings = lint(REG[name][0](spark, SF_DIR))
+        assert findings == [], (name, findings)
