@@ -72,6 +72,71 @@ def lsh_buckets(
     return df.withColumn("bucket", bucket)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """IVF build step: assign every vector to its nearest centroid.
+
+    Centroids broadcast (they are small by construction: k ≪ n); the
+    argmin is a per-row reduction over the broadcast list — no shuffle of
+    the big side.  At 100 TB the assigned table is written partitioned by
+    ``centroid_id`` so probes become partition-pruned scans.  Any centroid
+    source works (k-means output, a deterministic sample); the operator
+    only requires (centroid_id, vec) rows.
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_id).alias("__cid"), F.col(vec_col).alias("__cvec")
+        )
+    )
+    scored = df.crossJoin(c).withColumn(
+        "__sim", cosine(F.col(vec_col), F.col("__cvec"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("__cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(df["*"], F.col("__cid").alias(centroid_id))
+    )
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: score the query against centroids, search only the
+    ``nprobe`` nearest inverted lists.
+
+    Candidate filter is a semi-join on centroid_id (broadcast — nprobe
+    ids), then exact cosine within the probed lists.  Recall grows with
+    nprobe; cost is |probed lists|, not |table|.
+    """
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    # nprobe nearest centroids to the query vector
+    qc = query.select(F.col(vec_col).alias("__qvec")).crossJoin(
+        F.broadcast(centroids.select(F.col("centroid_id"), F.col(vec_col).alias("__cvec")))
+    )
+    probes = (
+        qc.withColumn("__sim", cosine(F.col("__qvec"), F.col("__cvec")))
+        .orderBy(F.col("__sim").desc(), F.col("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    cands = assigned.join(F.broadcast(probes), on="centroid_id", how="left_semi")
+    return cosine_topk(cands, query, k, id_col, vec_col)
+
+
 def lsh_ann_topk(
     df: DataFrame,
     query: DataFrame,

@@ -79,6 +79,19 @@ def q_ann_lsh(spark, sf_dir):
     return S.lsh_ann_topk(e.filter(F.col("vec_id") != 0), query, k=10)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate NN: deterministic centroid set (lowest 16 ids),
+    broadcast assignment, nprobe=4 probed lists — approximate → rows-only."""
+    e = _embs(spark, sf_dir)
+    centroids = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    query = e.filter(F.col("vec_id") == 0)
+    return S.ivf_ann_topk(
+        e.filter(F.col("vec_id") != 0), query, centroids, k=10, nprobe=4
+    )
+
+
 # ------------------------------------------------------ text analysis
 
 def q_token_count(spark, sf_dir):
@@ -246,6 +259,7 @@ QUERIES = {
         "ORDER BY cos_sim DESC, a.vec_id LIMIT 10",
     ),
     "q_ann_lsh": (q_ann_lsh, None),
+    "q_ann_ivf": (q_ann_ivf, None),
     "q_token_count": (
         q_token_count,
         f"SELECT tok, count(*) AS n FROM (SELECT unnest({_TOKS}) AS tok FROM documents) "

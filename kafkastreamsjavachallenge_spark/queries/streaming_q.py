@@ -17,6 +17,8 @@ from kafkastreamsjavachallenge_spark.catalog import load_table
 from kafkastreamsjavachallenge_spark.streaming.pipeline import (
     file_stream,
     run_to_memory,
+    stream_static_enrich,
+    streaming_sliding_counts,
     streaming_unique_users,
 )
 
@@ -29,6 +31,9 @@ def _event_stream(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
+    from kafkastreamsjavachallenge_spark.session import configure_runtime
+
+    configure_runtime(spark)  # nanosAsLong etc. — vanilla driver sessions
     src = os.path.realpath(f"{sf_dir}/events.parquet")
     stage = tempfile.mkdtemp(prefix="stream_events_")
     os.symlink(src, os.path.join(stage, "part-00000.parquet"))
@@ -50,6 +55,30 @@ def q_stream_unique_users_append(spark, sf_dir):
     return run_to_memory(result, output_mode="append")
 
 
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment: events stream × broadcast customer dim,
+    aggregated per market segment.  One availableNow batch drains the whole
+    source, so the result equals the batch join → full SQL oracle."""
+    from pyspark.sql import functions as F
+
+    stream = _event_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream_static_enrich(stream, dim, on="user_id")
+    result = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return run_to_memory(result, output_mode="complete")
+
+
+def q_stream_sliding(spark, sf_dir):
+    """Sliding-window streaming counts; final counts after one availableNow
+    drain equal the batch sliding-window query → full SQL oracle."""
+    result = streaming_sliding_counts(_event_stream(spark, sf_dir))
+    return run_to_memory(result, output_mode="update")
+
+
 QUERIES = {
     "q_stream_unique_users": (
         q_stream_unique_users,
@@ -57,4 +86,15 @@ QUERIES = {
         "count(DISTINCT user_id) AS unique_users FROM events GROUP BY 1",
     ),
     "q_stream_unique_users_append": (q_stream_unique_users_append, None),
+    "q_stream_enrich": (
+        q_stream_enrich,
+        "SELECT c_mktsegment, count(*) AS n_events FROM events "
+        "JOIN customer ON user_id = c_custkey GROUP BY c_mktsegment",
+    ),
+    "q_stream_sliding": (
+        q_stream_sliding,
+        "SELECT ws AS window_start, count(*) AS n FROM ("
+        "SELECT unnest([date_trunc('minute', ts), date_trunc('minute', ts) - INTERVAL 1 MINUTE]) AS ws "
+        "FROM events) GROUP BY ws",
+    ),
 }

@@ -65,6 +65,67 @@ def file_stream(
     return r.load(path)
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join.
+
+    The static side is re-read per micro-batch by the engine; broadcasting
+    it keeps the stream side shuffle-free — at 100 TB the stream partitions
+    never move, only the (small) dimension ships.  For large dimensions set
+    ``broadcast_dim=False`` and pre-bucket both sides on the join key.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=on, how=how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 minute",
+    interval: str = "1 minute",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join with a bounded event-time interval.
+
+    Both sides carry watermarks and the join predicate bounds
+    ``right_ts`` to [left_ts - interval, left_ts + interval] so the engine
+    can evict state — unbounded stream-stream joins never GC (the same
+    failure mode as the reference's broken store retention, README.md:196).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    bound = (
+        (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {interval}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {interval}"))
+    )
+    return lw.join(rw, on=on & bound, how=how)
+
+
+def streaming_sliding_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "2 minutes",
+    slide: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Sliding-window event counts over a stream (beyond the reference's
+    tumbling-only surface, SURVEY.md §2.2)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration, slide).alias("window"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+
+
 def run_to_memory(
     result: DataFrame,
     output_mode: str = "update",

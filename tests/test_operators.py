@@ -125,3 +125,37 @@ def test_dedup_count_property(shared_spark, events):
 @pytest.fixture(scope="module")
 def shared_spark(spark):
     return spark
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """IVF with nprobe == n_centroids probes every inverted list, so the
+    result must equal exact brute-force top-k."""
+    from kafkastreamsjavachallenge_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    query = e.filter(F.col("vec_id") == 0)
+    base = e.filter(F.col("vec_id") != 0)
+    exact = [(r["vec_id"], r["cos_sim"]) for r in cosine_topk(base, query, k=5).collect()]
+    ivf = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ivf_ann_topk(base, query, centroids, k=5, nprobe=8).collect()
+    ]
+    assert ivf == exact
+
+
+def test_ivf_assign_covers_all_rows(spark):
+    from kafkastreamsjavachallenge_spark.operators.similarity import ivf_assign
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ivf_assign(e, centroids)
+    assert assigned.count() == e.count()  # exactly one centroid per vector
+    assert assigned.select("centroid_id").distinct().count() <= 8

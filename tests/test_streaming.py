@@ -79,3 +79,82 @@ def test_multibatch_append_emits_closed_windows_only(spark, event_files):
     # un-emitted windows are only at the (still-open) tail of event time
     open_windows = sorted(set(want) - set(got))
     assert all(w > max(got) for w in open_windows)
+
+
+def test_stream_stream_join_matches_batch(spark, event_files):
+    """Watermarked interval stream-stream join over two event streams
+    equals the equivalent batch interval join."""
+    from kafkastreamsjavachallenge_spark.streaming.pipeline import stream_stream_join
+
+    d, ev = event_files
+    left = file_stream(spark, d, ev.schema, max_files_per_trigger=2).select(
+        F.col("event_id").alias("l_id"),
+        F.col("user_id").alias("l_uid"),
+        F.col("ts").alias("l_ts"),
+    )
+    right = file_stream(spark, d, ev.schema, max_files_per_trigger=2).select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_uid"),
+        F.col("ts").alias("r_ts"),
+    )
+    joined = stream_stream_join(
+        left, right,
+        on=(F.col("l_uid") == F.col("r_uid")) & (F.col("l_id") < F.col("r_id")),
+        left_ts="l_ts", right_ts="r_ts",
+        watermark="2 hours", interval="1 hour",
+    )
+    got = run_to_memory(joined, output_mode="append").count()
+
+    l = ev.select(F.col("event_id").alias("l_id"), F.col("user_id").alias("l_uid"), F.col("ts").alias("l_ts"))
+    r = ev.select(F.col("event_id").alias("r_id"), F.col("user_id").alias("r_uid"), F.col("ts").alias("r_ts"))
+    want = l.join(
+        r,
+        (F.col("l_uid") == F.col("r_uid")) & (F.col("l_id") < F.col("r_id"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).count()
+    assert got == want and got > 0
+
+
+def test_parquet_sink_roundtrip(spark, event_files, tmp_path):
+    """File sink: windowed counts stream out to parquet, read back equal."""
+    from kafkastreamsjavachallenge_spark.operators.windows import windowed_count
+    from kafkastreamsjavachallenge_spark.streaming.sinks import to_parquet_files
+
+    d, ev = event_files
+    stream = file_stream(spark, d, ev.schema, max_files_per_trigger=2)
+    result = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 minute").alias("window"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    out = str(tmp_path / "out")
+    q = to_parquet_files(result, out, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    back = {r["window_start"]: r["n"] for r in spark.read.parquet(out).collect()}
+    want = {
+        r["window_start"]: r["n"]
+        for r in windowed_count(ev, "ts", "1 minute").collect()
+    }
+    # append mode emits only watermark-closed windows; all emitted are final
+    assert back and all(want[w] == n for w, n in back.items())
+
+
+def test_foreach_batch_sink(spark, event_files, tmp_path):
+    from kafkastreamsjavachallenge_spark.streaming.sinks import for_each_batch
+
+    d, ev = event_files
+    stream = file_stream(spark, d, ev.schema, max_files_per_trigger=2)
+    seen = []
+    q = for_each_batch(
+        stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+        lambda bdf, bid: seen.append((bid, {r["event_type"]: r["n"] for r in bdf.collect()})),
+        str(tmp_path / "ckpt_feb"),
+        output_mode="complete",
+    )
+    q.awaitTermination()
+    assert seen
+    final = seen[-1][1]
+    want = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert final == want
