@@ -114,6 +114,70 @@ def top_k(df: DataFrame, k: int, *order: Column) -> DataFrame:
     return df.orderBy(*order).limit(k)
 
 
+# ----------------------------------------------------------------- skew
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[Column, Column]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with key salting for skewed group keys.
+
+    Phase 1 groups on (keys, salt) — a hot key's rows spread over
+    ``salt_buckets`` reducers instead of one; phase 2 re-combines the
+    partials on the true keys.  ``aggs`` maps output name →
+    (partial_expr, merge_expr) where merge_expr runs over the phase-1
+    column of the same name, e.g.::
+
+        salted_agg(df, ["k"], {
+            "n":   (F.count(F.lit(1)),  F.sum("n")),
+            "tot": (F.sum("x"),         F.sum("tot")),
+        })
+
+    AQE's skew-join splitting handles *join* skew at runtime; aggregation
+    skew still needs the salt because a single group's final combine is
+    otherwise pinned to one task.  For non-decomposable aggregates
+    (countDistinct) use dedup-then-count instead.
+    """
+    salt = (F.spark_partition_id() % salt_buckets).alias("__salt")
+    partial = df.groupBy(*keys, salt).agg(
+        *[expr.alias(name) for name, (expr, _) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge.alias(name) for name, (_, merge) in aggs.items()]
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with explicit salting of a skewed left side.
+
+    The skewed side gets a random-ish salt (derived from a stable hash of
+    all columns so the plan stays deterministic); the other side is
+    replicated ``salt_buckets``× via an exploded salt array.  The join key
+    becomes (on, salt) — a hot key's rows land on ``salt_buckets``
+    reducers.  Prefer AQE skew handling when it triggers; this is the
+    explicit form for when it cannot (e.g. a skewed aggregation feeding the
+    join, or a build side too large for AQE's split heuristic).
+    """
+    salted_left = skewed.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets)),
+    )
+    replicated = other.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>")),
+    )
+    out = salted_left.join(replicated, on=[on, "__salt"], how=how)
+    return out.drop("__salt")
+
+
 # ------------------------------------------------------------- grouping
 
 def rollup_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:

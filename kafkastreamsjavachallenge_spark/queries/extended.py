@@ -109,6 +109,60 @@ def q_map_fns(spark, sf_dir):
     )
 
 
+def q_ntile(spark, sf_dir):
+    """Ranking analytics: ntile quartiles + percent_rank over order value."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def q_first_last(spark, sf_dir):
+    """first/last value per partition frame (full-partition frame so the
+    result is deterministic)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    )
+
+
+def q_regexp_fns(spark, sf_dir):
+    """Regexp scalar pack: extract / replace / match over customer names."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"(\d+)$", 1).alias("trailing_digits"),
+        F.regexp_replace("c_name", r"\d", "*").alias("masked"),
+        F.col("c_name").rlike(r"[02468]$").cast("int").alias("even_end"),
+    )
+
+
+def q_date_arith(spark, sf_dir):
+    """Date arithmetic pack: add/diff/truncate/extract on order dates."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).cast("string").alias("due_date"),
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofweek(d).alias("dow"),
+        F.datediff(F.lit("2025-01-01").cast("date"), d).alias("days_to_2025"),
+        F.last_day(d).cast("string").alias("month_end"),
+    )
+
+
 def q_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (bounded block).
 
@@ -161,6 +215,39 @@ QUERIES = {
         "count(*) FILTER (user_id % 4 = 2) AS b2, "
         "count(*) FILTER (user_id % 4 = 3) AS b3 "
         "FROM events GROUP BY event_type",
+    ),
+    "q_ntile": (
+        q_ntile,
+        "SELECT o_orderkey, ntile(4) OVER w AS quartile, "
+        "round(percent_rank() OVER w, 6) AS pct_rank FROM orders "
+        "WINDOW w AS (ORDER BY o_totalprice, o_orderkey)",
+    ),
+    "q_first_last": (
+        q_first_last,
+        "SELECT event_id, user_id, "
+        "first_value(event_type) OVER w AS first_type, "
+        "last_value(event_type) OVER w AS last_type FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+    ),
+    "q_regexp_fns": (
+        q_regexp_fns,
+        "SELECT c_custkey, "
+        "coalesce(regexp_extract(c_name, '(\\d+)$', 1), '') AS trailing_digits, "
+        "regexp_replace(c_name, '\\d', '*', 'g') AS masked, "
+        "CAST(regexp_matches(c_name, '[02468]$') AS INTEGER) AS even_end "
+        "FROM customer",
+    ),
+    "q_date_arith": (
+        q_date_arith,
+        "SELECT o_orderkey, "
+        "strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS due_date, "
+        "CAST(year(o_orderdate) AS INTEGER) AS yr, "
+        "CAST(month(o_orderdate) AS INTEGER) AS mo, "
+        "CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow, "
+        "date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS days_to_2025, "
+        "strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end "
+        "FROM orders",
     ),
     "q_array_fns": (
         q_array_fns,

@@ -159,3 +159,41 @@ def test_ivf_assign_covers_all_rows(spark):
     assigned = ivf_assign(e, centroids)
     assert assigned.count() == e.count()  # exactly one centroid per vector
     assert assigned.select("centroid_id").distinct().count() <= 8
+
+
+def test_salted_agg_matches_plain(spark):
+    """Salted two-phase aggregation must equal the plain groupBy result."""
+    from kafkastreamsjavachallenge_spark.operators.relational import salted_agg
+
+    ev = load_table(spark, SF_DIR, "events")
+    got = {
+        (r["event_type"],): (r["n"], round(r["tot"], 6))
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            {
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "tot": (F.sum("value"), F.sum("tot")),
+            },
+        ).collect()
+    }
+    want = {
+        (r["event_type"],): (r["n"], round(r["tot"], 6))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tot"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark):
+    from kafkastreamsjavachallenge_spark.operators.relational import salted_join
+
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    got = salted_join(orders, customer, on="o_custkey", salt_buckets=4)
+    want = orders.join(customer, on="o_custkey")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

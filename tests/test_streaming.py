@@ -158,3 +158,51 @@ def test_foreach_batch_sink(spark, event_files, tmp_path):
     final = seen[-1][1]
     want = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert final == want
+
+
+def test_checkpoint_recovery_no_duplicates(spark, event_files, tmp_path):
+    """Kill-and-restart from the same checkpoint: the restarted query
+    resumes from the offset log and the final state equals a single
+    uninterrupted run — no double counting (exactly-once state updates).
+    Memory sinks cannot recover, so the sink is foreachBatch (the
+    checkpoint-compatible escape hatch)."""
+    import time as _t
+
+    d, ev = event_files
+    ckpt = str(tmp_path / "ckpt_recover")
+    emitted: list[tuple] = []
+
+    def start():
+        stream = file_stream(spark, d, ev.schema, max_files_per_trigger=1)
+        result = streaming_unique_users(stream, "ts", "user_id", "1 minute", "1 minute")
+        return (
+            result.writeStream.foreachBatch(
+                lambda bdf, bid: emitted.extend(
+                    (r["window_start"], r["unique_users"]) for r in bdf.collect()
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # run 1: process at least one micro-batch, then stop mid-stream
+    q1 = start()
+    while not q1.recentProgress:
+        _t.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination()
+
+    # run 2: resume from checkpoint, drain the rest
+    q2 = start()
+    q2.awaitTermination()
+
+    got: dict = {}
+    for w, n in emitted:
+        got[w] = max(got.get(w, 0), n)
+    want = {
+        r["window_start"]: r["unique_users"]
+        for r in unique_users(ev, "ts", "user_id").collect()
+    }
+    assert got == want
