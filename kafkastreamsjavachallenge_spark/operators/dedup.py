@@ -76,10 +76,18 @@ def minhash_signatures(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
     sh = F.array_distinct(shingles(tokens(text_col), shingle_k))
+    # explode_outer + post-explode null filter, NOT plain explode: for
+    # explode, InferFiltersFromGenerate infers `size(sh)>0` and predicate
+    # pushdown moves it below the repartition — re-evaluating the
+    # (interpreted-HOF) shingle expression in the unparallelized
+    # pre-shuffle stage, doubling its cost.  explode_outer is exempt from
+    # that inference; the cheap isNotNull filter on the generated column
+    # cannot sink below the Generate and restores identical semantics
+    # (short docs contribute no rows).
     base = (
         spread.select(F.col(id_col), sh.alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select(F.col(id_col), F.explode("sh").alias("shingle"))
+        .select(F.col(id_col), F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
         .select(F.col(id_col), base_hash28(F.col("shingle")).alias("v"))
     )
     mins = [
@@ -188,9 +196,17 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     spread = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
-    toks = spread.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
-    ).withColumn("v", hex4_to_int(F.md5(F.col("tok"))))
+    # explode_outer + null filter for the same reason as minhash_signatures:
+    # keeps InferFiltersFromGenerate from re-evaluating the token expression
+    # below the repartition.
+    toks = (
+        spread.select(
+            F.col(id_col),
+            F.explode_outer(F.array_distinct(tokens(text_col))).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        .withColumn("v", hex4_to_int(F.md5(F.col("tok"))))
+    )
     votes = (
         toks.select(id_col, "v", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
         .withColumn(

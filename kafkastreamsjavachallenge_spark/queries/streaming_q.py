@@ -47,12 +47,12 @@ def _event_stream(spark, sf_dir):
 
 def q_stream_unique_users(spark, sf_dir):
     result = streaming_unique_users(_event_stream(spark, sf_dir))
-    return run_to_memory(result, output_mode="update")
+    return run_to_memory(result, output_mode="update", state_partitions=8)
 
 
 def q_stream_unique_users_append(spark, sf_dir):
     result = streaming_unique_users(_event_stream(spark, sf_dir))
-    return run_to_memory(result, output_mode="append")
+    return run_to_memory(result, output_mode="append", state_partitions=8)
 
 
 def q_stream_enrich(spark, sf_dir):
@@ -69,14 +69,14 @@ def q_stream_enrich(spark, sf_dir):
     result = enriched.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    return run_to_memory(result, output_mode="complete")
+    return run_to_memory(result, output_mode="complete", state_partitions=8)
 
 
 def q_stream_sliding(spark, sf_dir):
     """Sliding-window streaming counts; final counts after one availableNow
     drain equal the batch sliding-window query → full SQL oracle."""
     result = streaming_sliding_counts(_event_stream(spark, sf_dir))
-    return run_to_memory(result, output_mode="update")
+    return run_to_memory(result, output_mode="update", state_partitions=8)
 
 
 QUERIES = {

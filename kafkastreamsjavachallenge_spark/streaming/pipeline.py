@@ -130,23 +130,40 @@ def run_to_memory(
     result: DataFrame,
     output_mode: str = "update",
     query_name: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming result with availableNow into a memory sink and
     return the sink contents as a batch DataFrame.
 
     availableNow processes all currently-available input then stops —
     letting the batch-oriented harness exercise the streaming engine.
+
+    ``state_partitions`` sets the stateful-operator partition count for
+    this query (via the shuffle-partitions conf at plan time, restored
+    after).  A streaming query's state partitioning is pinned by its first
+    checkpoint and every micro-batch pays a fixed per-partition state-store
+    commit cost, so it should track stateful-key cardinality × executor
+    count — NOT inherit whatever relational shuffle setting happens to be
+    live.  Left ``None`` the session conf applies unchanged.
     """
     spark = result.sparkSession
     name = query_name or f"q_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    conf_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(conf_key)
+    if state_partitions is not None:
+        spark.conf.set(conf_key, str(state_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set(conf_key, saved)
     return spark.table(name)
