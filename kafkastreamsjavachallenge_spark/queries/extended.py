@@ -163,6 +163,43 @@ def q_date_arith(spark, sf_dir):
     )
 
 
+def q_percentile(spark, sf_dir):
+    """Exact percentiles (continuous interpolation) per group — the exact
+    form; approx_percentile is the 100 TB sketch path (rows-only cousin)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25_price"),
+    )
+
+
+def q_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS via the SQL surface (decorrelated by Catalyst to a
+    semi-join — same plan family as q_join_semi, different front door)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        """
+    )
+
+
+def q_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery (decorrelated to an aggregate + join)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey)
+                 AS n_items
+        FROM orders
+        """
+    )
+
+
 def q_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (bounded block).
 
@@ -215,6 +252,24 @@ QUERIES = {
         "count(*) FILTER (user_id % 4 = 2) AS b2, "
         "count(*) FILTER (user_id % 4 = 3) AS b3 "
         "FROM events GROUP BY event_type",
+    ),
+    "q_percentile": (
+        q_percentile,
+        "SELECT l_returnflag, "
+        "round(quantile_cont(l_quantity, 0.5), 4) AS median_qty, "
+        "round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty, "
+        "round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price "
+        "FROM lineitem GROUP BY l_returnflag",
+    ),
+    "q_exists_subquery": (
+        q_exists_subquery,
+        "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)",
+    ),
+    "q_scalar_subquery": (
+        q_scalar_subquery,
+        "SELECT o_orderkey, (SELECT count(*) FROM lineitem "
+        "WHERE l_orderkey = o_orderkey) AS n_items FROM orders",
     ),
     "q_ntile": (
         q_ntile,

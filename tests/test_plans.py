@@ -118,3 +118,29 @@ def test_lint_clean_on_good_plans(spark):
     for name in ["q_unique_users", "q_tpch_q3", "q_join_broadcast", "q_agg_multi"]:
         findings = lint(REG[name][0](spark, SF_DIR))
         assert findings == [], (name, findings)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts join
+    with zero shuffle exchanges — the pre-shuffled layout the reference
+    approximated with key-partitioned topics (README.md:90-105)."""
+    from kafkastreamsjavachallenge_spark.sources.bucketed import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    lineitem = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(lineitem, "b_lineitem", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", on=["o_orderkey"])
+        s = plan_summary(joined)
+        assert s.n_exchanges == 0, executed_plan(joined)
+        want = orders.join(lineitem, "o_orderkey").count()
+        assert joined.count() == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
