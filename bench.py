@@ -60,15 +60,20 @@ def main() -> None:
     # warmup: JVM/codegen/catalog spin-up not attributed to the first query
     qs["q_tumbling_window"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # time construction + execution: streaming queries execute during
-        # construction (availableNow → memory sink)
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        # noop sink: full execution, no driver-side materialization cost
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        # best-of-N: steady-state cost, not scheduler/codegen jitter
+        best = float("inf")
+        for _ in range(runs):
+            # time construction + execution: streaming queries execute
+            # during construction (availableNow → memory sink)
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            # noop sink: full execution, no driver-side materialization
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

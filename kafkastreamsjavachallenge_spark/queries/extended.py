@@ -200,6 +200,15 @@ def q_scalar_subquery(spark, sf_dir):
     )
 
 
+def q_group_normalize(spark, sf_dir):
+    """Per-group z-score via applyInPandas (grouped-map Arrow surface);
+    oracle is the plain SQL window form — results must agree exactly."""
+    from kafkastreamsjavachallenge_spark.operators.grouped import normalize_per_group
+
+    ev = _t(spark, sf_dir, "events")
+    return normalize_per_group(ev, "event_type", "value", "event_id")
+
+
 def q_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (bounded block).
 
@@ -252,6 +261,12 @@ QUERIES = {
         "count(*) FILTER (user_id % 4 = 2) AS b2, "
         "count(*) FILTER (user_id % 4 = 3) AS b3 "
         "FROM events GROUP BY event_type",
+    ),
+    "q_group_normalize": (
+        q_group_normalize,
+        "SELECT event_id, event_type, "
+        "round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z "
+        "FROM events WINDOW w AS (PARTITION BY event_type)",
     ),
     "q_percentile": (
         q_percentile,

@@ -197,3 +197,37 @@ def test_salted_join_matches_plain(spark):
     want = orders.join(customer, on="o_custkey")
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_corrupt_json_records_are_filtered_not_epoch0(spark, tmp_path):
+    """Malformed log-frames are dropped (SURVEY §1.3.3 quirk fix) — never
+    mapped to epoch-0 like the reference's timestamp extractor."""
+    import json as _json
+
+    from kafkastreamsjavachallenge_spark.sources.kafka import parse_log_frames
+
+    p = tmp_path / "frames.json"
+    rows = [
+        {"ts": 1468244340, "uid": "a"},
+        {"ts": 1468244341, "uid": ""},      # empty uid -> dropped
+        {"uid": "no-ts"},                    # missing ts -> dropped
+    ]
+    lines = [_json.dumps(r) for r in rows] + ["{broken", ""]
+    p.write_text("\n".join(lines))
+    raw = spark.read.text(str(p)).withColumnRenamed("value", "value")
+    out = parse_log_frames(raw).collect()
+    assert [r["uid"] for r in out] == ["a"]
+    assert all(r["ts"].year > 1970 for r in out)
+
+
+def test_group_normalize_singleton_group_is_null(spark):
+    from kafkastreamsjavachallenge_spark.operators.grouped import normalize_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 3.0), (3, "b", 5.0)],
+        "event_id long, event_type string, value double",
+    )
+    got = {r["event_id"]: r["z"] for r in normalize_per_group(
+        df, "event_type", "value", "event_id").collect()}
+    assert got[3] is None
+    assert got[1] == -0.7071 and got[2] == 0.7071

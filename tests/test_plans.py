@@ -144,3 +144,27 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_at_directory_level(spark, tmp_path):
+    """Day-partitioned layout: an exact-day filter must appear in the
+    scan's PartitionFilters (directory pruning), not as a data filter."""
+    from kafkastreamsjavachallenge_spark.sources.writers import (
+        read_pruned,
+        write_time_partitioned,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_by_day")
+    write_time_partitioned(ev, path, "ts", "day")
+    day = ev.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d")
+    ).first()["d"]
+    df = read_pruned(spark, path, "day", day)
+    p = executed_plan(df)
+    assert "PartitionFilters" in p and f"isnotnull(p_day" in p, p
+    # correctness: pruned read equals the filtered original
+    want = ev.filter(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd") == day
+    ).count()
+    assert df.count() == want and want > 0
