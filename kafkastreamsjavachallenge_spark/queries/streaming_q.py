@@ -18,6 +18,7 @@ from kafkastreamsjavachallenge_spark.streaming.pipeline import (
     file_stream,
     run_to_memory,
     stream_static_enrich,
+    streaming_session_counts,
     streaming_sliding_counts,
     streaming_unique_users,
 )
@@ -79,6 +80,14 @@ def q_stream_sliding(spark, sf_dir):
     return run_to_memory(result, output_mode="update", state_partitions=8)
 
 
+def q_stream_session(spark, sf_dir):
+    """Streaming session windows; one availableNow drain merges all
+    fragments, so final sessions equal the batch gap-session SQL."""
+    result = streaming_session_counts(_event_stream(spark, sf_dir))
+    # session-window streaming aggregation supports append/complete only
+    return run_to_memory(result, output_mode="complete", state_partitions=8)
+
+
 QUERIES = {
     "q_stream_unique_users": (
         q_stream_unique_users,
@@ -90,6 +99,16 @@ QUERIES = {
         q_stream_enrich,
         "SELECT c_mktsegment, count(*) AS n_events FROM events "
         "JOIN customer ON user_id = c_custkey GROUP BY c_mktsegment",
+    ),
+    "q_stream_session": (
+        q_stream_session,
+        "WITH e AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+        "OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM e) "
+        "SELECT user_id, min(ts) AS session_start, count(*) AS n "
+        "FROM s GROUP BY user_id, sid",
     ),
     "q_stream_sliding": (
         q_stream_sliding,

@@ -126,6 +126,25 @@ def streaming_sliding_counts(
     )
 
 
+def streaming_session_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "5 minutes",
+    key: str = "user_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based session windows over a stream (the session extension of
+    SURVEY.md §2.2; reference is tumbling-only).  The engine merges
+    adjacent session fragments across micro-batches; watermark bounds the
+    merge state."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key), F.session_window(F.col(ts_col), gap).alias("session"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(key, F.col("session.start").alias("session_start"), "n")
+    )
+
+
 def run_to_memory(
     result: DataFrame,
     output_mode: str = "update",

@@ -231,3 +231,18 @@ def test_group_normalize_singleton_group_is_null(spark):
         df, "event_type", "value", "event_id").collect()}
     assert got[3] is None
     assert got[1] == -0.7071 and got[2] == 0.7071
+
+
+def test_observe_metrics_piggyback_on_job(spark):
+    """X2 peek analog: observe() metrics come back with the action — no
+    second pass over the data."""
+    from kafkastreamsjavachallenge_spark.operators.observe import with_metrics
+
+    ev = load_table(spark, SF_DIR, "events")
+    df, obs = with_metrics(
+        ev, "ingest",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("user_id").isNull().cast("int")).alias("null_uids"),
+    )
+    n = df.count()
+    assert obs.get == {"rows": n, "null_uids": 0}

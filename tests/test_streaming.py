@@ -206,3 +206,42 @@ def test_checkpoint_recovery_no_duplicates(spark, event_files, tmp_path):
         for r in unique_users(ev, "ts", "user_id").collect()
     }
     assert got == want
+
+
+def test_flagship_on_rocksdb_state_store(event_files, tmp_path):
+    """The flagship streaming topology on the RocksDB state-store provider
+    (the bounded-memory backend for 100 TB state; the reference used a
+    RocksDB window store, UniqueUsersApp.java:101-110) — results identical
+    to the default provider."""
+    from kafkastreamsjavachallenge_spark.session import EngineConfig, build_session
+
+    d, ev_ref = event_files
+    spark2 = build_session(
+        EngineConfig(
+            master="local[4]",
+            shuffle_partitions=4,
+            app_name="rocksdb-test",
+            extra={
+                "spark.sql.streaming.stateStore.providerClass":
+                    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            },
+        )
+    )
+    try:
+        ev = spark2.read.parquet(d).withColumn("ts", F.col("ts").cast("timestamp"))
+        stream = file_stream(
+            spark2, d, spark2.read.parquet(d).schema, max_files_per_trigger=2
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        result = streaming_unique_users(stream, "ts", "user_id", "1 minute", "1 minute")
+        table = run_to_memory(result, output_mode="update")
+        final = table.groupBy("window_start").agg(
+            F.max("unique_users").alias("unique_users")
+        )
+        got = {r["window_start"]: r["unique_users"] for r in final.collect()}
+        want = {
+            r["window_start"]: r["unique_users"]
+            for r in unique_users(ev, "ts", "user_id").collect()
+        }
+        assert got == want
+    finally:
+        spark2.stop()
