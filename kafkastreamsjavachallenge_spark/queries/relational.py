@@ -88,6 +88,23 @@ def q_join_range(spark, sf_dir):
     return joined.groupBy("p_partkey", "p_size").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_join_full(spark, sf_dir):
+    """Full outer join: customers vs high-value order owners — both
+    unmatched sides surface with nulls."""
+    orders, customer = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    big = (
+        orders.filter(F.col("o_totalprice") > 350000)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    cust = customer.filter(F.col("c_custkey") < 200).select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    return cust.join(big, on="k", how="full_outer").select(
+        "k", "c_name", "n_big"
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """AS-OF: per order, latest lineitem shipdate <= orderdate + 60 days."""
     orders, lineitem = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
@@ -367,6 +384,14 @@ QUERIES = {
         "SELECT p_partkey, p_size, count(*) AS n FROM part, lineitem "
         "WHERE p_size <= 5 AND l_quantity >= p_size - 1 AND l_quantity < p_size + 1 "
         "GROUP BY p_partkey, p_size",
+    ),
+    "q_join_full": (
+        q_join_full,
+        "SELECT coalesce(c.k, b.k) AS k, c_name, n_big FROM "
+        "(SELECT c_custkey AS k, c_name FROM customer WHERE c_custkey < 200) c "
+        "FULL OUTER JOIN "
+        "(SELECT o_custkey AS k, count(*) AS n_big FROM orders "
+        "WHERE o_totalprice > 350000 GROUP BY o_custkey) b USING (k)",
     ),
     "q_asof_join": (
         q_asof_join,
