@@ -209,6 +209,17 @@ def q_group_normalize(spark, sf_dir):
     return normalize_per_group(ev, "event_type", "value", "event_id")
 
 
+def q_profile(spark, sf_dir):
+    """One-pass column profiler over orders (rows/non-null/distinct/range
+    per column, single scan)."""
+    from kafkastreamsjavachallenge_spark.operators.profile import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_custkey", "o_totalprice"],
+    )
+
+
 def q_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (bounded block).
 
@@ -261,6 +272,16 @@ QUERIES = {
         "count(*) FILTER (user_id % 4 = 2) AS b2, "
         "count(*) FILTER (user_id % 4 = 3) AS b3 "
         "FROM events GROUP BY event_type",
+    ),
+    "q_profile": (
+        q_profile,
+        "SELECT 'o_orderstatus' AS \"column\", count(*) AS n_rows, "
+        "count(o_orderstatus) AS n_nonnull, count(DISTINCT o_orderstatus) AS n_distinct, "
+        "CAST(min(o_orderstatus) AS VARCHAR) AS min_val, CAST(max(o_orderstatus) AS VARCHAR) AS max_val FROM orders "
+        "UNION ALL SELECT 'o_custkey', count(*), count(o_custkey), count(DISTINCT o_custkey), "
+        "CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders "
+        "UNION ALL SELECT 'o_totalprice', count(*), count(o_totalprice), count(DISTINCT o_totalprice), "
+        "CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM orders",
     ),
     "q_group_normalize": (
         q_group_normalize,
