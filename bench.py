@@ -35,6 +35,11 @@ HEADLINE = [
     "q_cosine_topk",
     "q_token_count",
     "q_stream_unique_users",
+    "q_asof_join",
+    "q_session_window",
+    "q_doc_dedup",
+    "q_text_stats",
+    "q_tpch_q18",
 ]
 
 

@@ -347,6 +347,44 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape: order-priority count over a date band with an EXISTS
+    (late lineitem) — decorrelates to a semi join."""
+    orders, lineitem = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    # the synthetic lineitem has no commitdate; the Q4 *shape* (EXISTS →
+    # semi join over a date-banded fact) is preserved with a quantity
+    # predicate standing in for "late"
+    late = lineitem.filter(F.col("l_quantity") >= 48).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    band = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    return (
+        band.join(late, on="o_orderkey", how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape: large-quantity orders (HAVING over a grouped sum)
+    joined back to customer — aggregate-then-join keeps the fact shuffle
+    to one pass."""
+    orders, lineitem = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(_dsum(F.col("l_quantity"), 4, "total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(big, on="o_orderkey")
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "total_qty")
+    )
+
+
 _Q1_AVG = (
     "CAST(sum(CAST({x} AS DECIMAL(18,4))) AS DOUBLE) / count(*)"
 )
@@ -512,6 +550,22 @@ QUERIES = {
         "JOIN nation ON s_nationkey = n_nationkey "
         "JOIN region ON n_regionkey = r_regionkey "
         "WHERE r_name = 'ASIA' GROUP BY n_name",
+    ),
+    "q_tpch_q4": (
+        q_tpch_q4,
+        "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+        "WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-10-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "AND l_quantity >= 48) GROUP BY o_orderpriority",
+    ),
+    "q_tpch_q18": (
+        q_tpch_q18,
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, total_qty FROM orders "
+        "JOIN (SELECT l_orderkey AS o_orderkey, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty "
+        "FROM lineitem GROUP BY l_orderkey HAVING "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 300) USING (o_orderkey) "
+        "JOIN customer ON o_custkey = c_custkey",
     ),
     "q_tpch_q6": (
         q_tpch_q6,
