@@ -38,6 +38,34 @@ def write_time_partitioned(
     out.write.mode(mode).partitionBy(part_col).parquet(path)
 
 
+def compact(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ~``target_file_mb`` files.
+
+    Streaming file sinks and fine-grained partitioning both accrete small
+    files; at scale the scan-planning cost (one task + footer read per
+    file) dominates long before data volume does.  File count is sized
+    from the on-disk bytes; the rewrite is a round-robin repartition (no
+    key skew, parallel write).  Returns the output file count.
+    """
+    import math
+
+    from pyspark.sql.functions import spark_partition_id  # noqa: F401
+
+    df = spark.read.parquet(src_path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    size = fs.getContentSummary(jvm_path).getLength()
+    n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files
+
+
 def read_pruned(
     spark: SparkSession,
     path: str,

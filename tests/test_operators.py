@@ -246,3 +246,56 @@ def test_observe_metrics_piggyback_on_job(spark):
     )
     n = df.count()
     assert obs.get == {"rows": n, "null_uids": 0}
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    from kafkastreamsjavachallenge_spark.sources.writers import compact
+
+    ev = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "many")
+    ev.repartition(40).write.parquet(src)
+    import glob
+
+    n_small = len(glob.glob(src + "/*.parquet"))
+    assert n_small >= 40
+    dst = str(tmp_path / "compacted")
+    compact(spark, src, dst, target_file_mb=128)
+    n_big = len(glob.glob(dst + "/*.parquet"))
+    assert n_big < n_small
+    assert spark.read.parquet(dst).count() == ev.count()
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: uid-level streaming dedup where the
+    dedup horizon is the watermark, not a window column — state provably
+    bounded (the fix for the reference's broken retention)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafkastreamsjavachallenge_spark.streaming.pipeline import (
+        file_stream,
+        run_to_memory,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(seconds=s), u) for s, u in
+            [(0, "a"), (10, "a"), (30, "b"), (3600, "a"), (3610, "c")]]
+    tbl = pa.table({
+        "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows]),
+    })
+    pq.write_table(tbl, str(tmp_path / "b0.parquet"))
+    stream = file_stream(spark, str(tmp_path), "ts TIMESTAMP, user_id STRING")
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id"]
+    )
+    out = run_to_memory(deduped, output_mode="append")
+    # guarantee: duplicates within the watermark delay collapse ("a"@10
+    # dedups against "a"@0).  Events farther apart MAY also dedup (the API
+    # contract is one-sided); in a single batch the watermark has not
+    # advanced, so every "a" collapses to the first occurrence.
+    got = sorted((r["user_id"], r["ts"]) for r in out.collect())
+    assert [u for u, _ in got] == ["a", "b", "c"]
+    assert dict(got)["a"] == base  # first occurrence wins
