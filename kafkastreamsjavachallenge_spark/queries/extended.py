@@ -209,6 +209,18 @@ def q_group_normalize(spark, sf_dir):
     return normalize_per_group(ev, "event_type", "value", "event_id")
 
 
+def q_unpivot(spark, sf_dir):
+    """unpivot/melt: lineitem measure columns to tall (measure, val) —
+    bounded to orderkey<100 so the oracle UNION ALL stays cheap."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
 def q_profile(spark, sf_dir):
     """One-pass column profiler over orders (rows/non-null/distinct/range
     per column, single scan)."""
@@ -272,6 +284,18 @@ QUERIES = {
         "count(*) FILTER (user_id % 4 = 2) AS b2, "
         "count(*) FILTER (user_id % 4 = 3) AS b3 "
         "FROM events GROUP BY event_type",
+    ),
+    "q_unpivot": (
+        q_unpivot,
+        "SELECT l_orderkey, l_linenumber, measure, val FROM ("
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val "
+        "FROM lineitem WHERE l_orderkey < 100 "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice "
+        "FROM lineitem WHERE l_orderkey < 100 "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount "
+        "FROM lineitem WHERE l_orderkey < 100 "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax "
+        "FROM lineitem WHERE l_orderkey < 100)",
     ),
     "q_profile": (
         q_profile,

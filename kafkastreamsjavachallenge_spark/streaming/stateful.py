@@ -57,6 +57,74 @@ def _make_dedup_fn(retention_ms: int | None):
     return _dedup_fn
 
 
+def tws_windowed_dedup_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    uid_col: str = "user_id",
+    duration: str = "1 minute",
+) -> DataFrame:
+    """Unique-uid count per tumbling window on the transformWithState API
+    (Spark 4's arbitrary-stateful-processing surface, the successor of
+    applyInPandasWithState): explicit ListState of seen uids per window
+    key, updated per batch, emitting the running count — the reference's
+    WindowStore probe (DeduplicateValueTransformer.java:40-47) expressed
+    on the modern state API.
+
+    Requires the ``protobuf`` Python package (the TWS driver worker's
+    state-serialization dependency) and the RocksDB state store provider;
+    raises ImportError with guidance when protobuf is absent — the
+    applyInPandasWithState form above has no such dependency.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pip install protobuf); use stateful_windowed_dedup_counts "
+            "(applyInPandasWithState) where it is unavailable"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UniqueUid(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getListState("seen", "uid string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            (window_start,) = key
+            seen = {r[0] for r in self._seen.get()}
+            for pdf in rows:
+                seen.update(pdf["uid"].astype(str))
+            self._seen.put([(u,) for u in sorted(seen)])
+            yield pd.DataFrame(
+                {"window_start": [window_start], "unique_users": [len(seen)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store provider (a
+    # documented constraint of the API); the conf is read at query start.
+    spark = stream.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    keyed = stream.select(
+        F.window(F.col(ts_col), duration).getField("start").alias("window_start"),
+        F.col(uid_col).cast("string").alias("uid"),
+    )
+    return keyed.groupBy("window_start").transformWithStateInPandas(
+        UniqueUid(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stateful_windowed_dedup_counts(
     stream: DataFrame,
     ts_col: str = "ts",
