@@ -68,10 +68,14 @@ def asof_join(
     """AS-OF join: for each left row, the single latest (backward) right row
     with right_ts <= left_ts, per key.
 
-    Implemented as equi-join on the key + event-time inequality + rank-1
-    window — all shuffles are on the join key, so it scales like a normal
-    equi-join.  ``tolerance`` bounds how far back to look (keeps the
-    intermediate join slim, analogous to a watermark).
+    Implemented as equi-join on the key + event-time inequality, then ONE
+    hash aggregation with ``max_by``/``min_by`` over the right-row struct —
+    no sort, no rank window.  All shuffles are on the join key, so it
+    scales like a normal equi-join; the agg is partial map-side.  Ties on
+    ``right_ts`` resolve arbitrarily (callers needing total determinism
+    add a tie-break column to ``right_ts``).  ``tolerance`` bounds how far
+    back to look (keeps the intermediate join slim, analogous to a
+    watermark).
     """
     cmp = (
         (F.col(f"__r.{right_ts}") <= F.col(f"__l.{left_ts}"))
@@ -87,19 +91,16 @@ def asof_join(
         )
         cond = cond & low
     joined = left.alias("__l").join(right.alias("__r"), on=cond, how="left")
-    order = (
-        F.col(f"__r.{right_ts}").desc_nulls_last()
-        if direction == "backward"
-        else F.col(f"__r.{right_ts}").asc_nulls_last()
-    )
-    w = Window.partitionBy(*[F.col(f"__l.{c}") for c in left.columns]).orderBy(order)
-    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns] + [
-        F.col(f"__r.{c}").alias(c) for c in right.columns if c != on
-    ]
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*out_cols)
+    pick = F.max_by if direction == "backward" else F.min_by
+    right_out = [c for c in right.columns if c != on]
+    rstruct = F.struct(*[F.col(f"__r.{c}").alias(c) for c in right_out])
+    best = pick(rstruct, F.col(f"__r.{right_ts}")).alias("__best")
+    grouped = joined.groupBy(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns]
+    ).agg(best)
+    return grouped.select(
+        *left.columns,
+        *[F.col(f"__best.{c}").alias(c) for c in right_out],
     )
 
 

@@ -299,3 +299,24 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     got = sorted((r["user_id"], r["ts"]) for r in out.collect())
     assert [u for u, _ in got] == ["a", "b", "c"]
     assert dict(got)["a"] == base  # first occurrence wins
+
+
+def test_flagship_on_empty_input(spark):
+    """Zero-row input: no windows, no errors, stable schema."""
+    empty = spark.createDataFrame([], "ts TIMESTAMP, user_id STRING")
+    out = unique_users(empty, "ts", "user_id")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["window_start", "unique_users"]
+
+
+def test_minhash_on_empty_and_short_docs(spark):
+    """Docs shorter than the shingle width produce no signature rows;
+    empty input produces an empty result, not an error."""
+    from kafkastreamsjavachallenge_spark.operators.dedup import minhash_signatures
+
+    short = spark.createDataFrame(
+        [(1, "one two"), (2, "")], "doc_id long, text string"
+    )
+    assert minhash_signatures(short, n_perm=4).count() == 0
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_signatures(empty, n_perm=4).count() == 0
