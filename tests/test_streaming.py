@@ -277,3 +277,71 @@ def test_rate_source_liveness(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination()
+
+
+def test_late_data_dropped_after_watermark(spark, tmp_path):
+    """Late-data semantics (SURVEY §2.2): a row arriving after the
+    watermark passed its window is dropped — unlike the reference, which
+    updates forever (README.md:132-136).  Spark applies the late-events
+    filter with the watermark of the batch BEFORE the previous one (one
+    batch of lag), so the late row is sent two batches after its window
+    closed; numRowsDroppedByWatermark confirms the drop."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1)
+
+    def write(i, rows):
+        import os as _os
+        import time as _time
+
+        path = str(tmp_path / f"b{i}.parquet")
+        tbl = pa.table({
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows]),
+        })
+        pq.write_table(tbl, path)
+        # strictly increasing mtimes: the file source batches by modTime,
+        # equal stamps would pack files into one micro-batch
+        t = _time.time() + i * 10
+        _os.utime(path, (t, t))
+
+    # batch 0: window 00:00 (u1,u2) plus a row 30 min ahead -> watermark
+    # after the batch is ~00:29, closing window 00:00
+    write(0, [(base, "u1"), (base + dt.timedelta(seconds=20), "u2"),
+              (base + dt.timedelta(minutes=30), "u3")])
+    # batch 1: on-time row; late-events watermark now catches up to 00:29
+    write(1, [(base + dt.timedelta(minutes=31), "u4")])
+    # batch 2: a LATE row for window 00:00 — must be dropped
+    write(2, [(base + dt.timedelta(seconds=40), "u9")])
+
+    stream = file_stream(
+        spark, str(tmp_path), "ts TIMESTAMP, user_id STRING", max_files_per_trigger=1
+    )
+    result = streaming_unique_users(stream, "ts", "user_id", "1 minute", "1 minute")
+    import json
+    import tempfile as _tf
+    import uuid as _uuid
+
+    name = f"late_{_uuid.uuid4().hex[:6]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        so["numRowsDroppedByWatermark"]
+        for p_ in q.recentProgress
+        for so in json.loads(p_.json)["stateOperators"]
+    )
+    got = {r["window_start"]: r["unique_users"] for r in spark.table(name).collect()}
+    # window 00:00 emitted once, with its on-time count; the late row was
+    # dropped by the watermark filter, not merged
+    assert got.get(base) == 2
+    assert dropped >= 1
