@@ -108,3 +108,102 @@ def decode_media(df: DataFrame, decoder=fake_decode) -> DataFrame:
             )
 
     return df.repartitionByRange("n_bytes").mapInPandas(batches, DECODED_SCHEMA)
+
+
+#: Output schema of resize_media: payload replaced by the (stub-)resized
+#: bytes plus the target geometry.
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resampler (Pillow absent): the
+    'resized' payload is a content-derived truncation/pad to w*h bytes —
+    stable across runs so tests can assert on digests."""
+    target = max(1, (width * height) // 64)
+    return (payload * ((target // max(1, len(payload))) + 1))[:target]
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, resizer=fake_resize
+) -> DataFrame:
+    """mapInPandas resize: Arrow batches in, resized payloads out.
+
+    Same size-bucketed partitioning as decode_media; a real deployment
+    swaps ``resizer`` for a Pillow/ffmpeg call with an identical
+    signature — the Spark-side plumbing does not change.
+    """
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = [resizer(bytes(p), width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out,
+                    "width": pd.array([width] * len(pdf), dtype="int32"),
+                    "height": pd.array([height] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return df.repartitionByRange("n_bytes").mapInPandas(batches, RESIZED_SCHEMA)
+
+
+#: Output schema of sample_frames: one row per sampled frame.
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def fake_frame_extract(payload: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic stand-in for a video demuxer: slices the payload into
+    n_frames contiguous chunks (empty payload → no frames)."""
+    if not payload:
+        return []
+    step = max(1, len(payload) // n_frames)
+    return [payload[i * step : (i + 1) * step] for i in range(n_frames)][:n_frames]
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, extractor=fake_frame_extract
+) -> DataFrame:
+    """mapInPandas frame sampling: each media row fans out to ≤ n_frames
+    frame rows — the row-multiplying multimodal shape (video → frames).
+
+    The fan-out happens inside the Arrow batch loop (no Python-side
+    explode of a collected list column), so peak memory is one batch of
+    frames, and downstream per-frame operators see an ordinary
+    (media_id, frame_index, frame) table partitionable by media_id.
+    """
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, fr in enumerate(extractor(bytes(payload), n_frames)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_index": pd.array(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return df.repartitionByRange("n_bytes").mapInPandas(batches, FRAME_SCHEMA)

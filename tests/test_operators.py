@@ -320,3 +320,56 @@ def test_minhash_on_empty_and_short_docs(spark):
     assert minhash_signatures(short, n_perm=4).count() == 0
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert minhash_signatures(empty, n_perm=4).count() == 0
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    from kafkastreamsjavachallenge_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+        to_media,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    media = to_media(docs, "doc_id", "text", "image")
+    resized = resize_media(media, 64, 64)
+    rows = resized.collect()
+    assert len(rows) == 50
+    assert all(r["width"] == 64 and len(r["payload"]) == 64 for r in rows)
+
+    frames = sample_frames(media, n_frames=4)
+    per_media = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 4 for r in per_media)
+    assert frames.count() == 200
+    # frame indices are 0..3 per media id
+    idx = frames.filter(F.col("media_id") == rows[0]["media_id"]).select(
+        "frame_index"
+    ).collect()
+    assert sorted(r["frame_index"] for r in idx) == [0, 1, 2, 3]
+
+
+def test_pandas_cosine_matches_builtin(spark):
+    from kafkastreamsjavachallenge_spark.functions.vector import (
+        cosine,
+        pandas_cosine_to,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).first()["embedding"]
+    base = e.filter(F.col("vec_id") != 0)
+    jvm = {
+        r["vec_id"]: r["c"]
+        for r in base.select(
+            "vec_id",
+            F.round(
+                cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in qvec])), 6
+            ).alias("c"),
+        ).collect()
+    }
+    py = {
+        r["vec_id"]: r["c"]
+        for r in base.select(
+            "vec_id",
+            F.round(pandas_cosine_to([float(x) for x in qvec])(F.col("embedding")), 6).alias("c"),
+        ).collect()
+    }
+    assert jvm == py
