@@ -209,6 +209,21 @@ def q_group_normalize(spark, sf_dir):
     return normalize_per_group(ev, "event_type", "value", "event_id")
 
 
+def q_histogram(spark, sf_dir):
+    """Equi-width binning (width_bucket) — the distributed histogram shape:
+    one projection + one groupBy on the bin id."""
+    o = _t(spark, sf_dir, "orders")
+    bin_ = F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(12))
+    return (
+        o.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
 def q_unpivot(spark, sf_dir):
     """unpivot/melt: lineitem measure columns to tall (measure, val) —
     bounded to orderkey<100 so the oracle UNION ALL stays cheap."""
@@ -284,6 +299,14 @@ QUERIES = {
         "count(*) FILTER (user_id % 4 = 2) AS b2, "
         "count(*) FILTER (user_id % 4 = 3) AS b3 "
         "FROM events GROUP BY event_type",
+    ),
+    "q_histogram": (
+        q_histogram,
+        "SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0 "
+        "WHEN o_totalprice >= 600000 THEN 13 "
+        "ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT) AS bin, "
+        "count(*) AS n, round(min(o_totalprice), 2) AS lo, "
+        "round(max(o_totalprice), 2) AS hi FROM orders GROUP BY bin",
     ),
     "q_unpivot": (
         q_unpivot,
