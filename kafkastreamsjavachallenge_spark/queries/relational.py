@@ -385,9 +385,273 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 literal: shipdate-banded pricing summary with charge/discount
+    aggregates. Scan-side filter + single partial/final hash agg on two
+    low-cardinality keys — no shuffle pressure at any scale."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-12-01")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity"), 4, "sum_qty"),
+        _dsum(F.col("l_extendedprice"), 4, "sum_base_price"),
+        _dsum(disc_price, 6, "sum_disc_price"),
+        _dsum(charge, 6, "sum_charge"),
+        (_dsum(F.col("l_quantity"), 4) / n).alias("avg_qty"),
+        (_dsum(F.col("l_extendedprice"), 4) / n).alias("avg_price"),
+        (_dsum(F.col("l_discount"), 4) / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7: shipping volume between two nations by year. Supplier and
+    customer dims pre-joined to nation and broadcast; the only shuffle is
+    the lineitem-orders join on orderkey."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    nat = _t(spark, sf_dir, "nation")
+    sup2 = (
+        _t(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust2 = (
+        _t(spark, sf_dir, "customer")
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(sup2), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust2), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                6,
+                "revenue",
+            )
+        )
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation and order year for one part
+    type (no partsupp table in the synthetic schema, so profit omits
+    supplycost). Part and supplier-nation dims broadcast; one orderkey
+    shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    pt = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    supn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("s_suppkey").alias("l_suppkey"), F.col("n_name").alias("nation"))
+    )
+    return (
+        li.join(F.broadcast(pt), "l_partkey")
+        .join(F.broadcast(supn), "l_suppkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                6,
+                "sum_profit",
+            )
+        )
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10: returned-item revenue by customer over one quarter,
+    top 20. Date band prunes orders before the fact join; customer and
+    nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    customer = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                6,
+                "revenue",
+            )
+        )
+    )
+    return R.top_k(agg, 20, F.col("revenue").desc(), F.col("c_custkey"))
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13: distribution of order counts per customer (left join so
+    zero-order customers survive), then a second tiny agg on the count."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14: promo revenue share over one month — conditional aggregate
+    ratio, part dim broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * _dsum(promo, 6) / _dsum(disc_price, 6)).alias(
+                "promo_revenue"
+            )
+        )
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15: top supplier(s) by quarterly revenue — scalar max joined
+    back by equality (revenue sums are decimal-exact so the double compare
+    is deterministic)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        _dsum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            6,
+            "total_revenue",
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(_t(spark, sf_dir, "supplier")), "s_suppkey")
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from small-quantity orders of one brand —
+    correlated avg-quantity subquery decorrelated into a per-part agg that
+    is joined back (brand filter applied before the agg, so both passes
+    touch only the brand's rows)."""
+    pt = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#9")
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    lb = _t(spark, sf_dir, "lineitem").join(F.broadcast(pt), "l_partkey")
+    avgq = lb.groupBy("l_partkey").agg(
+        (_dsum(F.col("l_quantity"), 2) / F.count(F.lit(1))).alias("aq")
+    )
+    return (
+        lb.join(F.broadcast(avgq), "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("aq"))
+        .agg((_dsum(F.col("l_extendedprice"), 2) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of brand/size/quantity bands as the join
+    residual — Catalyst extracts the common equi-key (partkey) so this
+    stays a broadcast hash join, not a nested-loop."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    bands = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#9")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(
+            F.broadcast(part),
+            (F.col("l_partkey") == F.col("p_partkey")) & bands,
+        )
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                6,
+                "revenue",
+            )
+        )
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders, grouped by nation (no phone column, so nationkey stands in for
+    the country code). Scalar avg broadcast + anti join."""
+    customer = _t(spark, sf_dir, "customer")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        (_dsum(F.col("c_acctbal"), 2) / F.count(F.lit(1))).alias("ab")
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(urgent, "c_custkey", "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal"), 2, "totacctbal"),
+        )
+    )
+
+
 _Q1_AVG = (
     "CAST(sum(CAST({x} AS DECIMAL(18,4))) AS DOUBLE) / count(*)"
 )
+
+_REV6 = "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
 
 QUERIES = {
     "q_join_inner": (
@@ -571,5 +835,112 @@ QUERIES = {
         q_tpch_q6,
         "SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue "
         "FROM lineitem WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24",
+    ),
+    "q_tpch_q1": (
+        q_tpch_q1,
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price, "
+        "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price, "
+        "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge, "
+        + _Q1_AVG.format(x="l_quantity")
+        + " AS avg_qty, "
+        + _Q1_AVG.format(x="l_extendedprice")
+        + " AS avg_price, "
+        + _Q1_AVG.format(x="l_discount")
+        + " AS avg_disc, count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= '2000-12-01' "
+        "GROUP BY l_returnflag, l_linestatus",
+    ),
+    "q_tpch_q7": (
+        q_tpch_q7,
+        "SELECT supp_nation, cust_nation, l_year, " + _REV6 + " AS revenue FROM ("
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "year(l_shipdate) AS l_year, l_extendedprice, l_discount "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01' "
+        "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))"
+        ") GROUP BY supp_nation, cust_nation, l_year",
+    ),
+    "q_tpch_q9": (
+        q_tpch_q9,
+        "SELECT n_name AS nation, year(o_orderdate) AS o_year, "
+        + _REV6 + " AS sum_profit "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE p_type = 'ECONOMY' GROUP BY n_name, year(o_orderdate)",
+    ),
+    "q_tpch_q10": (
+        q_tpch_q10,
+        "SELECT c_custkey, c_name, c_acctbal, n_name, " + _REV6 + " AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' AND o_orderdate >= '1996-01-01' "
+        "AND o_orderdate < '1996-04-01' "
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20",
+    ),
+    "q_tpch_q13": (
+        q_tpch_q13,
+        "SELECT c_count, count(*) AS custdist FROM ("
+        "SELECT c_custkey, count(o_orderkey) AS c_count FROM customer "
+        "LEFT JOIN orders ON c_custkey = o_custkey "
+        "AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey"
+        ") GROUP BY c_count",
+    ),
+    "q_tpch_q14": (
+        q_tpch_q14,
+        "SELECT 100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' "
+        "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END "
+        "AS DECIMAL(18,6))) AS DOUBLE) / " + _REV6 + " AS promo_revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-02-01'",
+    ),
+    "q_tpch_q15": (
+        q_tpch_q15,
+        "WITH r AS (SELECT l_suppkey AS s_suppkey, " + _REV6 + " AS total_revenue "
+        "FROM lineitem WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01' "
+        "GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, total_revenue FROM r "
+        "JOIN supplier USING (s_suppkey) "
+        "WHERE total_revenue = (SELECT max(total_revenue) FROM r)",
+    ),
+    "q_tpch_q17": (
+        q_tpch_q17,
+        "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 "
+        "AS avg_yearly FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE p_brand = 'Brand#9' AND l_quantity < 0.2 * ("
+        "SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) "
+        "FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)",
+    ),
+    "q_tpch_q19": (
+        q_tpch_q19,
+        "SELECT " + _REV6 + " AS revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 "
+        "AND l_quantity BETWEEN 1 AND 20) "
+        "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 "
+        "AND l_quantity BETWEEN 10 AND 30) "
+        "OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 30 "
+        "AND l_quantity BETWEEN 20 AND 40)",
+    ),
+    "q_tpch_q22": (
+        q_tpch_q22,
+        "SELECT c_nationkey AS cntrycode, count(*) AS numcust, "
+        "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal "
+        "FROM customer WHERE c_acctbal > ("
+        "SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) "
+        "FROM customer WHERE c_acctbal > 0) "
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_orderpriority = '1-URGENT') "
+        "GROUP BY c_nationkey",
     ),
 }
