@@ -165,6 +165,110 @@ def q_udf_text(spark, sf_dir):
     return d.select("doc_id", T.pandas_token_count()(F.col("text")).alias("tok_cnt"))
 
 
+# ----------------------------------------------- pipeline curation ops
+
+def _h28(col):
+    """Portable doc-id hash for deterministic sampling (see functions/text
+    hashing note): md5-derived 28-bit int, reproducible in any engine."""
+    return T.base_hash28(col.cast("string"))
+
+
+def q_sample_hash(spark, sf_dir):
+    """Deterministic Bernoulli sample (10%) via portable hash — unlike
+    rand() it is reproducible across runs/engines and is a pure scan-side
+    filter: no shuffle, no state, trivially parallel at any scale."""
+    d = _docs(spark, sf_dir)
+    return d.filter(_h28(F.col("doc_id")) % 100 < 10).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Stratified (per-language) sampling rates — the domain-rebalance
+    primitive of a training-data mix: minority strata keep a higher rate.
+    Still a stateless scan-side filter."""
+    d = _docs(spark, sf_dir)
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(40))
+    return d.filter(_h28(F.col("doc_id")) % 100 < rate).select("doc_id", "lang")
+
+
+def q_train_test_split(spark, sf_dir):
+    """Deterministic train/valid/test assignment (80/10/10 hash buckets),
+    audited as counts per (split, lang). Hash-bucket splits survive
+    re-runs and dataset growth — rows never migrate between splits."""
+    d = _docs(spark, sf_dir)
+    b = _h28(F.col("doc_id")) % 100
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("valid")).otherwise(
+            F.lit("test")
+        )
+    )
+    return d.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_shard_assign(spark, sf_dir):
+    """Output-shard assignment + balance audit: shard = hash % 8, per-shard
+    doc count and total chars. This is the skew check a distributed
+    training-shard writer runs before repartition(shard).write."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy((_h28(F.col("doc_id")) % 8).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: drop corpus docs sharing any 5-token
+    n-gram with the benchmark set (source='src0' stands in for the eval
+    suite). Benchmark grams are small by construction → broadcast semi
+    join; corpus side is one explode + one distinct, no pairwise work."""
+    d = _docs(spark, sf_dir)
+    sh = T.shingles(T.tokens("text"), 5)
+    bench = (
+        d.filter(F.col("source") == "src0")
+        .select(F.explode_outer(sh).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    cand = (
+        d.filter(F.col("source") != "src0")
+        .select("doc_id", F.explode_outer(sh).alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    contaminated = (
+        cand.join(F.broadcast(bench), "g", "left_semi").select("doc_id").distinct()
+    )
+    return (
+        d.filter(F.col("source") != "src0")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang")
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass: email then digit-run regex rewrite over a
+    synthesized contact string — stateless projection, Catalyst keeps it
+    inside whole-stage codegen (no UDF)."""
+    c = load_table(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" <user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com>"),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(contact, "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "<EMAIL>"),
+        "[0-9]+",
+        "<NUM>",
+    )
+    return c.select("c_custkey", scrub.alias("scrubbed"))
+
+
 # -------------------------------------------------------- multimodal
 
 def q_binary_meta(spark, sf_dir):
@@ -180,6 +284,7 @@ def q_binary_meta(spark, sf_dir):
 
 
 _TOKS = "string_split(trim(text), ' ')"
+_H28_SQL = "('0x' || substr(md5({x}), 1, 7))::BIGINT"
 _SHINGLES = (
     "list_distinct([array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)])"
 )
@@ -305,5 +410,50 @@ QUERIES = {
         q_binary_meta,
         "SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS digest "
         "FROM documents",
+    ),
+    "q_sample_hash": (
+        q_sample_hash,
+        f"SELECT doc_id, lang, source FROM documents "
+        f"WHERE {_H28_SQL.format(x='CAST(doc_id AS VARCHAR)')} % 100 < 10",
+    ),
+    "q_stratified_sample": (
+        q_stratified_sample,
+        f"SELECT doc_id, lang FROM documents "
+        f"WHERE {_H28_SQL.format(x='CAST(doc_id AS VARCHAR)')} % 100 < "
+        "(CASE WHEN lang = 'en' THEN 10 ELSE 40 END)",
+    ),
+    "q_train_test_split": (
+        q_train_test_split,
+        "SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' "
+        "ELSE 'test' END AS split, lang, count(*) AS n FROM ("
+        f"SELECT {_H28_SQL.format(x='CAST(doc_id AS VARCHAR)')} % 100 AS b, lang "
+        "FROM documents) GROUP BY split, lang",
+    ),
+    "q_shard_assign": (
+        q_shard_assign,
+        f"SELECT {_H28_SQL.format(x='CAST(doc_id AS VARCHAR)')} % 8 AS shard, "
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM documents GROUP BY shard",
+    ),
+    "q_decontaminate": (
+        q_decontaminate,
+        "WITH t AS (SELECT doc_id, source, lang, "
+        + _TOKS.replace("text", "text")
+        + " AS l FROM documents), "
+        "grams AS (SELECT doc_id, source, "
+        "unnest([array_to_string(l[i:i+4], ' ') for i in range(1, len(l) - 3)]) AS g "
+        "FROM t), "
+        "bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'), "
+        "bad AS (SELECT DISTINCT doc_id FROM grams WHERE source <> 'src0' "
+        "AND g IN (SELECT g FROM bench)) "
+        "SELECT doc_id, lang FROM documents WHERE source <> 'src0' "
+        "AND doc_id NOT IN (SELECT doc_id FROM bad)",
+    ),
+    "q_pii_scrub": (
+        q_pii_scrub,
+        "SELECT c_custkey, regexp_replace(regexp_replace("
+        "c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@example.com>', "
+        "'[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'), "
+        "'[0-9]+', '<NUM>', 'g') AS scrubbed FROM customer",
     ),
 }
