@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from kafkastreamsjavachallenge_spark.queries import (
+    analytics,
     core,
     extended,
     llm,
@@ -22,7 +23,7 @@ from kafkastreamsjavachallenge_spark.queries import (
     streaming_q,
 )
 
-_MODULES = (core, relational, extended, llm, streaming_q)
+_MODULES = (core, relational, extended, analytics, llm, streaming_q)
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
