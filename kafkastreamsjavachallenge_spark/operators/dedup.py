@@ -226,3 +226,56 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         .groupBy(id_col)
         .agg(F.sum("bitval").alias("simhash"))
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Completes the near-dup pipeline (reference has no analog — SURVEY.md
+    §2.2 LLM-pipeline row): LSH candidate pairs are *edges*; a component is
+    a duplicate cluster whose canonical id is the minimum member id.
+
+    Each iteration is one shuffle-join (edges ⋈ labels on src) + one
+    min-aggregate on dst + a coalescing left join back onto labels;
+    convergence is detected when sum(label) stops decreasing (it is
+    strictly monotone non-increasing and bounded, so termination is
+    guaranteed in ≤ diameter iterations).  `localCheckpoint` truncates the
+    iteration lineage so plan size stays O(1) per round — at cluster scale
+    the same loop runs with reliable `checkpoint` and the
+    alternating-star optimization (O(log n) rounds) if diameters are
+    large; LSH duplicate clusters are near-cliques, so diameters are tiny
+    and plain propagation is the cheaper plan.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.localCheckpoint(eager=True)  # reused every iteration
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("label")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        prop = (
+            e.join(labels, e.src == labels.node)
+            .groupBy(F.col("dst").alias("pnode"))
+            .agg(F.min("label").alias("plabel"))
+        )
+        labels = (
+            labels.join(prop, labels.node == prop.pnode, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("plabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))

@@ -334,15 +334,16 @@ def q_bigram_freq(spark, sf_dir):
     shuffle is the final hash agg on the bigram key."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    n = F.size(toks)
+    # greatest(n-1, 0): single-token docs yield an empty bigram array that
+    # explode() drops — no derived-predicate filter blocking scan pushdown
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
     return (
-        d.filter(n >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
+        d.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "bigram")
@@ -354,18 +355,18 @@ def q_doc_freq(spark, sf_dir):
     """Document frequency + IDF per token (df >= 20): per-doc distinct via
     array_distinct (map-side, no extra shuffle), corpus size via a
     broadcast scalar — the standard first stage of TF-IDF featurization."""
-    d = _t(spark, sf_dir, "documents")
-    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    df_tok = (
-        d.select(F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= 20)
-    )
-    return df_tok.crossJoin(F.broadcast(total)).select(
-        "token",
-        "df",
-        F.round(F.log(F.col("n_docs") / F.col("df")), 4).alias("idf"),
+    register_views(spark, sf_dir)
+    # corpus size as a scalar subquery (planned as an independent subquery
+    # job + literal — no cartesian join against the token aggregate)
+    return spark.sql(
+        """
+        SELECT token, count(*) AS df,
+               round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                        / count(*)), 4) AS idf
+        FROM (SELECT explode(array_distinct(split(text, ' '))) AS token
+              FROM documents)
+        GROUP BY token HAVING count(*) >= 20
+        """
     )
 
 

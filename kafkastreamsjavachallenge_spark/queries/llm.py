@@ -50,6 +50,31 @@ def q_minhash_pairs(spark, sf_dir):
     return D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
 
 
+def q_neardup_components(spark, sf_dir):
+    """Near-dup cluster formation: MinHash → LSH candidate pairs → connected
+    components (min-label propagation); each component id is the canonical
+    (minimum) doc_id of a duplicate cluster.  Oracle: same pair generation +
+    a recursive CTE reachability closure."""
+    d = _docs(spark, sf_dir)
+    sigs = D.minhash_signatures(d, n_perm=8)
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    return D.connected_components(pairs, d.select("doc_id"))
+
+
+def q_hll_union(spark, sf_dir):
+    """Mergeable cardinality sketches (Apache DataSketches HLL): per-day
+    sketch → re-aggregated union → estimate.  The 100 TB pattern for
+    distinct counts over rollup hierarchies: sketch once at fine grain,
+    merge upward without rescanning the fact.  Approximate → rows-only."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_unique_users")
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Jaccard verification over deterministic candidate pairs (id, id+1)."""
     d = _docs(spark, sf_dir)
@@ -335,6 +360,20 @@ QUERIES = {
         "SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a "
         "JOIN bands c ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id",
     ),
+    "q_neardup_components": (
+        q_neardup_components,
+        _MINHASH_SIG_CTE.format(nperm=8).replace("WITH ", "WITH RECURSIVE ", 1)
+        + ", bands AS (SELECT doc_id, b, md5(array_to_string(sigl[b*2+1:b*2+2], '|')) AS bucket "
+        "FROM sig, (SELECT unnest(range(0, 4)) AS b)), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a "
+        "JOIN bands c ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "UNION ALL SELECT id_b, id_a FROM pairs), "
+        "cc AS (SELECT doc_id AS node, doc_id AS label FROM documents "
+        "UNION SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src) "
+        "SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node",
+    ),
+    "q_hll_union": (q_hll_union, None),
     "q_ngram_jaccard": (
         q_ngram_jaccard,
         f"WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents), "

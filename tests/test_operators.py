@@ -373,3 +373,19 @@ def test_pandas_cosine_matches_builtin(spark):
         ).collect()
     }
     assert jvm == py
+
+
+def test_connected_components_known_graph(spark):
+    """Two chains + a singleton: labels converge to the min member id even
+    across multi-hop paths (propagation, not just direct neighbors)."""
+    from kafkastreamsjavachallenge_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], ["doc_id"])
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
