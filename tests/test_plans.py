@@ -168,3 +168,30 @@ def test_partitioned_write_prunes_at_directory_level(spark, tmp_path):
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd") == day
     ).count()
     assert df.count() == want and want > 0
+
+
+def test_relayout_parallelizes_single_row_group_input(spark, tmp_path):
+    """A big single-row-group parquet file is a one-task scan (parquet
+    splits by row group); load_table must transparently re-layout it so
+    downstream scans use the full parallelism."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafkastreamsjavachallenge_spark import catalog
+
+    n = catalog._RELAYOUT_MIN_ROWS
+    pq.write_table(
+        pa.table({"k": list(range(n)), "v": [float(i) for i in range(n)]}),
+        str(tmp_path / "big.parquet"),
+        row_group_size=n,
+    )
+    assert pq.ParquetFile(str(tmp_path / "big.parquet")).metadata.num_row_groups == 1
+    df = catalog.load_table(spark, str(tmp_path), "big")
+    assert df.rdd.getNumPartitions() > 1
+    assert df.count() == n
+    # cached second load hits the converted copy, not another rewrite
+    again = catalog.load_table(spark, str(tmp_path), "big")
+    assert again.rdd.getNumPartitions() == df.rdd.getNumPartitions()
+    # small tables are left untouched
+    pq.write_table(pa.table({"k": [1, 2, 3]}), str(tmp_path / "small.parquet"))
+    assert catalog.load_table(spark, str(tmp_path), "small").count() == 3
