@@ -61,6 +61,38 @@ def q_neardup_components(spark, sf_dir):
     return D.connected_components(pairs, d.select("doc_id"))
 
 
+def q_neardup_verified(spark, sf_dir):
+    """End-to-end near-dup detection: MinHash → LSH candidate pairs →
+    exact n-gram Jaccard verification → similarity threshold.  The exact
+    verification only ever touches candidate pairs (never all pairs), so
+    the whole pipeline stays sub-quadratic at any scale."""
+    d = _docs(spark, sf_dir)
+    sigs = D.minhash_signatures(d, n_perm=8)
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    return D.ngram_jaccard(d, pairs).filter(F.col("jaccard") >= 0.5)
+
+
+def q_knn_join(spark, sf_dir):
+    """k-NN join: top-3 cosine neighbors for EACH query vector (bounded
+    query block, vec_id < 20) via broadcast nested-loop + ranked window —
+    the exact-scoring building block that IVF/LSH (q_ann_*) route through
+    after candidate pruning at scale."""
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    base = e.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv")
+    )
+    from pyspark.sql import Window
+
+    scored = base.crossJoin(F.broadcast(q)).select(
+        "q_id", "n_id", F.round(cosine(F.col("nv"), F.col("qv")), 4).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "n_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
 def q_hll_union(spark, sf_dir):
     """Mergeable cardinality sketches (Apache DataSketches HLL): per-day
     sketch → re-aggregated union → estimate.  The 100 TB pattern for
@@ -372,6 +404,39 @@ QUERIES = {
         "cc AS (SELECT doc_id AS node, doc_id AS label FROM documents "
         "UNION SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src) "
         "SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node",
+    ),
+    "q_neardup_verified": (
+        q_neardup_verified,
+        _MINHASH_SIG_CTE.format(nperm=8)
+        + ", bands AS (SELECT doc_id, b, md5(array_to_string(sigl[b*2+1:b*2+2], '|')) AS bucket "
+        "FROM sig, (SELECT unnest(range(0, 4)) AS b)), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a "
+        "JOIN bands c ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id) "
+        "SELECT * FROM (SELECT p.id_a, p.id_b, "
+        "round(len(list_intersect(da.sh, db.sh)) / len(list_distinct(da.sh || db.sh)), 4) "
+        "AS jaccard FROM pairs p JOIN d da ON da.doc_id = p.id_a "
+        "JOIN d db ON db.doc_id = p.id_b) WHERE jaccard >= 0.5",
+    ),
+    "q_knn_join": (
+        q_knn_join,
+        "SELECT * FROM (SELECT q.vec_id AS q_id, a.vec_id AS n_id, "
+        "round(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))), 4) "
+        "AS cos_sim, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        "round(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))), 4) "
+        "DESC, a.vec_id) AS rn "
+        "FROM embeddings a, embeddings q WHERE q.vec_id < 20 AND a.vec_id >= 20) "
+        "WHERE rn <= 3",
     ),
     "q_hll_union": (q_hll_union, None),
     "q_ngram_jaccard": (
