@@ -60,3 +60,32 @@ def test_minhash_on_50k_synthetic_docs(spark):
     # every doc's twin (id, id + n/2) must collide in all bands (identical
     # signatures); cross-pairs possible but the twin floor holds
     assert cnt >= n // 2
+
+
+def test_connected_components_on_synthetic_graph(spark):
+    """200k-node graph of 2-chains + 50k isolated nodes: CC converges in
+    bounded rounds/time and every chain collapses to its minimum id.
+
+    Chains a→a+1 for even a < 200k give 100k two-node components whose
+    canonical id is the even member; ids ≥ 200k are singletons."""
+    import time
+
+    from kafkastreamsjavachallenge_spark.operators.dedup import connected_components
+
+    edges = (
+        spark.range(100_000)
+        .select((F.col("id") * 2).alias("id_a"), (F.col("id") * 2 + 1).alias("id_b"))
+    )
+    nodes = spark.range(250_000).select(F.col("id").alias("doc_id"))
+    t0 = time.time()
+    out = connected_components(edges, nodes)
+    n_components = out.select("component").distinct().count()
+    elapsed = time.time() - t0
+    assert elapsed < 90, f"CC took {elapsed:.1f}s on 250k nodes"
+    # 100k chain components + 50k singletons
+    assert n_components == 150_000
+    # odd chain members map to their even partner
+    bad = out.filter(
+        (F.col("doc_id") < 200_000) & (F.col("component") != (F.col("doc_id") - F.col("doc_id") % 2))
+    ).count()
+    assert bad == 0
