@@ -200,6 +200,42 @@ def q_embed_centroid(spark, sf_dir):
     )
 
 
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation (explicit salting): phase 1 groups
+    on (key, salt) so a hot key spreads over many reducers, phase 2 merges
+    partials on the true key.  The oracle is the PLAIN group-by — the
+    point is that salting is invisible in the result."""
+    from kafkastreamsjavachallenge_spark.operators import relational as R
+
+    ev = _t(spark, sf_dir, "events")
+    out = R.salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "total_value": (
+                F.sum(F.col("value").cast("decimal(18,4)")),
+                F.sum("total_value"),
+            ),
+        },
+    )
+    return out.withColumn("total_value", F.col("total_value").cast("double"))
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-safe equi-join (explicit salting of the probe side, exploded
+    replication of the build side) — again oracle-checked against the
+    plain join to pin semantics-preservation."""
+    from kafkastreamsjavachallenge_spark.operators import relational as R
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = R.salted_join(o, c, on="o_custkey", salt_buckets=8)
+    return j.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
 # ------------------------------------------------------- TPC-H composites
 
 
@@ -455,6 +491,17 @@ QUERIES = {
         "SELECT label, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS i, "
         "CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings) "
         "GROUP BY label, i",
+    ),
+    "q_salted_agg": (
+        q_salted_agg,
+        "SELECT event_type, count(*) AS n, "
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value "
+        "FROM events GROUP BY event_type",
+    ),
+    "q_salted_join": (
+        q_salted_join,
+        "SELECT c_mktsegment, count(*) AS n_orders FROM orders "
+        "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
     ),
     "q_tpch_q8": (
         q_tpch_q8,
