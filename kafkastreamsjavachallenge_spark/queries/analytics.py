@@ -47,6 +47,35 @@ def q_stats_agg(spark, sf_dir):
     )
 
 
+def q_bit_agg(spark, sf_dir):
+    """Bitwise aggregates (bit_and / bit_or / bit_xor) per group — all
+    commutative-associative, so partial aggregation applies and the plan
+    is one map-side-combine hash aggregate (G rows shuffled)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.bit_and("l_linenumber").alias("band"),
+        F.bit_or("l_linenumber").alias("bor"),
+        F.bit_xor("l_orderkey").alias("bxor"),
+    )
+
+
+def q_dense_rank(spark, sf_dir):
+    """rank vs dense_rank over a tie-prone ordering (acctbal rounded to
+    hundreds) — tie semantics are engine-independent because ranks are
+    fully determined by the (partition, order-key) multiset."""
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", (F.floor(F.col("c_acctbal") / 100) * 100).cast("bigint")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("bal_bucket").desc())
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "bal_bucket",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
 def q_bool_agg(spark, sf_dir):
     """Boolean/conditional aggregates: count_if, bool_and, bool_or."""
     o = _t(spark, sf_dir, "orders")
@@ -414,6 +443,20 @@ QUERIES = {
         "round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price, "
         "round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price "
         "FROM lineitem GROUP BY l_returnflag",
+    ),
+    "q_bit_agg": (
+        q_bit_agg,
+        "SELECT l_linestatus, bit_and(l_linenumber) AS band, "
+        "bit_or(l_linenumber) AS bor, bit_xor(l_orderkey) AS bxor "
+        "FROM lineitem GROUP BY l_linestatus",
+    ),
+    "q_dense_rank": (
+        q_dense_rank,
+        "SELECT c_custkey, c_mktsegment, "
+        "CAST(floor(c_acctbal / 100) * 100 AS BIGINT) AS bal_bucket, "
+        "rank() OVER w AS rnk, dense_rank() OVER w AS drnk FROM customer "
+        "WINDOW w AS (PARTITION BY c_mktsegment ORDER BY "
+        "CAST(floor(c_acctbal / 100) * 100 AS BIGINT) DESC)",
     ),
     "q_bool_agg": (
         q_bool_agg,

@@ -24,6 +24,55 @@ def _embs(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per-doc
+    top-token fraction and top-bigram fraction, plus a keep/drop flag.
+    One explode per n-gram order, each aggregated by (doc_id, gram) then
+    (doc_id); the two per-doc profiles join on doc_id — identical hash
+    partitioning on both sides, so the join adds no third shuffle."""
+    d = _docs(spark, sf_dir).withColumn("toks", T.tokens("text"))
+    tok_stats = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.max("c").alias("top_tok_c"),
+        )
+    )
+    big = d.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    big_stats = (
+        big.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_big"), F.max("c").alias("top_big_c"))
+    )
+    return (
+        tok_stats.join(big_stats, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("top_tok_c") / F.col("n_tok"), 4).alias("top_tok_frac"),
+            F.round(F.col("top_big_c") / F.col("n_big"), 4).alias("top_big_frac"),
+            (
+                (F.col("top_tok_c") / F.col("n_tok") <= 0.2)
+                & (F.col("top_big_c") / F.col("n_big") <= 0.1)
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
 # ------------------------------------------------------------- dedup
 
 def q_doc_dedup(spark, sf_dir):
@@ -552,6 +601,26 @@ QUERIES = {
         "AND g IN (SELECT g FROM bench)) "
         "SELECT doc_id, lang FROM documents WHERE source <> 'src0' "
         "AND doc_id NOT IN (SELECT doc_id FROM bad)",
+    ),
+    "q_gopher_repetition": (
+        q_gopher_repetition,
+        "WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t "
+        "FROM documents), "
+        "tok_stats AS (SELECT doc_id, sum(c) AS n_tok, max(c) AS top_tok_c "
+        "FROM (SELECT doc_id, tok, count(*) AS c FROM "
+        "(SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok) "
+        "GROUP BY doc_id), "
+        "big_stats AS (SELECT doc_id, sum(c) AS n_big, max(c) AS top_big_c "
+        "FROM (SELECT doc_id, bigram, count(*) AS c FROM "
+        "(SELECT doc_id, unnest(list_transform(range(1, len(t)), "
+        "i -> t[i] || ' ' || t[i + 1])) AS bigram FROM toks WHERE len(t) >= 2) "
+        "GROUP BY doc_id, bigram) GROUP BY doc_id) "
+        "SELECT tok_stats.doc_id, "
+        "round(top_tok_c / CAST(n_tok AS DOUBLE), 4) AS top_tok_frac, "
+        "round(top_big_c / CAST(n_big AS DOUBLE), 4) AS top_big_frac, "
+        "CAST(top_tok_c / CAST(n_tok AS DOUBLE) <= 0.2 "
+        "AND top_big_c / CAST(n_big AS DOUBLE) <= 0.1 AS INTEGER) AS keep "
+        "FROM tok_stats JOIN big_stats USING (doc_id)",
     ),
     "q_pii_scrub": (
         q_pii_scrub,

@@ -651,6 +651,108 @@ _Q1_AVG = (
     "CAST(sum(CAST({x} AS DECIMAL(18,4))) AS DOUBLE) / count(*)"
 )
 
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part): the synthetic schema has
+    no partsupp, so the supply relation is derived from lineitem as
+    min(l_extendedprice) per (partkey, suppkey) — docstring substitution per
+    SURVEY.md §2.3. The correlated min-cost subquery is decorrelated into a
+    per-part min over region-local suppliers joined back; nation/region dims
+    broadcast, so the only shuffles are the two part-keyed aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    region_supp = supp.join(
+        F.broadcast(nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)),
+        supp.s_nationkey == F.col("n_nationkey"),
+    )
+    supply = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+        .join(
+            region_supp.select("s_suppkey", "s_name", "s_acctbal", "n_name"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+    )
+    min_cost = supply.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        supply.join(
+            min_cost,
+            (supply.l_partkey == min_cost.mk) & (supply.cost == min_cost.min_cost),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape (important parts by supplied value): partsupp value is
+    derived from lineitem revenue restricted to one nation's suppliers
+    (substitution per SURVEY.md §2.3). The HAVING threshold compares each
+    part's value to a global scalar — computed once and broadcast as a
+    1-row cross join, so the plan is two hash aggregates over the same
+    filtered fact, not a re-scan per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat_supp = supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+    fact = li.join(
+        F.broadcast(nat_supp.select("s_suppkey")),
+        li.l_suppkey == F.col("s_suppkey"),
+    ).withColumn(
+        "val",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+            "decimal(18,6)"
+        ),
+    )
+    by_part = fact.groupBy("l_partkey").agg(
+        F.sum("val").cast("double").alias("part_value")
+    )
+    total = fact.agg((F.sum("val").cast("double") * F.lit(0.001)).alias("threshold"))
+    return (
+        by_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers with excess shipped volume of a part
+    family): availqty is derived from shipped quantity (no partsupp —
+    substitution per SURVEY.md §2.3). Nested semi-joins: parts by name
+    prefix → lineitem volume per supplier in one year, HAVING over the
+    sum → left-semi against supplier filtered to one nation. The part
+    filter broadcasts; the only shuffle is the supplier-keyed agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("blue"))
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    vol = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(_dsum(F.col("l_quantity"), 2).alias("qty"))
+        .filter(F.col("qty") > 50.0)
+    )
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(vol, supp.s_suppkey == vol.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 _REV6 = "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
 
 QUERIES = {
@@ -931,6 +1033,48 @@ QUERIES = {
         "AND l_quantity BETWEEN 10 AND 30) "
         "OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 30 "
         "AND l_quantity BETWEEN 20 AND 40)",
+    ),
+    "q_tpch_q2": (
+        q_tpch_q2,
+        "WITH region_supp AS ("
+        "SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), "
+        "supply AS ("
+        "SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name, "
+        "min(l_extendedprice) AS cost FROM lineitem "
+        "JOIN region_supp ON l_suppkey = s_suppkey "
+        "GROUP BY ALL) "
+        "SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost FROM supply "
+        "JOIN part ON l_partkey = p_partkey "
+        "WHERE p_type = 'LARGE' AND cost = ("
+        "SELECT min(s2.cost) FROM supply s2 WHERE s2.l_partkey = supply.l_partkey) "
+        "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100",
+    ),
+    "q_tpch_q11": (
+        q_tpch_q11,
+        "WITH fact AS ("
+        "SELECT l_partkey, CAST(l_extendedprice * (1.0 - l_discount) "
+        "AS DECIMAL(18,6)) AS val FROM lineitem "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7') "
+        "SELECT l_partkey, round(CAST(sum(val) AS DOUBLE), 2) AS part_value "
+        "FROM fact GROUP BY l_partkey "
+        "HAVING CAST(sum(val) AS DOUBLE) > ("
+        "SELECT CAST(sum(val) AS DOUBLE) * 0.001 FROM fact) "
+        "ORDER BY part_value DESC, l_partkey",
+    ),
+    "q_tpch_q20": (
+        q_tpch_q20,
+        "SELECT s_name, s_acctbal FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE n_name = 'NATION_3' AND s_suppkey IN ("
+        "SELECT l_suppkey FROM lineitem "
+        "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%') "
+        "AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01' "
+        "GROUP BY l_suppkey "
+        "HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 50.0) "
+        "ORDER BY s_name",
     ),
     "q_tpch_q22": (
         q_tpch_q22,
