@@ -88,7 +88,49 @@ def q_stream_session(spark, sf_dir):
     return run_to_memory(result, output_mode="complete", state_partitions=8)
 
 
+def q_stream_join(spark, sf_dir):
+    """Stream-stream interval self-join: pairs of events by the same user
+    within one minute.  Both sides are watermarked and the join predicate
+    bounds the right event-time, so state is evictable (the unbounded-state
+    failure mode the reference documents at README.md:196 cannot occur).
+    One availableNow batch holds all input, so every inner match is emitted
+    before shutdown → equals the batch self-join → full SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsjavachallenge_spark.streaming.pipeline import (
+        run_to_memory as _run,
+    )
+    from kafkastreamsjavachallenge_spark.streaming.pipeline import (
+        stream_stream_join,
+    )
+
+    left = _event_stream(spark, sf_dir).select("event_id", "user_id", "ts")
+    right = _event_stream(spark, sf_dir).select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    on = (
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("ts"))
+        & (F.col("r_event_id") != F.col("event_id"))
+    )
+    joined = stream_stream_join(
+        left, right, on, left_ts="ts", right_ts="r_ts",
+        watermark="1 minute", interval="1 minute",
+    )
+    pairs = _run(joined, output_mode="append", state_partitions=8)
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 QUERIES = {
+    "q_stream_join": (
+        q_stream_join,
+        "SELECT l.user_id, count(*) AS n_pairs FROM events l JOIN events r "
+        "ON l.user_id = r.user_id AND r.ts >= l.ts "
+        "AND r.ts <= l.ts + INTERVAL 1 MINUTE AND r.event_id <> l.event_id "
+        "GROUP BY l.user_id",
+    ),
     "q_stream_unique_users": (
         q_stream_unique_users,
         "SELECT date_trunc('minute', ts) AS window_start, "
