@@ -47,6 +47,100 @@ def q_stats_agg(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered event funnel (view → click → purchase): each stage's
+    timestamp is the min event time strictly after the previous stage.
+    Three user-keyed aggregates + joins, all sharing
+    HashPartitioning(user_id), so AQE plans one logical shuffle reused
+    across stages — per-user state never materializes on the driver."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("stage"),
+        )
+    )
+
+
+def q_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first active day; for each
+    (cohort, day-offset) the count of distinct users active that day.
+    Two hash aggregates on user_id + one broadcast-able join — the
+    classic retention triangle without any driver-side loop."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        days.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_day"),
+            F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def q_scd2(spark, sf_dir):
+    """SCD-type-2 interval construction: collapse each user's event-type
+    run-length sequence into (state, valid_from, valid_to) rows — change
+    detection via lag, interval close via lead over the change rows.
+    Both window passes and the filter share one user-keyed sort-shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return chg.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+
+
+def q_regr(spark, sf_dir):
+    """Linear-regression aggregates (slope/intercept/R²/count) per group —
+    moment-based, partially aggregatable, one map-side-combine shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+    )
+
+
 def q_bit_agg(spark, sf_dir):
     """Bitwise aggregates (bit_and / bit_or / bit_xor) per group — all
     commutative-associative, so partial aggregation applies and the plan
@@ -442,6 +536,48 @@ QUERIES = {
         "round(var_samp(l_quantity), 4) AS var_qty, "
         "round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price, "
         "round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price "
+        "FROM lineitem GROUP BY l_returnflag",
+    ),
+    "q_funnel": (
+        q_funnel,
+        "WITH v AS (SELECT user_id, min(ts) AS t_view FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e "
+        "JOIN v ON e.user_id = v.user_id "
+        "WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id), "
+        "p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e "
+        "JOIN c ON e.user_id = c.user_id "
+        "WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id) "
+        "SELECT v.user_id, 1 + CAST(c.user_id IS NOT NULL AS INTEGER) "
+        "+ CAST(p.user_id IS NOT NULL AS INTEGER) AS stage FROM v "
+        "LEFT JOIN c ON v.user_id = c.user_id "
+        "LEFT JOIN p ON v.user_id = p.user_id",
+    ),
+    "q_retention": (
+        q_retention,
+        "WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d "
+        "FROM events), "
+        "cohort AS (SELECT user_id, min(d) AS cohort_day FROM days GROUP BY user_id) "
+        "SELECT cohort_day, date_diff('day', cohort_day, d) AS day_offset, "
+        "count(DISTINCT days.user_id) AS n_users FROM days "
+        "JOIN cohort ON days.user_id = cohort.user_id "
+        "GROUP BY cohort_day, day_offset",
+    ),
+    "q_scd2": (
+        q_scd2,
+        "WITH chg AS (SELECT user_id, event_type, ts, event_id, "
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS prev_type FROM events) "
+        "SELECT user_id, event_type AS state, ts AS valid_from, "
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to "
+        "FROM chg WHERE prev_type IS NULL OR event_type <> prev_type",
+    ),
+    "q_regr": (
+        q_regr,
+        "SELECT l_returnflag, round(regr_slope(l_extendedprice, l_quantity), 4) "
+        "AS slope, round(regr_intercept(l_extendedprice, l_quantity), 4) "
+        "AS intercept, round(regr_r2(l_extendedprice, l_quantity), 6) AS r2, "
+        "regr_count(l_extendedprice, l_quantity) AS n "
         "FROM lineitem GROUP BY l_returnflag",
     ),
     "q_bit_agg": (

@@ -24,6 +24,43 @@ def _embs(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+def q_tfidf_top(spark, sf_dir):
+    """Top-3 TF-IDF terms per document: term frequency from one explode +
+    (doc, token) aggregate, document frequency from re-aggregating that
+    same TF relation (no second corpus pass), corpus size as a broadcast
+    scalar, ranked per doc with a unique (score desc, token) tie-break.
+    At 100 TB the TF relation partitions by doc_id and DF by token — the
+    two hash aggregates are the only shuffles besides the final rank."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("dfreq")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "score", "rn")
+    )
+
+
 def q_gopher_repetition(spark, sf_dir):
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per-doc
     top-token fraction and top-bigram fraction, plus a keep/drop flag.
@@ -601,6 +638,19 @@ QUERIES = {
         "AND g IN (SELECT g FROM bench)) "
         "SELECT doc_id, lang FROM documents WHERE source <> 'src0' "
         "AND doc_id NOT IN (SELECT doc_id FROM bad)",
+    ),
+    "q_tfidf_top": (
+        q_tfidf_top,
+        "WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM "
+        "(SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok "
+        "FROM documents) GROUP BY doc_id, tok), "
+        "dfreq AS (SELECT tok, count(*) AS dfreq FROM tf GROUP BY tok), "
+        "scored AS (SELECT doc_id, tok, round(tf * ln("
+        "CAST((SELECT count(*) FROM documents) AS DOUBLE) / dfreq), 6) AS score "
+        "FROM tf JOIN dfreq USING (tok)) "
+        "SELECT doc_id, tok, score, rn FROM (SELECT doc_id, tok, score, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn "
+        "FROM scored) WHERE rn <= 3",
     ),
     "q_gopher_repetition": (
         q_gopher_repetition,
