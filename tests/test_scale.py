@@ -89,3 +89,41 @@ def test_connected_components_on_synthetic_graph(spark):
         (F.col("doc_id") < 200_000) & (F.col("component") != (F.col("doc_id") - F.col("doc_id") % 2))
     ).count()
     assert bad == 0
+
+
+def test_text_profile_on_100k_synthetic_docs(spark, tmp_path):
+    """100k synthetic docs (20× sf bench corpus, 2M token rows after
+    explode): TF-IDF top-terms and Gopher repetition profiles stay
+    partition-parallel and finish in bounded time; structure is exactly
+    checkable (20 distinct tokens per doc → 3 ranked terms each; top-token
+    fraction 1/20 and top-bigram fraction 1/19 → every doc passes)."""
+    from kafkastreamsjavachallenge_spark.queries.llm import (
+        q_gopher_repetition,
+        q_tfidf_top,
+    )
+
+    n = 100_000
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda i: F.concat(F.lit("w"), (F.col("id") * 31 + i * 7) % 5000),
+    )
+    text = F.concat_ws(" ", words)
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synthetic").alias("source"),
+        F.length(text).alias("n_chars"),
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    t0 = time.time()
+    assert q_tfidf_top(spark, str(tmp_path)).count() == 3 * n
+    kept = (
+        q_gopher_repetition(spark, str(tmp_path))
+        .agg(F.sum("keep").alias("s"), F.count(F.lit(1)).alias("n"))
+        .first()
+    )
+    elapsed = time.time() - t0
+    assert kept["n"] == n and kept["s"] == n
+    assert elapsed < 90, f"text profile took {elapsed:.1f}s on {n} docs"
