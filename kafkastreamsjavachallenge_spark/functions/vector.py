@@ -55,3 +55,15 @@ def pandas_cosine_to(query_vec: list[float]):
         return pd.Series(dots / (norms * qn))
 
     return pandas_udf(_score, "double")
+
+
+def l2_sq(a: Column, b: Column) -> Column:
+    """Squared euclidean distance — same HOF fold shape as ``dot``."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )

@@ -96,13 +96,19 @@ def ivf_assign(
     scored = df.crossJoin(c).withColumn(
         "__sim", cosine(F.col(vec_col), F.col("__cvec"))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("__cid"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(df["*"], F.col("__cid").alias(centroid_id))
+    # argmax via max_by, not a ranking window: partial aggregation applies
+    # (each task reduces its k candidate rows per id before the shuffle),
+    # and no per-partition sort is needed.  Ties break on the lowest
+    # centroid id (negated in the max ordering) — deterministic.
+    row = F.struct(*[scored[c] for c in df.columns], F.col("__cid"))
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            row, F.struct(F.col("__sim"), (-F.col("__cid")).alias("__nc"))
+        ).alias("__b")
+    )
+    return best.select(
+        *[F.col(f"__b.{c}").alias(c) for c in df.columns],
+        F.col("__b.__cid").alias(centroid_id),
     )
 
 
@@ -158,3 +164,81 @@ def lsh_ann_topk(
     )
     cands = b_df.join(F.broadcast(b_q), on=F.col("bucket") == F.col("__qbucket"))
     return cosine_topk(cands, query, k, id_col, vec_col)
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed Lloyd's k-means over an embedding column — the trainer
+    for IVF centroids (``ivf_ann_topk`` consumes any (centroid_id, vec)
+    relation).
+
+    Fully deterministic: init is the k lowest-id vectors; the assignment
+    argmin breaks distance ties on the lowest centroid id; the update is a
+    positional-explode mean re-assembled with an order-pinned array_sort.
+
+    Scale shape per iteration: one broadcast cross-score of n×k rows
+    reduced by a map-side-combinable ``min_by`` hash aggregate (the big
+    table is never shuffled by centroid), then a (k × dim)-group mean.
+    ``localCheckpoint`` truncates iteration lineage (reliable
+    ``checkpoint`` on a real cluster).  Empty clusters keep their previous
+    centroid.  Returns (assignments, centroids).
+    """
+    from kafkastreamsjavachallenge_spark.functions.vector import l2_sq
+    from pyspark.sql import Window
+
+    vecs = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+    )
+    w = Window.orderBy("__id")  # k rows — single-partition window is fine
+    centroids = (
+        vecs.orderBy("__id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).alias("centroid_id"),
+            F.col("__vec").alias("cvec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigned = None
+    for _ in range(iters):
+        scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
+            "__d", l2_sq(F.col("__vec"), F.col("cvec"))
+        )
+        assigned = (
+            scored.groupBy("__id")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("centroid_id"), F.col("__vec")),
+                    F.struct(F.col("__d"), F.col("centroid_id")),
+                ).alias("__b")
+            )
+            .select(
+                "__id",
+                F.col("__b.centroid_id").alias("centroid_id"),
+                F.col("__b.__vec").alias("__vec"),
+            )
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode("__vec").alias("__i", "__v"))
+            .groupBy("centroid_id", "__i")
+            .agg(F.avg("__v").alias("__m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__i", "__m"))),
+                    lambda s: s["__m"],
+                ).alias("cvec")
+            )
+        )
+        # empty clusters keep their previous centroid
+        centroids = means.unionByName(
+            centroids.join(means, "centroid_id", "left_anti")
+        ).localCheckpoint(eager=True)
+    out = assigned.select(F.col("__id").alias(id_col), "centroid_id")
+    return out, centroids.select("centroid_id", F.col("cvec").alias(vec_col))

@@ -24,6 +24,19 @@ def _embs(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+def q_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means (operators/similarity.py kmeans) over the
+    embeddings table: cluster sizes for k=8 after 3 iterations.  Iterative
+    fixpoint — not SQL-expressible → rows-only check; determinism and
+    cluster recovery are pinned by unit test instead."""
+    assigned, _ = S.kmeans(_embs(spark, sf_dir), k=8, iters=3)
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("centroid_id")
+    )
+
+
 def q_tfidf_top(spark, sf_dir):
     """Top-3 TF-IDF terms per document: term frequency from one explode +
     (doc, token) aggregate, document frequency from re-aggregating that
@@ -639,6 +652,7 @@ QUERIES = {
         "SELECT doc_id, lang FROM documents WHERE source <> 'src0' "
         "AND doc_id NOT IN (SELECT doc_id FROM bad)",
     ),
+    "q_kmeans": (q_kmeans, None),
     "q_tfidf_top": (
         q_tfidf_top,
         "WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM "

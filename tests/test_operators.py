@@ -389,3 +389,27 @@ def test_connected_components_known_graph(spark):
         for r in connected_components(edges, nodes).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Three well-separated clusters, init = 3 lowest ids (one per true
+    cluster): assignments are pure, all 3 clusters survive, and the run is
+    deterministic (fixed init + tie-breaks, no RNG)."""
+    from kafkastreamsjavachallenge_spark.operators.similarity import kmeans
+
+    base = {0: [10.0, 0.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0, 0.0], 2: [0.0, 0.0, 10.0, 0.0]}
+    rows = []
+    for i in range(90):
+        c = i % 3
+        jit = [((i * 7 + j) % 5) * 0.02 for j in range(4)]
+        rows.append((i, [base[c][j] + jit[j] for j in range(4)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    assigned, cents = kmeans(df, k=3, iters=4)
+    out = assigned.toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert out.groupby(out.vec_id % 3).centroid_id.nunique().eq(1).all()
+    assert out.centroid_id.nunique() == 3
+    assert cents.count() == 3
+
+    again, _ = kmeans(df, k=3, iters=4)
+    assert again.toPandas().sort_values("vec_id").centroid_id.tolist() == out.centroid_id.tolist()
