@@ -24,6 +24,28 @@ def _embs(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking for training pipelines: split each document
+    into 8-token chunks with stride 6 (2-token overlap).  Pure built-in
+    HOFs (sequence → posexplode → slice) — JVM-side, whole-stage-codegen,
+    linear fan-out with no shuffle at all; the UDTF variant
+    (functions/udtf.py) is the API-surface twin, parity-pinned by unit
+    test but kept out of the hot path per the Python-boundary policy."""
+    d = _docs(spark, sf_dir).withColumn("toks", T.tokens("text"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("toks") - F.lit(2), F.lit(1)), F.lit(6)
+    )
+    return (
+        d.select("doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "s"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("s"), 8)).alias("chunk"),
+            F.size(F.slice(F.col("toks"), F.col("s"), 8)).alias("n_tok"),
+        )
+    )
+
+
 def q_kmeans(spark, sf_dir):
     """Distributed Lloyd's k-means (operators/similarity.py kmeans) over the
     embeddings table: cluster sizes for k=8 after 3 iterations.  Iterative
@@ -651,6 +673,16 @@ QUERIES = {
         "AND g IN (SELECT g FROM bench)) "
         "SELECT doc_id, lang FROM documents WHERE source <> 'src0' "
         "AND doc_id NOT IN (SELECT doc_id FROM bad)",
+    ),
+    "q_doc_chunks": (
+        q_doc_chunks,
+        "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks "
+        "FROM documents), "
+        "s AS (SELECT doc_id, toks, unnest(generate_series(1, "
+        "greatest(len(toks) - 2, 1), 6)) AS st FROM t) "
+        "SELECT doc_id, CAST((st - 1) // 6 AS INTEGER) AS chunk_idx, "
+        "array_to_string(list_slice(toks, st, st + 7), ' ') AS chunk, "
+        "len(list_slice(toks, st, st + 7)) AS n_tok FROM s",
     ),
     "q_kmeans": (q_kmeans, None),
     "q_tfidf_top": (

@@ -413,3 +413,37 @@ def test_kmeans_recovers_separated_clusters(spark):
 
     again, _ = kmeans(df, k=3, iters=4)
     assert again.toPandas().sort_values("vec_id").centroid_id.tolist() == out.centroid_id.tolist()
+
+
+def test_chunk_udtf_matches_hof_chunks(spark):
+    """The Python UDTF chunker (API surface) produces exactly the rows of
+    the built-in-HOF chunker (hot path) — one→many parity on real docs."""
+    import pandas as pd
+    import pytest
+
+    from kafkastreamsjavachallenge_spark.functions.udtf import HAS_UDTF, ChunkDocument
+
+    if not HAS_UDTF:
+        pytest.skip("pyspark UDTF API unavailable")
+
+    from kafkastreamsjavachallenge_spark.queries.llm import q_doc_chunks
+    from tests.conftest import SF_DIR
+
+    spark.udtf.register("chunk_document", ChunkDocument)
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").createOrReplaceTempView("__docs")
+    got = (
+        spark.sql(
+            "SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_tok "
+            "FROM __docs d, LATERAL chunk_document(d.text) c"
+        )
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        q_doc_chunks(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
