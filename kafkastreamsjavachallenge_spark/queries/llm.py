@@ -24,6 +24,32 @@ def _embs(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+def q_fuzzy_join(spark, sf_dir):
+    """Blocked fuzzy self-join: part names within edit distance 2, blocked
+    on the first token so the candidate space is per-block O(b²), never a
+    global O(n²) cross join — the standard record-linkage shape.  At
+    100 TB the block key becomes the shuffle key and skewed blocks get the
+    salting treatment (operators/relational.py)."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Context-window chunking for training pipelines: split each document
     into 8-token chunks with stride 6 (2-token overlap).  Pure built-in
@@ -673,6 +699,15 @@ QUERIES = {
         "AND g IN (SELECT g FROM bench)) "
         "SELECT doc_id, lang FROM documents WHERE source <> 'src0' "
         "AND doc_id NOT IN (SELECT doc_id FROM bad)",
+    ),
+    "q_fuzzy_join": (
+        q_fuzzy_join,
+        "SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, "
+        "a.p_name AS name_a, b.p_name AS name_b, "
+        "levenshtein(a.p_name, b.p_name) AS dist FROM part a JOIN part b "
+        "ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1) "
+        "AND a.p_partkey < b.p_partkey "
+        "WHERE levenshtein(a.p_name, b.p_name) <= 2",
     ),
     "q_doc_chunks": (
         q_doc_chunks,

@@ -447,3 +447,24 @@ def test_chunk_udtf_matches_hof_chunks(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_csv_orc_roundtrip(spark, tmp_path):
+    """Source/sink breadth beyond parquet+json+kafka: CSV (schema-on-read)
+    and ORC round-trip a lineitem slice losslessly."""
+    import pandas as pd
+
+    from kafkastreamsjavachallenge_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    df = load_table(spark, SF_DIR, "lineitem").limit(500)
+    df.write.option("header", True).mode("overwrite").csv(f"{tmp_path}/li_csv")
+    df.write.mode("overwrite").orc(f"{tmp_path}/li_orc")
+
+    want = df.toPandas().sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+    for back in (
+        spark.read.schema(df.schema).option("header", True).csv(f"{tmp_path}/li_csv"),
+        spark.read.orc(f"{tmp_path}/li_orc"),
+    ):
+        got = back.toPandas().sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)])
