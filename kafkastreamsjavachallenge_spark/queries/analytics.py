@@ -47,6 +47,51 @@ def q_stats_agg(spark, sf_dir):
     )
 
 
+def q_median(spark, sf_dir):
+    """Exact grouped median (percentile_cont 0.5, linear interpolation) —
+    an order statistic, not a running sum, so it is bit-deterministic
+    across engines and partitionings.  Spark computes it with a
+    partial-aggregatable sketch-free sort per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.median("l_extendedprice").alias("med_price"),
+    )
+
+
+def q_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of the daily-revenue series: one fact-table
+    hash aggregate to ~O(days) rows, then a window lag + corr on the tiny
+    series (single-partition window is deliberate — the series is small
+    by construction, the fact table never passes through it)."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        _dsum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6
+        ).alias("rev")
+    )
+    w = Window.orderBy("day")
+    series = daily.withColumn("prev_rev", F.lag("rev").over(w))
+    return series.agg(
+        F.round(F.corr("rev", "prev_rev"), 4).alias("lag1_autocorr"),
+        F.count("prev_rev").alias("n_days"),
+    )
+
+
+def q_null_fns(spark, sf_dir):
+    """Null-handling scalar pack: nullif / coalesce / null-guarded
+    division — pure projections inside whole-stage codegen."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("pri_nn"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")), F.lit("MEDIUM")
+        ).alias("pri_filled"),
+        (F.col("o_totalprice") / F.nullif(F.lit(0.0), F.lit(0.0))).alias("div_null"),
+    )
+
+
 def q_funnel(spark, sf_dir):
     """Ordered event funnel (view → click → purchase): each stage's
     timestamp is the min event time strictly after the previous stage.
@@ -537,6 +582,28 @@ QUERIES = {
         "round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price, "
         "round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price "
         "FROM lineitem GROUP BY l_returnflag",
+    ),
+    "q_median": (
+        q_median,
+        "SELECT l_returnflag, median(l_quantity) AS med_qty, "
+        "median(l_extendedprice) AS med_price FROM lineitem "
+        "GROUP BY l_returnflag",
+    ),
+    "q_autocorr": (
+        q_autocorr,
+        "WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day, "
+        "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) "
+        "AS DOUBLE) AS rev FROM lineitem GROUP BY 1), "
+        "series AS (SELECT rev, lag(rev) OVER (ORDER BY day) AS prev_rev "
+        "FROM daily) "
+        "SELECT round(corr(rev, prev_rev), 4) AS lag1_autocorr, "
+        "count(prev_rev) AS n_days FROM series",
+    ),
+    "q_null_fns": (
+        q_null_fns,
+        "SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS pri_nn, "
+        "coalesce(nullif(o_orderpriority, '3-MEDIUM'), 'MEDIUM') AS pri_filled, "
+        "o_totalprice / nullif(0.0, 0.0) AS div_null FROM orders",
     ),
     "q_funnel": (
         q_funnel,

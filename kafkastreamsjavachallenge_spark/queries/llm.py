@@ -24,6 +24,20 @@ def _embs(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+def q_graph_degree(spark, sf_dir):
+    """Degree distribution of the MinHash-LSH candidate graph — the
+    audit view a dedup run reads before clustering (a heavy-tailed degree
+    histogram means a hot band bucket; salt it before the pair join).
+    Two hash aggregates over the pairs relation."""
+    sigs = D.minhash_signatures(_docs(spark, sf_dir), n_perm=8)
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_fuzzy_join(spark, sf_dir):
     """Blocked fuzzy self-join: part names within edit distance 2, blocked
     on the first token so the candidate space is per-block O(b²), never a
@@ -699,6 +713,18 @@ QUERIES = {
         "AND g IN (SELECT g FROM bench)) "
         "SELECT doc_id, lang FROM documents WHERE source <> 'src0' "
         "AND doc_id NOT IN (SELECT doc_id FROM bad)",
+    ),
+    "q_graph_degree": (
+        q_graph_degree,
+        _MINHASH_SIG_CTE.format(nperm=8)
+        + ", bands AS (SELECT doc_id, b, md5(array_to_string(sigl[b*2+1:b*2+2], '|')) AS bucket "
+        "FROM sig, (SELECT unnest(range(0, 4)) AS b)), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a "
+        "JOIN bands c ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id), "
+        "deg AS (SELECT doc_id, count(*) AS degree FROM "
+        "(SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b FROM pairs) "
+        "GROUP BY doc_id) "
+        "SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree",
     ),
     "q_fuzzy_join": (
         q_fuzzy_join,
