@@ -52,6 +52,7 @@ class PlanSummary:
     n_reused_exchanges: int = 0
     joins: list[str] = field(default_factory=list)
     has_cartesian: bool = False
+    has_bnlj_cross: bool = False
     python_eval_ops: list[str] = field(default_factory=list)
     codegen_spans: int = 0
     pushed_filters: list[str] = field(default_factory=list)
@@ -75,10 +76,9 @@ def plan_summary(df: DataFrame) -> PlanSummary:
         n_file_scans=p.count("FileScan"),
         n_reused_exchanges=p.count("ReusedExchange"),
         joins=_JOIN_RE.findall(p),
-        has_cartesian=(
-            "CartesianProduct" in p
-            or re.search(r"BroadcastNestedLoopJoin [^\n]*Cross", p) is not None
-        ),
+        has_cartesian="CartesianProduct" in p,
+        has_bnlj_cross=re.search(r"BroadcastNestedLoopJoin [^\n]*Cross", p)
+        is not None,
         python_eval_ops=sorted(set(_PY_EVAL_RE.findall(p))),
         codegen_spans=len(set(re.findall(r"\*\((\d+)\)", p))),
         pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", p),

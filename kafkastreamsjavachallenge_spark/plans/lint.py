@@ -47,10 +47,20 @@ def lint(df: DataFrame) -> list[LintFinding]:
         findings.append(
             LintFinding(
                 "cartesian-product",
-                "cross join (CartesianProduct / nested-loop Cross) in plan: "
-                "O(n*m) pair generation does not scale; bound one side or "
-                "add an equi/range key (bounded-block usage is the only "
-                "legitimate exception).",
+                "CartesianProduct in plan: O(n*m) pair generation with both "
+                "sides shuffled does not scale; bound one side or add an "
+                "equi/range key.",
+            )
+        )
+
+    if s.has_bnlj_cross:
+        findings.append(
+            LintFinding(
+                "broadcast-cross-join",
+                "BroadcastNestedLoopJoin Cross in plan: linear in the big "
+                "side ONLY if the broadcast side is bounded (a query row, "
+                "k centroids); verify the broadcast side cannot grow with "
+                "the data.",
             )
         )
 

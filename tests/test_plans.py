@@ -101,7 +101,8 @@ def test_lint_flags_cartesian(spark):
     b = spark.range(10).withColumnRenamed("id", "id2")
     bad = a.crossJoin(b)
     rules = {f.rule for f in lint(bad)}
-    assert "cartesian-product" in rules
+    # small sides broadcast → BNLJ-cross; forced shuffled cross → CartesianProduct
+    assert rules & {"cartesian-product", "broadcast-cross-join"}
 
 
 def test_lint_flags_row_python_udf(spark):
@@ -195,3 +196,22 @@ def test_relayout_parallelizes_single_row_group_input(spark, tmp_path):
     # small tables are left untouched
     pq.write_table(pa.table({"k": [1, 2, 3]}), str(tmp_path / "small.parquet"))
     assert catalog.load_table(spark, str(tmp_path), "small").count() == 3
+
+
+def test_registry_plans_lint_clean(spark):
+    """Every batch query in the registry plans lint-clean at sf0.01; the
+    only allowed findings are the bounded broadcast-cross scores of the
+    similarity / k-means family (query row or k centroids broadcast —
+    linear in the big side by construction)."""
+    from kafkastreamsjavachallenge_spark.queries import registry
+
+    BOUNDED_CROSS = {"q_ann_ivf", "q_ann_lsh", "q_cosine_topk", "q_kmeans", "q_knn_join"}
+    bad = {}
+    for name, (fn, _) in sorted(registry().items()):
+        if name.startswith("q_stream"):
+            continue  # streaming queries execute on construction
+        rules = {f.rule for f in lint(fn(spark, "/root/testdata/sf0.01"))}
+        allowed = {"broadcast-cross-join"} if name in BOUNDED_CROSS else set()
+        if rules - allowed:
+            bad[name] = rules - allowed
+    assert not bad, f"lint regressions: {bad}"
