@@ -127,3 +127,53 @@ def test_text_profile_on_100k_synthetic_docs(spark, tmp_path):
     elapsed = time.time() - t0
     assert kept["n"] == n and kept["s"] == n
     assert elapsed < 90, f"text profile took {elapsed:.1f}s on {n} docs"
+
+
+def test_streaming_flagship_on_1m_synthetic_events(spark, tmp_path):
+    """1M synthetic events drained through the streaming flagship in 5
+    event-time-ordered micro-batches (update mode): final counts equal the
+    batch computation exactly and the drain stays inside a wall bound —
+    the multi-batch watermark/state path at 100× the test fixture."""
+    import glob
+    import os
+    import shutil
+
+    from kafkastreamsjavachallenge_spark.operators.windows import unique_users
+    from kafkastreamsjavachallenge_spark.streaming.pipeline import (
+        file_stream,
+        run_to_memory,
+        streaming_unique_users,
+    )
+
+    n = 1_000_000
+    ev = spark.range(n).select(
+        F.timestamp_seconds(F.lit(1_700_000_000) + (F.col("id") / 2).cast("long")).alias("ts"),
+        ((F.col("id") * 2654435761) % 50_000).cast("string").alias("user_id"),
+    )
+    d = str(tmp_path / "stream1m")
+    os.makedirs(d)
+    chunk = n // 5
+    for i in range(5):
+        # ts is monotone in id, so id-range chunks are time-ordered files
+        src = spark.range(i * chunk, (i + 1) * chunk).select(
+            F.timestamp_seconds(F.lit(1_700_000_000) + (F.col("id") / 2).cast("long")).alias("ts"),
+            ((F.col("id") * 2654435761) % 50_000).cast("string").alias("user_id"),
+        )
+        w = str(tmp_path / f"w{i}")
+        src.coalesce(1).write.mode("overwrite").parquet(w)
+        shutil.move(glob.glob(f"{w}/part-*.parquet")[0], os.path.join(d, f"f{i}.parquet"))
+
+    t0 = time.time()
+    stream = file_stream(spark, d, ev.schema, max_files_per_trigger=1)
+    result = streaming_unique_users(stream, "ts", "user_id", "1 minute", "1 minute")
+    table = run_to_memory(result, output_mode="update", state_partitions=8)
+    final = table.groupBy("window_start").agg(F.max("unique_users").alias("unique_users"))
+    got = {r["window_start"]: r["unique_users"] for r in final.collect()}
+    elapsed = time.time() - t0
+
+    want = {
+        r["window_start"]: r["unique_users"]
+        for r in unique_users(ev, "ts", "user_id").collect()
+    }
+    assert got == want
+    assert elapsed < 120, f"streaming drain took {elapsed:.1f}s on {n} rows"
