@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from kafkastreamsjavachallenge_spark.queries import (
     analytics,
+    breadth,
     core,
     extended,
     llm,
@@ -23,7 +24,7 @@ from kafkastreamsjavachallenge_spark.queries import (
     streaming_q,
 )
 
-_MODULES = (core, relational, extended, analytics, llm, streaming_q)
+_MODULES = (core, relational, extended, analytics, breadth, llm, streaming_q)
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
