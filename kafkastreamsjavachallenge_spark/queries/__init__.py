@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from kafkastreamsjavachallenge_spark.queries import (
     analytics,
+    applied,
     breadth,
     core,
     extended,
@@ -24,7 +25,7 @@ from kafkastreamsjavachallenge_spark.queries import (
     streaming_q,
 )
 
-_MODULES = (core, relational, extended, analytics, breadth, llm, streaming_q)
+_MODULES = (core, relational, extended, analytics, breadth, applied, llm, streaming_q)
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

@@ -202,10 +202,19 @@ def test_registry_plans_lint_clean(spark):
     """Every batch query in the registry plans lint-clean at sf0.01; the
     only allowed findings are the bounded broadcast-cross scores of the
     similarity / k-means family (query row or k centroids broadcast —
-    linear in the big side by construction)."""
+    linear in the big side by construction) and of queries that attach a
+    1-row global aggregate (max date, total-order count) by broadcast."""
     from kafkastreamsjavachallenge_spark.queries import registry
 
-    BOUNDED_CROSS = {"q_ann_ivf", "q_ann_lsh", "q_cosine_topk", "q_kmeans", "q_knn_join"}
+    BOUNDED_CROSS = {
+        "q_ann_ivf",
+        "q_ann_lsh",
+        "q_cosine_topk",
+        "q_kmeans",
+        "q_knn_join",
+        "q_cooccurrence",
+        "q_rfm",
+    }
     bad = {}
     for name, (fn, _) in sorted(registry().items()):
         if name.startswith("q_stream"):
