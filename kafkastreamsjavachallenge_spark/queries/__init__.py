@@ -20,12 +20,23 @@ from kafkastreamsjavachallenge_spark.queries import (
     breadth,
     core,
     extended,
+    graphs,
     llm,
     relational,
     streaming_q,
 )
 
-_MODULES = (core, relational, extended, analytics, breadth, applied, llm, streaming_q)
+_MODULES = (
+    core,
+    relational,
+    extended,
+    analytics,
+    breadth,
+    applied,
+    graphs,
+    llm,
+    streaming_q,
+)
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

@@ -1,0 +1,366 @@
+"""Graph-analytics pack over a user co-occurrence graph, plus two
+scale-pattern queries (algebraic partial-aggregate merge, single-pass
+histogram quantile).
+
+The graph is derived from the events stream the reference processes
+(UniqueUsersApp.java:91-134 groups the same stream by minute): two users
+are connected if they emitted the same event type in the same minute.
+Buckets larger than MAX_BUCKET users are dropped before pairing — the
+standard bound that keeps the per-bucket pair blowup O(cap^2) instead of
+O(heavy-hitter^2), i.e. skew control by construction rather than by
+salting (a minute with a million users would otherwise generate 5e11
+pairs).  All graph queries are pure Catalyst joins/aggregates over the
+bounded edge list; everything is integer arithmetic until a final
+rounded ratio, so oracle hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kafkastreamsjavachallenge_spark.catalog import load_table
+
+MAX_BUCKET = 20
+
+# Shared CTE prefix for the oracle SQL: distinct (type, minute, user)
+# memberships -> bucket-size cap -> ordered unique edges (ua < ub).
+_EDGE_CTE = (
+    "WITH b AS (SELECT event_type, date_trunc('minute', ts) AS m, user_id "
+    "FROM events GROUP BY 1, 2, 3), "
+    "sz AS (SELECT event_type, m, count(*) AS c FROM b GROUP BY 1, 2), "
+    "ok AS (SELECT b.* FROM b JOIN sz USING (event_type, m) "
+    f"WHERE c <= {MAX_BUCKET}), "
+    "e AS (SELECT DISTINCT a.user_id AS ua, o.user_id AS ub "
+    "FROM ok a JOIN ok o ON a.event_type = o.event_type AND a.m = o.m "
+    "AND a.user_id < o.user_id) "
+)
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def _edges(spark, sf_dir):
+    """Ordered unique edge list (ua < ub) of the co-occurrence graph.
+    Two shuffles total: the membership distinct and the pair distinct —
+    the self-join itself is co-partitioned on the bucket key."""
+    ev = _t(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            F.date_trunc("minute", "ts").alias("m"),
+            "user_id",
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type", "m")
+    ok = b.withColumn("c", F.count("*").over(w)).filter(
+        F.col("c") <= MAX_BUCKET
+    )
+    a, o = ok.alias("a"), ok.alias("o")
+    return (
+        a.join(
+            o,
+            (F.col("a.event_type") == F.col("o.event_type"))
+            & (F.col("a.m") == F.col("o.m"))
+            & (F.col("a.user_id") < F.col("o.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("ua"), F.col("o.user_id").alias("ub")
+        )
+        .distinct()
+    )
+
+
+def _undirected(e):
+    return e.select(F.col("ua").alias("a"), F.col("ub").alias("b")).unionAll(
+        e.select(F.col("ub").alias("a"), F.col("ua").alias("b"))
+    )
+
+
+# --------------------------------------------- triangle counting
+
+
+def q_triangle_count(spark, sf_dir):
+    """Exact triangle count + global clustering coefficient via the
+    ordered-edge three-way self-join (each triangle counted exactly once
+    because ua < ub orders every edge); wedges come from the degree
+    table (sum of deg*(deg-1)/2).  All joins hash-partition on user ids;
+    with the bucket cap the edge list is linear in the input, so this is
+    the standard distributed triangle algorithm (node-iterator on the
+    ordered edge set)."""
+    e = _edges(spark, sf_dir)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.ub") == F.col("e2.ua"))
+        .join(
+            e3,
+            (F.col("e1.ua") == F.col("e3.ua"))
+            & (F.col("e2.ub") == F.col("e3.ub")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = _undirected(e).groupBy("a").agg(F.count("*").alias("deg"))
+    wed = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+        F.count("*").alias("n_nodes"),
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(wed))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering"),
+        )
+    )
+
+
+# --------------------------------------------- neighbor Jaccard
+
+
+def q_jaccard_neighbors(spark, sf_dir):
+    """Top-20 user pairs by neighborhood Jaccard similarity
+    |N(a) n N(b)| / |N(a) u N(b)| — link-prediction's baseline score.
+    Common-neighbor counts come from one self-join of the undirected
+    edge list on the shared neighbor (hash-partitioned on the neighbor
+    id); degrees broadcast in.  Integer counts throughout, rounded ratio
+    + full pair tie-break for a deterministic top-20."""
+    und = _undirected(_edges(spark, sf_dir))
+    deg = und.groupBy("a").agg(F.count("*").alias("deg"))
+    n1, n2 = und.alias("n1"), und.alias("n2")
+    common = (
+        n1.join(
+            n2,
+            (F.col("n1.b") == F.col("n2.b"))
+            & (F.col("n1.a") < F.col("n2.a")),
+        )
+        .groupBy(F.col("n1.a").alias("u"), F.col("n2.a").alias("v"))
+        .agg(F.count("*").alias("common"))
+    )
+    da = deg.withColumnsRenamed({"a": "u", "deg": "deg_u"})
+    db = deg.withColumnsRenamed({"a": "v", "deg": "deg_v"})
+    j = (
+        common.join(F.broadcast(da), "u")
+        .join(F.broadcast(db), "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return j.orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v")).limit(20)
+
+
+# --------------------------------------------- PageRank (iterative)
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank (d = 0.85, 5 fixed iterations) on the undirected
+    co-occurrence graph — the canonical iterative DataFrame algorithm:
+    rank table joined to the out-edge list, contributions aggregated per
+    destination, damping applied, repeat.  Each iteration is one shuffle
+    on the node id; at scale the edge list would be pre-partitioned once
+    and every iteration reuses that partitioning.  localCheckpoint
+    truncates the per-iteration lineage (same pattern as
+    operators/similarity.py kmeans; reliable checkpoint on a cluster).
+    Iterative fixpoint -> not SQL-expressible -> rows-only check; top-10
+    with rounded ranks and node-id tie-break keeps the output stable."""
+    und = _undirected(_edges(spark, sf_dir)).localCheckpoint(eager=True)
+    deg = und.groupBy("a").agg(F.count("*").alias("out_deg"))
+    ranks = deg.select("a", F.lit(1.0).alias("rank"))
+    for _ in range(5):
+        contribs = (
+            und.join(ranks, "a")
+            .join(deg, "a")
+            .select(
+                F.col("b").alias("a"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("a")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            deg.join(contribs, "a", "left")
+            .select(
+                "a",
+                (
+                    F.lit(0.15) + F.lit(0.85) * F.coalesce("s", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        ranks.select("a", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("a"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------- partial-aggregate merge
+
+
+def q_reagg_merge(spark, sf_dir):
+    """Algebraic-aggregate decomposition: daily partials (sum / count /
+    min / max per day x flag) merged into monthly rollups with sum-of-
+    sums, sum-of-counts, min-of-mins — and avg recomputed from the
+    merged sum/count rather than averaged-of-averages.  This is the
+    incremental-view-maintenance pattern: at 100 TB the daily partials
+    are what you persist, and month/quarter/year views merge them
+    without rescanning the fact table.  The merged average is emitted in
+    exact fixed-point (price * 10^4, integer-divided) because a rounded
+    double quotient can land exactly on a .xxxx5 boundary where Spark's
+    BigDecimal HALF_UP and DuckDB's binary-double rounding disagree."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag", F.date_trunc("day", "l_shipdate").alias("d")
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("s"),
+        F.count("*").alias("c"),
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    merged = daily.groupBy(
+        "l_returnflag", F.date_trunc("month", "d").alias("month")
+    ).agg(
+        F.sum("s").alias("s_dec"),
+        F.sum("c").alias("n"),
+        F.min("mn").alias("min_price"),
+        F.max("mx").alias("max_price"),
+    )
+    return merged.select(
+        "l_returnflag",
+        "month",
+        F.col("s_dec").cast("double").alias("sum_price"),
+        "n",
+        "min_price",
+        "max_price",
+        F.expr("CAST(s_dec * 10000 AS BIGINT) div n").alias("avg_price_e4"),
+    )
+
+
+# --------------------------------------------- histogram quantile
+
+
+def q_hist_quantile(spark, sf_dir):
+    """Single-pass-style approximate median via a 1000-bin fixed-width
+    histogram: global min/max (1-row broadcast), integer bin assignment,
+    bin counts, then the first bin whose cumulative count crosses n/2 —
+    the mergeable, sort-free quantile pattern that scales where exact
+    percentile (full sort) does not.  Bin math is identical IEEE double
+    arithmetic in both engines, and everything after the 1000-row bin
+    table is integer, so the result is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    mm = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    binned = li.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 1000
+            ).cast("int"),
+            F.lit(999),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    bins = binned.groupBy("bin", "lo", "hi").agg(F.count("*").alias("c"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = bins.select(
+        "bin",
+        "lo",
+        "hi",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    med = cum.filter(F.col("cum") * 2 >= F.col("n")).orderBy("bin").limit(1)
+    return med.select(
+        "bin",
+        "n",
+        F.round(
+            F.col("lo")
+            + (F.col("bin") + 0.5) / 1000 * (F.col("hi") - F.col("lo")),
+            4,
+        ).alias("approx_median"),
+    )
+
+
+QUERIES = {
+    "q_triangle_count": (
+        q_triangle_count,
+        _EDGE_CTE
+        + ", tri AS (SELECT count(*) AS n_triangles FROM e e1 "
+        "JOIN e e2 ON e1.ub = e2.ua "
+        "JOIN e e3 ON e1.ua = e3.ua AND e2.ub = e3.ub), "
+        "und AS (SELECT ua AS a, ub AS b FROM e "
+        "UNION ALL SELECT ub, ua FROM e), "
+        "deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a), "
+        "wed AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) "
+        "AS n_wedges, count(*) AS n_nodes FROM deg), "
+        "ne AS (SELECT count(*) AS n_edges FROM e) "
+        "SELECT n_nodes, n_edges, n_triangles, "
+        "round(3.0 * n_triangles / n_wedges, 6) AS clustering "
+        "FROM tri CROSS JOIN wed CROSS JOIN ne",
+    ),
+    "q_jaccard_neighbors": (
+        q_jaccard_neighbors,
+        _EDGE_CTE
+        + ", und AS (SELECT ua AS a, ub AS b FROM e "
+        "UNION ALL SELECT ub, ua FROM e), "
+        "deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a), "
+        "common AS (SELECT n1.a AS u, n2.a AS v, count(*) AS common "
+        "FROM und n1 JOIN und n2 ON n1.b = n2.b AND n1.a < n2.a "
+        "GROUP BY 1, 2) "
+        "SELECT u, v, common, "
+        "round(common / (du.deg + dv.deg - common), 6) AS jaccard "
+        "FROM common JOIN deg du ON common.u = du.a "
+        "JOIN deg dv ON common.v = dv.a "
+        "ORDER BY jaccard DESC, u ASC, v ASC LIMIT 20",
+    ),
+    "q_pagerank": (q_pagerank, None),
+    "q_reagg_merge": (
+        q_reagg_merge,
+        "WITH daily AS (SELECT l_returnflag, "
+        "date_trunc('day', l_shipdate) AS d, "
+        "sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS s, count(*) AS c, "
+        "min(l_extendedprice) AS mn, max(l_extendedprice) AS mx "
+        "FROM lineitem GROUP BY 1, 2), "
+        "merged AS (SELECT l_returnflag, date_trunc('month', d) AS month, "
+        "sum(s) AS s_dec, sum(c) AS n, min(mn) AS min_price, "
+        "max(mx) AS max_price FROM daily GROUP BY 1, 2) "
+        "SELECT l_returnflag, month, CAST(s_dec AS DOUBLE) AS sum_price, "
+        "n, min_price, max_price, "
+        "CAST(s_dec * 10000 AS BIGINT) // n AS avg_price_e4 FROM merged",
+    ),
+    "q_hist_quantile": (
+        q_hist_quantile,
+        "WITH mm AS (SELECT min(l_extendedprice) AS lo, "
+        "max(l_extendedprice) AS hi FROM lineitem), "
+        "binned AS (SELECT least(CAST(floor((l_extendedprice - lo) / "
+        "(hi - lo) * 1000) AS INT), 999) AS bin, lo, hi "
+        "FROM lineitem CROSS JOIN mm), "
+        "bins AS (SELECT bin, lo, hi, count(*) AS c FROM binned "
+        "GROUP BY 1, 2, 3), "
+        "cum AS (SELECT bin, lo, hi, "
+        "sum(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW) AS cum, sum(c) OVER () AS n FROM bins) "
+        "SELECT bin, n, round(lo + (bin + 0.5) / 1000 * (hi - lo), 4) "
+        "AS approx_median FROM cum WHERE cum * 2 >= n "
+        "ORDER BY bin LIMIT 1",
+    ),
+}

@@ -214,6 +214,8 @@ def test_registry_plans_lint_clean(spark):
         "q_knn_join",
         "q_cooccurrence",
         "q_rfm",
+        "q_triangle_count",
+        "q_hist_quantile",
     }
     bad = {}
     for name, (fn, _) in sorted(registry().items()):
