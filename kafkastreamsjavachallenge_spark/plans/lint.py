@@ -84,8 +84,19 @@ def lint(df: DataFrame) -> list[LintFinding]:
                 )
             )
 
-    # Filter immediately above a scan with no pushed filters.
-    for m in re.finditer(r"Filter [^\n]*\n[^\n]*FileScan[^\n]*PushedFilters: \[\]", p):
+    # Filter immediately above a scan with no pushed filters.  An
+    # isnotnull-ONLY filter left unpushed is always a null check Catalyst
+    # inferred on a COMPUTED join key (floor(expr), hash(col), ...):
+    # plain-column IsNotNull is pushable and Spark always pushes it, so
+    # the unpushed form is unpushable by construction, not a lost
+    # optimization — skip it.
+    for m in re.finditer(r"Filter ([^\n]*)\n[^\n]*FileScan[^\n]*PushedFilters: \[\]", p):
+        preds = m.group(1)
+        # null-checks only: no comparison / string / set predicate present
+        if not re.search(
+            r"[<>]|= |LIKE|Contains|StartsWith|EndsWith|RLike| IN \(", preds
+        ):
+            continue
         findings.append(
             LintFinding(
                 "no-pushdown-with-filter",

@@ -24,6 +24,7 @@ from kafkastreamsjavachallenge_spark.queries import (
     llm,
     relational,
     streaming_q,
+    timeseries,
 )
 
 _MODULES = (
@@ -34,6 +35,7 @@ _MODULES = (
     breadth,
     applied,
     graphs,
+    timeseries,
     llm,
     streaming_q,
 )

@@ -1,0 +1,301 @@
+"""Time-series & spatial pack: calendar-spine gap filling with forward
+fill, gaps-and-islands streak detection, grid-bucketed spatial joins,
+OHLC resampling, and URL parsing.
+
+These are the time-series shapes the reference's per-minute output table
+feeds directly (README.md:63-83 is itself a gappy minute series — the
+golden table skips minutes with no traffic): filling the gaps, finding
+streaks, and resampling it to coarser grains are the next queries its
+user writes.  All queries stay in built-in Catalyst expressions; the
+spine/explode fan-outs are bounded by the calendar (|days|), never by
+the fact-table row count, and the spatial join is the standard
+grid-bucket decomposition that replaces an O(n*m) cross join with a
+per-cell equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kafkastreamsjavachallenge_spark.catalog import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------- calendar gap fill
+
+
+def q_gap_fill(spark, sf_dir):
+    """Calendar-spine gap filling of a sparse daily series (days with
+    high-value events per type): per-type min/max day -> sequence()
+    date spine (explode bounded by |days|, not rows) -> left join the
+    observed counts -> zero-fill plus forward-fill of the last observed
+    value (last() IGNORE NULLS over an unbounded-preceding frame).  The
+    fact table is aggregated before the spine join, so the join's left
+    side is |types| x |days| however large the input."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value") > 190)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    j = spine.join(daily, ["event_type", "day"], "left")
+    return j.select(
+        "event_type",
+        "day",
+        F.coalesce("cnt", F.lit(0)).alias("cnt_zero"),
+        F.last("cnt", ignorenulls=True).over(w).alias("cnt_ffill"),
+        F.col("cnt").isNull().cast("int").alias("was_gap"),
+    )
+
+
+# --------------------------------------------- gaps and islands
+
+
+def q_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user via the
+    gaps-and-islands idiom: distinct active days, island key =
+    day - row_number() days (constant within a consecutive run), group
+    to streak lengths, max per user, then the distribution of longest
+    streaks.  Pure date/integer arithmetic end-to-end; the only
+    fact-table shuffle is the distinct (user, day) aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = d.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len")
+    )
+    longest = streaks.groupBy("user_id").agg(F.max("len").alias("best"))
+    return longest.groupBy("best").agg(F.count("*").alias("n_users"))
+
+
+# --------------------------------------------- grid-bucketed spatial join
+
+
+def q_grid_join(spark, sf_dir):
+    """Spatial near-join via grid bucketing: key-derived lat/lon for
+    suppliers and customers, 10-degree grid cells, suppliers replicated
+    into their 3x3 cell neighborhood (a bounded 9x explode), equi-join
+    on the cell, then the exact rounded-haversine predicate (< 2000 km).
+    This is the standard decomposition that makes a distance join
+    hash-partitionable: the shuffle key is the grid cell, the cross
+    product is confined to one neighborhood, and skew is bounded by
+    cell population, not dataset size."""
+    su = _t(spark, sf_dir, "supplier")
+    cu = _t(spark, sf_dir, "customer")
+
+    def coords(df, key):
+        return df.withColumns(
+            {
+                "lat": (F.col(key) % 181 - 90).cast("double"),
+                "lon": (F.col(key) * 7 % 361 - 180).cast("double"),
+            }
+        )
+
+    sup = coords(su.select("s_suppkey", "s_nationkey"), "s_suppkey")
+    cus = coords(cu.select("c_custkey"), "c_custkey")
+    off = F.expr(
+        "explode(array(-1, 0, 1))"
+    )
+    sup9 = (
+        sup.withColumn("dx", off)
+        .withColumn("dy", F.expr("explode(array(-1, 0, 1))"))
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            F.col("lat").alias("s_lat"),
+            F.col("lon").alias("s_lon"),
+            (F.floor(F.col("lat") / 10) + F.col("dx")).alias("cx"),
+            (F.floor(F.col("lon") / 10) + F.col("dy")).alias("cy"),
+        )
+    )
+    cus_g = cus.select(
+        "c_custkey",
+        F.col("lat").alias("c_lat"),
+        F.col("lon").alias("c_lon"),
+        F.floor(F.col("lat") / 10).alias("cx"),
+        F.floor(F.col("lon") / 10).alias("cy"),
+    )
+    dlat = (F.radians(F.col("c_lat")) - F.radians(F.col("s_lat"))) / 2
+    dlon = (F.radians(F.col("c_lon")) - F.radians(F.col("s_lon"))) / 2
+    h = F.sin(dlat) * F.sin(dlat) + F.cos(F.radians(F.col("s_lat"))) * F.cos(
+        F.radians(F.col("c_lat"))
+    ) * F.sin(dlon) * F.sin(dlon)
+    km = F.round(2 * 6371.0 * F.asin(F.sqrt(h)), 4)
+    pairs = (
+        sup9.join(cus_g, ["cx", "cy"])
+        .withColumn("km", km)
+        .filter(F.col("km") < 2000.0)
+        .select("s_suppkey", "s_nationkey", "c_custkey", "km")
+        .distinct()
+    )
+    return pairs.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("c_custkey").alias("n_customers"),
+        F.min("km").alias("min_km"),
+    )
+
+
+# --------------------------------------------- OHLC resample
+
+
+def q_resample_ohlc(spark, sf_dir):
+    """Weekly OHLC resample of the daily revenue series: open/close via
+    min_by/max_by on the day key (each day is unique within its week, so
+    the argmin/argmax is deterministic), high/low as plain min/max.
+    Two cheap aggregates: fact -> day (one shuffle), day -> week (|days|
+    rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("rev")
+    )
+    return daily.groupBy(
+        F.date_trunc("week", "d").cast("date").alias("week")
+    ).agg(
+        F.round(F.min_by("rev", "d"), 4).alias("open"),
+        F.round(F.max("rev"), 4).alias("high"),
+        F.round(F.min("rev"), 4).alias("low"),
+        F.round(F.max_by("rev", "d"), 4).alias("close"),
+        F.count("*").alias("n_days"),
+    )
+
+
+# --------------------------------------------- URL parsing
+
+
+def q_url_parse(spark, sf_dir):
+    """URL synthesis + parse-back: build a URL from customer attributes,
+    then extract scheme/host/path with the same regex in both engines
+    (kept RE2-simple: no backtracking constructs).  The per-host rollup
+    is a plain hash aggregate; regexes run in the JVM (no Python)."""
+    cu = _t(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_replace("c_mktsegment", " ", "-")),
+        F.lit(".example.com/cust/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?n="),
+        F.col("c_nationkey").cast("string"),
+    )
+    u = cu.select(url.alias("url"))
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    path = F.regexp_extract("url", r"^https?://[^/]+(/[^?]*)", 1)
+    return (
+        u.select(host.alias("host"), path.alias("path"))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("path").alias("n_paths"),
+            F.min("path").alias("first_path"),
+        )
+    )
+
+
+QUERIES = {
+    "q_gap_fill": (
+        q_gap_fill,
+        "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+        "count(*) AS cnt FROM events WHERE value > 190 GROUP BY 1, 2), "
+        "bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1 "
+        "FROM daily GROUP BY 1), "
+        "spine AS (SELECT event_type, "
+        "CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) "
+        "AS day FROM bounds) "
+        "SELECT spine.event_type, spine.day, "
+        "coalesce(cnt, 0) AS cnt_zero, "
+        "last_value(cnt IGNORE NULLS) OVER (PARTITION BY spine.event_type "
+        "ORDER BY spine.day ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS cnt_ffill, "
+        "CAST(cnt IS NULL AS INT) AS was_gap "
+        "FROM spine LEFT JOIN daily ON spine.event_type = daily.event_type "
+        "AND spine.day = daily.day",
+    ),
+    "q_streaks": (
+        q_streaks,
+        "WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+        "FROM events), "
+        "isl AS (SELECT user_id, day - CAST(row_number() OVER "
+        "(PARTITION BY user_id ORDER BY day) AS INT) AS anchor FROM d), "
+        "streaks AS (SELECT user_id, anchor, count(*) AS len FROM isl "
+        "GROUP BY 1, 2), "
+        "longest AS (SELECT user_id, max(len) AS best FROM streaks "
+        "GROUP BY 1) "
+        "SELECT best, count(*) AS n_users FROM longest GROUP BY best",
+    ),
+    "q_grid_join": (
+        q_grid_join,
+        "WITH sup AS (SELECT s_suppkey, s_nationkey, "
+        "CAST(s_suppkey % 181 - 90 AS DOUBLE) AS s_lat, "
+        "CAST(s_suppkey * 7 % 361 - 180 AS DOUBLE) AS s_lon FROM supplier), "
+        "cus AS (SELECT c_custkey, "
+        "CAST(c_custkey % 181 - 90 AS DOUBLE) AS c_lat, "
+        "CAST(c_custkey * 7 % 361 - 180 AS DOUBLE) AS c_lon FROM customer), "
+        "sup9 AS (SELECT s.*, CAST(floor(s_lat / 10) AS BIGINT) + dx.o "
+        "AS cx, CAST(floor(s_lon / 10) AS BIGINT) + dy.o AS cy "
+        "FROM sup s, (VALUES (-1), (0), (1)) dx(o), "
+        "(VALUES (-1), (0), (1)) dy(o)), "
+        "cusg AS (SELECT c.*, CAST(floor(c_lat / 10) AS BIGINT) AS cx, "
+        "CAST(floor(c_lon / 10) AS BIGINT) AS cy FROM cus c), "
+        "pairs AS (SELECT DISTINCT s_suppkey, s_nationkey, c_custkey, "
+        "round(2 * 6371.0 * asin(sqrt("
+        "sin((radians(c_lat) - radians(s_lat)) / 2) * "
+        "sin((radians(c_lat) - radians(s_lat)) / 2) + "
+        "cos(radians(s_lat)) * cos(radians(c_lat)) * "
+        "sin((radians(c_lon) - radians(s_lon)) / 2) * "
+        "sin((radians(c_lon) - radians(s_lon)) / 2))), 4) AS km "
+        "FROM sup9 JOIN cusg USING (cx, cy) "
+        "WHERE round(2 * 6371.0 * asin(sqrt("
+        "sin((radians(c_lat) - radians(s_lat)) / 2) * "
+        "sin((radians(c_lat) - radians(s_lat)) / 2) + "
+        "cos(radians(s_lat)) * cos(radians(c_lat)) * "
+        "sin((radians(c_lon) - radians(s_lon)) / 2) * "
+        "sin((radians(c_lon) - radians(s_lon)) / 2))), 4) < 2000.0) "
+        "SELECT s_nationkey, count(*) AS n_pairs, "
+        "count(DISTINCT c_custkey) AS n_customers, min(km) AS min_km "
+        "FROM pairs GROUP BY s_nationkey",
+    ),
+    "q_resample_ohlc": (
+        q_resample_ohlc,
+        "WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) "
+        "AS rev FROM lineitem GROUP BY 1) "
+        "SELECT CAST(date_trunc('week', d) AS DATE) AS week, "
+        "round(min_by(rev, d), 4) AS open, round(max(rev), 4) AS high, "
+        "round(min(rev), 4) AS low, round(max_by(rev, d), 4) AS close, "
+        "count(*) AS n_days FROM daily GROUP BY 1",
+    ),
+    "q_url_parse": (
+        q_url_parse,
+        "WITH u AS (SELECT 'https://' || "
+        "lower(replace(c_mktsegment, ' ', '-')) || "
+        "'.example.com/cust/' || CAST(c_custkey AS VARCHAR) || '?n=' || "
+        "CAST(c_nationkey AS VARCHAR) AS url FROM customer), "
+        "p AS (SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
+        "regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path FROM u) "
+        "SELECT host, count(*) AS n, count(DISTINCT path) AS n_paths, "
+        "min(path) AS first_path FROM p GROUP BY host",
+    ),
+}
