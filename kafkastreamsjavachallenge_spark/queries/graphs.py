@@ -20,6 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from kafkastreamsjavachallenge_spark.catalog import load_table
+from kafkastreamsjavachallenge_spark.operators import graph as G
 
 MAX_BUCKET = 20
 
@@ -73,36 +74,19 @@ def _edges(spark, sf_dir):
     )
 
 
-def _undirected(e):
-    return e.select(F.col("ua").alias("a"), F.col("ub").alias("b")).unionAll(
-        e.select(F.col("ub").alias("a"), F.col("ua").alias("b"))
-    )
-
-
 # --------------------------------------------- triangle counting
 
 
 def q_triangle_count(spark, sf_dir):
-    """Exact triangle count + global clustering coefficient via the
-    ordered-edge three-way self-join (each triangle counted exactly once
-    because ua < ub orders every edge); wedges come from the degree
-    table (sum of deg*(deg-1)/2).  All joins hash-partition on user ids;
-    with the bucket cap the edge list is linear in the input, so this is
-    the standard distributed triangle algorithm (node-iterator on the
-    ordered edge set)."""
+    """Exact triangle count + global clustering coefficient
+    (operators/graph.py triangle_count: ordered-edge three-way
+    self-join, each triangle generated exactly once); wedges come from
+    the degree table (sum of deg*(deg-1)/2).  All joins hash-partition
+    on user ids; with the bucket cap the edge list is linear in the
+    input."""
     e = _edges(spark, sf_dir)
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.ub") == F.col("e2.ua"))
-        .join(
-            e3,
-            (F.col("e1.ua") == F.col("e3.ua"))
-            & (F.col("e2.ub") == F.col("e3.ub")),
-        )
-        .agg(F.count("*").alias("n_triangles"))
-    )
-    deg = _undirected(e).groupBy("a").agg(F.count("*").alias("deg"))
-    wed = deg.agg(
+    tri = G.triangle_count(e)
+    wed = G.degrees(e).agg(
         F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
         .cast("bigint")
         .alias("n_wedges"),
@@ -128,38 +112,11 @@ def q_triangle_count(spark, sf_dir):
 
 def q_jaccard_neighbors(spark, sf_dir):
     """Top-20 user pairs by neighborhood Jaccard similarity
-    |N(a) n N(b)| / |N(a) u N(b)| — link-prediction's baseline score.
-    Common-neighbor counts come from one self-join of the undirected
-    edge list on the shared neighbor (hash-partitioned on the neighbor
-    id); degrees broadcast in.  Integer counts throughout, rounded ratio
-    + full pair tie-break for a deterministic top-20."""
-    und = _undirected(_edges(spark, sf_dir))
-    deg = und.groupBy("a").agg(F.count("*").alias("deg"))
-    n1, n2 = und.alias("n1"), und.alias("n2")
-    common = (
-        n1.join(
-            n2,
-            (F.col("n1.b") == F.col("n2.b"))
-            & (F.col("n1.a") < F.col("n2.a")),
-        )
-        .groupBy(F.col("n1.a").alias("u"), F.col("n2.a").alias("v"))
-        .agg(F.count("*").alias("common"))
-    )
-    da = deg.withColumnsRenamed({"a": "u", "deg": "deg_u"})
-    db = deg.withColumnsRenamed({"a": "v", "deg": "deg_v"})
-    j = (
-        common.join(F.broadcast(da), "u")
-        .join(F.broadcast(db), "v")
-        .select(
-            "u",
-            "v",
-            "common",
-            F.round(
-                F.col("common")
-                / (F.col("deg_u") + F.col("deg_v") - F.col("common")),
-                6,
-            ).alias("jaccard"),
-        )
+    (operators/graph.py neighbor_jaccard) — link-prediction's baseline
+    score.  Integer counts throughout, rounded ratio + full pair
+    tie-break for a deterministic top-20."""
+    j = G.neighbor_jaccard(_edges(spark, sf_dir)).select(
+        "u", "v", "common", F.round("jaccard", 6).alias("jaccard")
     )
     return j.orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v")).limit(20)
 
@@ -168,40 +125,14 @@ def q_jaccard_neighbors(spark, sf_dir):
 
 
 def q_pagerank(spark, sf_dir):
-    """PageRank (d = 0.85, 5 fixed iterations) on the undirected
-    co-occurrence graph — the canonical iterative DataFrame algorithm:
-    rank table joined to the out-edge list, contributions aggregated per
-    destination, damping applied, repeat.  Each iteration is one shuffle
-    on the node id; at scale the edge list would be pre-partitioned once
-    and every iteration reuses that partitioning.  localCheckpoint
-    truncates the per-iteration lineage (same pattern as
-    operators/similarity.py kmeans; reliable checkpoint on a cluster).
-    Iterative fixpoint -> not SQL-expressible -> rows-only check; top-10
-    with rounded ranks and node-id tie-break keeps the output stable."""
-    und = _undirected(_edges(spark, sf_dir)).localCheckpoint(eager=True)
-    deg = und.groupBy("a").agg(F.count("*").alias("out_deg"))
-    ranks = deg.select("a", F.lit(1.0).alias("rank"))
-    for _ in range(5):
-        contribs = (
-            und.join(ranks, "a")
-            .join(deg, "a")
-            .select(
-                F.col("b").alias("a"),
-                (F.col("rank") / F.col("out_deg")).alias("c"),
-            )
-            .groupBy("a")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            deg.join(contribs, "a", "left")
-            .select(
-                "a",
-                (
-                    F.lit(0.15) + F.lit(0.85) * F.coalesce("s", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=False)
-        )
+    """PageRank (d = 0.85, 5 fixed iterations; operators/graph.py
+    pagerank) on the undirected co-occurrence graph — the canonical
+    iterative DataFrame algorithm.  Each iteration is one shuffle on the
+    node id; at scale the edge list would be pre-partitioned once and
+    every iteration reuses that partitioning.  Iterative fixpoint -> not
+    SQL-expressible -> rows-only check; top-10 with rounded ranks and
+    node-id tie-break keeps the output stable."""
+    ranks = G.pagerank(_edges(spark, sf_dir), iters=5, damping=0.85)
     return (
         ranks.select("a", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("a"))

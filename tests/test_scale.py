@@ -177,3 +177,41 @@ def test_streaming_flagship_on_1m_synthetic_events(spark, tmp_path):
     }
     assert got == want
     assert elapsed < 120, f"streaming drain took {elapsed:.1f}s on {n} rows"
+
+
+def test_triangle_count_on_ladder_graph(spark):
+    """600k-edge ladder graph with an analytically known triangle count:
+    edges (i, i+1) and (i, i+2) give exactly one triangle per interior
+    node -> n-2 triangles.  Pins that the ordered-edge three-way join
+    (operators/graph.py) stays hash-partitioned and exact well past the
+    bench edge-list size, and that PageRank's 5 iterations complete in
+    bounded time on the same graph."""
+    from kafkastreamsjavachallenge_spark.operators.graph import (
+        pagerank,
+        triangle_count,
+    )
+
+    n = 300_000
+    step1 = spark.range(n - 1).select(
+        F.col("id").alias("ua"), (F.col("id") + 1).alias("ub")
+    )
+    step2 = spark.range(n - 2).select(
+        F.col("id").alias("ua"), (F.col("id") + 2).alias("ub")
+    )
+    edges = step1.unionAll(step2)
+
+    t0 = time.time()
+    tri = triangle_count(edges).first()["n_triangles"]
+    elapsed = time.time() - t0
+    assert tri == n - 2
+    assert elapsed < 60, f"triangle count took {elapsed:.1f}s on {2 * n - 3} edges"
+
+    t0 = time.time()
+    ranks = pagerank(edges, iters=5)
+    assert ranks.count() == n
+    # interior nodes all share degree 4 -> identical rank by symmetry
+    mid = ranks.filter((F.col("a") >= 100) & (F.col("a") < n - 100))
+    distinct_mid = mid.select(F.round("rank", 9)).distinct().count()
+    assert distinct_mid <= 3
+    elapsed = time.time() - t0
+    assert elapsed < 90, f"pagerank took {elapsed:.1f}s on {2 * n - 3} edges"
