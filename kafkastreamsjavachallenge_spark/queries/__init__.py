@@ -22,6 +22,7 @@ from kafkastreamsjavachallenge_spark.queries import (
     extended,
     graphs,
     llm,
+    quality,
     relational,
     streaming_q,
     timeseries,
@@ -36,6 +37,7 @@ _MODULES = (
     applied,
     graphs,
     timeseries,
+    quality,
     llm,
     streaming_q,
 )

@@ -216,6 +216,8 @@ def test_registry_plans_lint_clean(spark):
         "q_rfm",
         "q_triangle_count",
         "q_hist_quantile",
+        "q_dq_audit",
+        "q_bloom_fpr",
     }
     bad = {}
     for name, (fn, _) in sorted(registry().items()):
