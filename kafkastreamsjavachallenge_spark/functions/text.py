@@ -135,12 +135,16 @@ def mean_token_len(toks: Column) -> Column:
 
 
 def quality_score(toks: Column) -> Column:
-    """Deterministic quality score in [0,1]: blend of type-token ratio and
-    capped mean token length.  The blend is arbitrary but stable — the point
-    is the operator shape (pure projection, no shuffle)."""
+    """Deterministic quality score, fixed-point in [0, 10000]: blend of
+    type-token ratio and capped mean token length.  The blend is arbitrary
+    but stable — the point is the operator shape (pure projection, no
+    shuffle).  Emitted as floor(score * 1e4): floor on the binary double
+    is rounding-mode-free, whereas round(x, 4) can land on a .xxxx5
+    boundary where Spark (BigDecimal HALF_UP) and DuckDB (binary round)
+    disagree (observed at sf0.1)."""
     ttr = type_token_ratio(toks)
     mtl = F.least(mean_token_len(toks) / F.lit(10.0), F.lit(1.0))
-    return F.round(ttr * 0.5 + mtl * 0.5, 4)
+    return F.floor((ttr * 0.5 + mtl * 0.5) * 10000).cast("bigint")
 
 
 def pandas_token_count():

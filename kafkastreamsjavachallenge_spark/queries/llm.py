@@ -342,7 +342,7 @@ def q_quality_score(spark, sf_dir):
         F.size("toks").alias("n_tokens"),
         F.round(T.type_token_ratio(F.col("toks")), 4).alias("ttr"),
         F.round(T.mean_token_len(F.col("toks")), 4).alias("mean_tok_len"),
-        T.quality_score(F.col("toks")).alias("score"),
+        T.quality_score(F.col("toks")).alias("score_e4"),
     )
 
 
@@ -648,8 +648,9 @@ QUERIES = {
         f"SELECT doc_id, len(l) AS n_tokens, "
         "round(len(list_distinct(l)) / len(l), 4) AS ttr, "
         "round(list_sum(list_transform(l, x -> length(x))) / len(l), 4) AS mean_tok_len, "
-        "round((len(list_distinct(l)) / len(l)) * 0.5 + "
-        "least((list_sum(list_transform(l, x -> length(x))) / len(l)) / 10.0, 1.0) * 0.5, 4) AS score "
+        "CAST(floor(((len(list_distinct(l)) / len(l)) * 0.5 + "
+        "least((list_sum(list_transform(l, x -> length(x))) / len(l)) / 10.0, 1.0) * 0.5) "
+        "* 10000) AS BIGINT) AS score_e4 "
         f"FROM (SELECT doc_id, {_TOKS} AS l FROM documents)",
     ),
     "q_lang_id": (
