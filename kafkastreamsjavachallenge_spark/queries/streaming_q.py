@@ -88,6 +88,40 @@ def q_stream_session(spark, sf_dir):
     return run_to_memory(result, output_mode="complete", state_partitions=8)
 
 
+def q_stream_countmin(spark, sf_dir):
+    """Streaming count-min sketch (heavy-hitter state): the 4x512 bucket
+    counters of queries/quality.py's CMS maintained AS the streaming
+    aggregation state — additive merge is exactly what update-free
+    complete-mode streaming aggregation does per micro-batch, which is
+    why CMS is the canonical heavy-hitter structure for streams.  One
+    availableNow drain equals the batch build, so the populated sketch
+    cells get a full SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsjavachallenge_spark.queries.quality import (
+        _CMS_HASHES,
+        _CMS_W,
+        _bucket,
+    )
+
+    stream = _event_stream(spark, sf_dir)
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                _bucket(F.col("user_id"), a, b, _CMS_W).alias("bucket"),
+            )
+            for d, (a, b) in enumerate(_CMS_HASHES)
+        ]
+    )
+    cms = (
+        stream.select(F.explode(hashes).alias("h"))
+        .groupBy(F.col("h.d").alias("d"), F.col("h.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return run_to_memory(cms, output_mode="complete", state_partitions=8)
+
+
 def q_stream_join(spark, sf_dir):
     """Stream-stream interval self-join: pairs of events by the same user
     within one minute.  Both sides are watermarked and the join predicate
@@ -124,6 +158,13 @@ def q_stream_join(spark, sf_dir):
 
 
 QUERIES = {
+    "q_stream_countmin": (
+        q_stream_countmin,
+        "WITH h(d, a, b) AS (VALUES (0, 1000003, 12345), (1, 999983, 54321), "
+        "(2, 824633, 98765), (3, 752023, 13579)) "
+        "SELECT d, ((a * user_id + b) % 2147483647) % 512 AS bucket, "
+        "count(*) AS cnt FROM events CROSS JOIN h GROUP BY 1, 2",
+    ),
     "q_stream_join": (
         q_stream_join,
         "SELECT l.user_id, count(*) AS n_pairs FROM events l JOIN events r "
