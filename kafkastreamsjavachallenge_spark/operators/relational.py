@@ -187,3 +187,62 @@ def rollup_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
 
 def cube_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
     return df.cube(*keys).agg(*aggs)
+
+
+# ---------------------------------------------------------- spatial near-join
+
+
+def grid_near_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    lat: str = "lat",
+    lon: str = "lon",
+    cell_deg: float = 10.0,
+) -> DataFrame:
+    """Distance near-join via grid bucketing: the left side is replicated
+    into its 3x3 cell neighborhood (bounded 9x explode), both sides key on
+    the (cell_x, cell_y) grid cell, and the exact haversine predicate
+    prunes after the equi-join.  The shuffle key is the grid cell, so the
+    cross product is confined to one neighborhood and skew is bounded by
+    cell population, not dataset size — the decomposition that makes a
+    distance join hash-partitionable at any scale.  ``cell_deg`` must be
+    large enough that ``radius_km`` never spans more than one adjacent
+    cell (~111 km/degree of latitude).  Column names must be disjoint
+    apart from the coordinate pair; output carries all columns plus
+    ``km`` (rounded to 4 decimals BEFORE the predicate so libm-vs-JVM
+    trig ulps cannot flip membership).
+    """
+    l_cols = [c for c in left.columns if c not in (lat, lon)]
+    r_cols = [c for c in right.columns if c not in (lat, lon)]
+    l9 = (
+        left.withColumn("__dx", F.expr("explode(array(-1, 0, 1))"))
+        .withColumn("__dy", F.expr("explode(array(-1, 0, 1))"))
+        .select(
+            *l_cols,
+            F.col(lat).alias("__l_lat"),
+            F.col(lon).alias("__l_lon"),
+            (F.floor(F.col(lat) / cell_deg) + F.col("__dx")).alias("__cx"),
+            (F.floor(F.col(lon) / cell_deg) + F.col("__dy")).alias("__cy"),
+        )
+    )
+    rg = right.select(
+        *r_cols,
+        F.col(lat).alias("__r_lat"),
+        F.col(lon).alias("__r_lon"),
+        F.floor(F.col(lat) / cell_deg).alias("__cx"),
+        F.floor(F.col(lon) / cell_deg).alias("__cy"),
+    )
+    dlat = (F.radians(F.col("__r_lat")) - F.radians(F.col("__l_lat"))) / 2
+    dlon = (F.radians(F.col("__r_lon")) - F.radians(F.col("__l_lon"))) / 2
+    h = F.sin(dlat) * F.sin(dlat) + F.cos(F.radians(F.col("__l_lat"))) * F.cos(
+        F.radians(F.col("__r_lat"))
+    ) * F.sin(dlon) * F.sin(dlon)
+    km = F.round(2 * 6371.0 * F.asin(F.sqrt(h)), 4)
+    return (
+        l9.join(rg, ["__cx", "__cy"])
+        .withColumn("km", km)
+        .filter(F.col("km") < radius_km)
+        .select(*l_cols, *r_cols, "km")
+        .distinct()
+    )

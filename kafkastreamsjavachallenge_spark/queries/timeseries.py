@@ -94,14 +94,19 @@ def q_streaks(spark, sf_dir):
 
 
 def q_grid_join(spark, sf_dir):
-    """Spatial near-join via grid bucketing: key-derived lat/lon for
-    suppliers and customers, 10-degree grid cells, suppliers replicated
-    into their 3x3 cell neighborhood (a bounded 9x explode), equi-join
-    on the cell, then the exact rounded-haversine predicate (< 2000 km).
-    This is the standard decomposition that makes a distance join
-    hash-partitionable: the shuffle key is the grid cell, the cross
-    product is confined to one neighborhood, and skew is bounded by
-    cell population, not dataset size."""
+    """Spatial near-join via grid bucketing (operators/relational.py
+    grid_near_join): key-derived lat/lon for suppliers and customers,
+    10-degree grid cells, suppliers replicated into their 3x3 cell
+    neighborhood (a bounded 9x explode), equi-join on the cell, then the
+    exact rounded-haversine predicate (< 2000 km).  This is the standard
+    decomposition that makes a distance join hash-partitionable: the
+    shuffle key is the grid cell, the cross product is confined to one
+    neighborhood, and skew is bounded by cell population, not dataset
+    size."""
+    from kafkastreamsjavachallenge_spark.operators.relational import (
+        grid_near_join,
+    )
+
     su = _t(spark, sf_dir, "supplier")
     cu = _t(spark, sf_dir, "customer")
 
@@ -115,41 +120,7 @@ def q_grid_join(spark, sf_dir):
 
     sup = coords(su.select("s_suppkey", "s_nationkey"), "s_suppkey")
     cus = coords(cu.select("c_custkey"), "c_custkey")
-    off = F.expr(
-        "explode(array(-1, 0, 1))"
-    )
-    sup9 = (
-        sup.withColumn("dx", off)
-        .withColumn("dy", F.expr("explode(array(-1, 0, 1))"))
-        .select(
-            "s_suppkey",
-            "s_nationkey",
-            F.col("lat").alias("s_lat"),
-            F.col("lon").alias("s_lon"),
-            (F.floor(F.col("lat") / 10) + F.col("dx")).alias("cx"),
-            (F.floor(F.col("lon") / 10) + F.col("dy")).alias("cy"),
-        )
-    )
-    cus_g = cus.select(
-        "c_custkey",
-        F.col("lat").alias("c_lat"),
-        F.col("lon").alias("c_lon"),
-        F.floor(F.col("lat") / 10).alias("cx"),
-        F.floor(F.col("lon") / 10).alias("cy"),
-    )
-    dlat = (F.radians(F.col("c_lat")) - F.radians(F.col("s_lat"))) / 2
-    dlon = (F.radians(F.col("c_lon")) - F.radians(F.col("s_lon"))) / 2
-    h = F.sin(dlat) * F.sin(dlat) + F.cos(F.radians(F.col("s_lat"))) * F.cos(
-        F.radians(F.col("c_lat"))
-    ) * F.sin(dlon) * F.sin(dlon)
-    km = F.round(2 * 6371.0 * F.asin(F.sqrt(h)), 4)
-    pairs = (
-        sup9.join(cus_g, ["cx", "cy"])
-        .withColumn("km", km)
-        .filter(F.col("km") < 2000.0)
-        .select("s_suppkey", "s_nationkey", "c_custkey", "km")
-        .distinct()
-    )
+    pairs = grid_near_join(sup, cus, radius_km=2000.0, cell_deg=10.0)
     return pairs.groupBy("s_nationkey").agg(
         F.count("*").alias("n_pairs"),
         F.count_distinct("c_custkey").alias("n_customers"),

@@ -215,3 +215,42 @@ def test_triangle_count_on_ladder_graph(spark):
     assert distinct_mid <= 3
     elapsed = time.time() - t0
     assert elapsed < 90, f"pagerank took {elapsed:.1f}s on {2 * n - 3} edges"
+
+
+def test_grid_near_join_on_half_million_points(spark):
+    """266k + 266k points with an analytically known near-pair count:
+    both sides stack exactly 10 points on each of 26,600 lattice sites
+    (1.27-degree spacing inside lat -60..60, so adjacent sites are
+    >= 70 km apart); the right side is offset ~0.14 km.  With a 10 km
+    radius every left point matches exactly the 10 right points of its
+    own site and nothing else: |pairs| = sites * 10 * 10 = 2,660,000.
+    cell_deg tracks the radius (0.25 deg ~ 14 km of longitude at lat 60):
+    a cell much wider than the radius packs many sites per cell and the
+    candidate set explodes quadratically — the knob IS the scale story.
+    Pins that the grid decomposition (operators/relational.py
+    grid_near_join) stays an equi-join and exact at ~20x the bench
+    input size."""
+    from kafkastreamsjavachallenge_spark.operators.relational import (
+        grid_near_join,
+    )
+
+    sites = 26_600  # 95 lat x 280 lon
+    per_site = 10
+    n = sites * per_site
+
+    def points(id_col_name, d):
+        site = F.col("id") % sites
+        return spark.range(n).select(
+            F.col("id").alias(id_col_name),
+            (-60.0 + (site % 95).cast("double") * 1.27 + d).alias("lat"),
+            (-178.0 + (site / 95).cast("long").cast("double") * 1.27 + d).alias("lon"),
+        )
+
+    base = points("left_id", 0.0)
+    twins = points("right_id", 0.001)
+    t0 = time.time()
+    pairs = grid_near_join(base, twins, radius_km=10.0, cell_deg=0.25)
+    cnt = pairs.count()
+    elapsed = time.time() - t0
+    assert elapsed < 120, f"grid join took {elapsed:.1f}s on {2 * n} points"
+    assert cnt == sites * per_site * per_site
