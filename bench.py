@@ -40,6 +40,8 @@ HEADLINE = [
     "q_doc_dedup",
     "q_text_stats",
     "q_tpch_q18",
+    "q_triangle_count",
+    "q_grid_join",
 ]
 
 
