@@ -45,7 +45,11 @@ def _t(spark, sf_dir, name):
 def _edges(spark, sf_dir):
     """Ordered unique edge list (ua < ub) of the co-occurrence graph.
     Two shuffles total: the membership distinct and the pair distinct —
-    the self-join itself is co-partitioned on the bucket key."""
+    the self-join itself is co-partitioned on the bucket key.  The result
+    is lazily localCheckpoint-ed: every consumer fans out into 3-4
+    self-join branches, and without the checkpoint each branch re-runs
+    the whole edge build (on a cluster this would be a reliable
+    checkpoint or a cached table)."""
     ev = _t(spark, sf_dir, "events")
     b = (
         ev.select(
@@ -71,6 +75,7 @@ def _edges(spark, sf_dir):
             F.col("a.user_id").alias("ua"), F.col("o.user_id").alias("ub")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
 
 
