@@ -313,6 +313,62 @@ def q_json_props_stats(spark, sf_dir):
     )
 
 
+# --------------------------------------------- multi-distinct aggregate
+
+
+def q_multi_distinct(spark, sf_dir):
+    """Several count(DISTINCT ...) over different columns in one
+    aggregate — compiles to Catalyst's Expand operator (one row
+    replicated per distinct-group), the plan shape that keeps
+    multi-distinct a single shuffle instead of one job per distinct
+    column."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct("l_partkey", "l_suppkey").alias("n_part_supp"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------- CDC upsert merge
+
+
+def q_merge_upsert(spark, sf_dir):
+    """MERGE/upsert emulation without a table format: apply a CDC delta
+    (per-user event-value sums, including keys absent from the target)
+    onto the customer snapshot with one full-outer join on the key —
+    insert where only the delta exists, update where both do, keep
+    where only the target does.  This is the batch upsert plan a lake
+    MERGE executes under the hood; both sides shuffle once on the key.
+    Summarized per action with decimal-exact balance sums."""
+    cu = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("bal")
+    )
+    ev = _t(spark, sf_dir, "events")
+    delta = ev.groupBy(F.col("user_id").cast("bigint").alias("key")).agg(
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("dv")
+    )
+    m = cu.join(delta, "key", "full_outer").select(
+        "key",
+        F.when(F.col("bal").isNull(), F.lit("insert"))
+        .when(F.col("dv").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+        (F.coalesce("bal", F.lit(0.0)) + F.coalesce("dv", F.lit(0.0))).alias(
+            "new_bal"
+        ),
+    )
+    return m.groupBy("action").agg(
+        F.count("*").alias("n_rows"),
+        F.round(
+            F.sum(F.col("new_bal").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("sum_new_bal"),
+    )
+
+
 QUERIES = {
     "q_entropy": (
         q_entropy,
@@ -419,6 +475,29 @@ QUERIES = {
         "substring(sha256(c_name), 1, 2) AS sha_pfx FROM customer) "
         "SELECT bucket, count(*) AS n, count(DISTINCT sha_pfx) AS n_sha_pfx "
         "FROM h GROUP BY bucket",
+    ),
+    "q_multi_distinct": (
+        q_multi_distinct,
+        "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, "
+        "count(DISTINCT l_suppkey) AS n_supps, "
+        "count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp, "
+        "count(*) AS n FROM lineitem GROUP BY l_returnflag",
+    ),
+    "q_merge_upsert": (
+        q_merge_upsert,
+        "WITH cu AS (SELECT c_custkey AS key, c_acctbal AS bal "
+        "FROM customer), "
+        "delta AS (SELECT CAST(user_id AS BIGINT) AS key, "
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS dv "
+        "FROM events GROUP BY 1), "
+        "m AS (SELECT coalesce(cu.key, delta.key) AS key, "
+        "CASE WHEN bal IS NULL THEN 'insert' "
+        "WHEN dv IS NULL THEN 'keep' ELSE 'update' END AS action, "
+        "coalesce(bal, 0.0) + coalesce(dv, 0.0) AS new_bal "
+        "FROM cu FULL OUTER JOIN delta ON cu.key = delta.key) "
+        "SELECT action, count(*) AS n_rows, "
+        "round(CAST(sum(CAST(new_bal AS DECIMAL(18,4))) AS DOUBLE), 4) "
+        "AS sum_new_bal FROM m GROUP BY action",
     ),
     "q_json_props_stats": (
         q_json_props_stats,
