@@ -254,3 +254,56 @@ def test_grid_near_join_on_half_million_points(spark):
     elapsed = time.time() - t0
     assert elapsed < 120, f"grid join took {elapsed:.1f}s on {2 * n} points"
     assert cnt == sites * per_site * per_site
+
+
+def test_countmin_on_5m_skewed_events(spark):
+    """5M events with a planted heavy hitter (20% of all rows): the CMS
+    built by groupBy over universal hashes (queries/quality.py) must
+    (a) never underestimate, and (b) estimate the heavy hitter within
+    eps*N of truth (eps = e/512 for the 512-wide sketch).  Pins the
+    sketch's mergeable group-by construction at 500x the sf0.01 events
+    table."""
+    from kafkastreamsjavachallenge_spark.queries.quality import (
+        _CMS_HASHES,
+        _CMS_W,
+        _bucket,
+    )
+
+    n = 5_000_000
+    heavy = 1_000_000
+    ev = spark.range(n).select(
+        F.when(F.col("id") < heavy, F.lit(7))
+        .otherwise((F.col("id") * 2654435761) % 100_000 + 1_000)
+        .cast("int")
+        .alias("user_id")
+    )
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                _bucket(F.col("user_id"), a, b, _CMS_W).alias("bucket"),
+            )
+            for d, (a, b) in enumerate(_CMS_HASHES)
+        ]
+    )
+    t0 = time.time()
+    cms = (
+        ev.select(F.explode(hashes).alias("h"))
+        .groupBy(F.col("h.d").alias("d"), F.col("h.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probe = {
+        d: ((a * 7 + b) % 2147483647) % _CMS_W
+        for d, (a, b) in enumerate(_CMS_HASHES)
+    }
+    cells = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms.filter(
+            F.col("bucket").isin(*probe.values())
+        ).collect()
+    }
+    elapsed = time.time() - t0
+    est = min(cells[(d, b)] for d, b in probe.items())
+    assert est >= heavy  # CMS never underestimates
+    assert est - heavy <= 2.7182818 * n / _CMS_W  # eps*N guarantee
+    assert elapsed < 90, f"CMS build took {elapsed:.1f}s on {n} rows"
