@@ -206,13 +206,31 @@ def grid_near_join(
     prunes after the equi-join.  The shuffle key is the grid cell, so the
     cross product is confined to one neighborhood and skew is bounded by
     cell population, not dataset size — the decomposition that makes a
-    distance join hash-partitionable at any scale.  ``cell_deg`` must be
-    large enough that ``radius_km`` never spans more than one adjacent
-    cell (~111 km/degree of latitude).  Column names must be disjoint
-    apart from the coordinate pair; output carries all columns plus
-    ``km`` (rounded to 4 decimals BEFORE the predicate so libm-vs-JVM
-    trig ulps cannot flip membership).
+    distance join hash-partitionable at any scale.
+
+    Preconditions (the 3x3 neighborhood is only complete within them):
+
+    - ``radius_km <= cell_deg * 111`` is NECESSARY (latitude axis,
+      ~111 km/degree) and is enforced with ``ValueError``.
+    - Longitude cells shrink by ``cos(lat)``, so the caller must also
+      ensure ``radius_km <= cell_deg * 111 * cos(max |lat|)`` for the
+      latitudes actually present (e.g. clamp \\|lat\\| <= 60 for a 2x
+      shrink).  This cannot be checked without scanning the data, so it
+      is documented, not enforced.
+    - Cells do NOT wrap at +/-180 longitude: a pair straddling the
+      antimeridian is silently missed.  Keep ``lon`` away from the seam
+      (e.g. within [-180 + radius_deg, 180 - radius_deg]) or pre-rotate.
+
+    Column names must be disjoint apart from the coordinate pair; output
+    carries all columns plus ``km`` (rounded to 4 decimals BEFORE the
+    predicate so libm-vs-JVM trig ulps cannot flip membership).
     """
+    if radius_km > cell_deg * 111.0:
+        raise ValueError(
+            f"grid_near_join: radius_km={radius_km} spans more than one "
+            f"{cell_deg}-degree cell (max {cell_deg * 111.0:.0f} km on the "
+            "latitude axis); widen cell_deg or shrink radius_km"
+        )
     l_cols = [c for c in left.columns if c not in (lat, lon)]
     r_cols = [c for c in right.columns if c not in (lat, lon)]
     l9 = (

@@ -89,12 +89,31 @@ def q_collect_set(spark, sf_dir):
     return W.collect_uid_set(_events(spark, sf_dir), "ts", "user_id", "1 hour")
 
 
-# X3 — serde roundtrip (HashSetStringSerde.java:12-48 wire format)
+# X3 — serde roundtrip (HashSetStringSerde.java:12-48 wire format).
+# Exercises BOTH directions: encode (collect_uid_set's sorted pipe-join,
+# serialize :20-27) and decode (split back into the set, deserialize
+# :28-41), then verifies the decoded set against an independently
+# re-aggregated one — set_match must be 1 for every window.
 def q_serde_roundtrip(spark, sf_dir):
-    sets = W.collect_uid_set(_events(spark, sf_dir), "ts", "user_id", "1 hour")
-    return sets.select(
+    ev = _events(spark, sf_dir)
+    sets = W.collect_uid_set(ev, "ts", "user_id", "1 hour")
+    decoded = sets.select(
         "window_start",
-        F.size(F.split(F.col("uid_list"), "[|]")).alias("n_roundtrip"),
+        F.array_sort(F.split(F.col("uid_list"), "[|]")).alias("decoded"),
+    )
+    truth = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.sort_array(
+                F.collect_set(F.col("user_id").cast("string"))
+            ).alias("truth_uids")
+        )
+        .select(F.col("w.start").alias("window_start"), "truth_uids")
+    )
+    return decoded.join(truth, "window_start").select(
+        "window_start",
+        F.size("decoded").alias("n_roundtrip"),
+        (F.col("decoded") == F.col("truth_uids")).cast("int").alias("set_match"),
     )
 
 
@@ -195,8 +214,15 @@ QUERIES = {
     "q_collect_set": (q_collect_set, _COLLECT_SET_SQL),
     "q_serde_roundtrip": (
         q_serde_roundtrip,
-        f"SELECT window_start, len(string_split(uid_list, '|')) AS n_roundtrip "
-        f"FROM ({_COLLECT_SET_SQL})",
+        f"WITH dec AS (SELECT window_start, "
+        f"list_sort(string_split(uid_list, '|')) AS decoded "
+        f"FROM ({_COLLECT_SET_SQL})), "
+        "truth AS (SELECT date_trunc('hour', ts) AS window_start, "
+        "list_sort(list(DISTINCT CAST(user_id AS VARCHAR))) AS truth_uids "
+        "FROM events GROUP BY 1) "
+        "SELECT dec.window_start, len(decoded) AS n_roundtrip, "
+        "CAST(decoded = truth_uids AS INT) AS set_match "
+        "FROM dec JOIN truth ON dec.window_start = truth.window_start",
     ),
     "q_project_cast": (
         q_project_cast,

@@ -230,7 +230,7 @@ QUERIES = {
             f"({d}, {a}, {b})" for d, (a, b) in enumerate(_CMS_HASHES)
         )
         + "), "
-        "cms AS (SELECT d, ((a * user_id + b) % 2147483647) % 512 "
+        f"cms AS (SELECT d, ((a * user_id + b) % {_P}) % {_CMS_W} "
         "AS bucket, count(*) AS cnt FROM events CROSS JOIN h "
         "GROUP BY 1, 2), "
         "truth AS (SELECT user_id, count(*) AS true_cnt FROM events "
@@ -238,7 +238,7 @@ QUERIES = {
         "top AS (SELECT * FROM truth ORDER BY true_cnt DESC, user_id ASC "
         "LIMIT 5), "
         "probes AS (SELECT user_id, true_cnt, d, "
-        "((a * user_id + b) % 2147483647) % 512 AS bucket "
+        f"((a * user_id + b) % {_P}) % {_CMS_W} AS bucket "
         "FROM top CROSS JOIN h) "
         "SELECT p.user_id, p.true_cnt, "
         "min(coalesce(cms.cnt, 0)) AS est_cnt, "

@@ -14,6 +14,11 @@ Multi-batch incremental behavior is covered in tests/test_streaming.py.
 from __future__ import annotations
 
 from kafkastreamsjavachallenge_spark.catalog import load_table
+from kafkastreamsjavachallenge_spark.queries.quality import (
+    _CMS_HASHES,
+    _CMS_W,
+    _P,
+)
 from kafkastreamsjavachallenge_spark.streaming.pipeline import (
     file_stream,
     run_to_memory,
@@ -160,9 +165,14 @@ def q_stream_join(spark, sf_dir):
 QUERIES = {
     "q_stream_countmin": (
         q_stream_countmin,
-        "WITH h(d, a, b) AS (VALUES (0, 1000003, 12345), (1, 999983, 54321), "
-        "(2, 824633, 98765), (3, 752023, 13579)) "
-        "SELECT d, ((a * user_id + b) % 2147483647) % 512 AS bucket, "
+        # Derived from quality._CMS_HASHES/_CMS_W/_P (single source of
+        # truth) so a constant change cannot silently break parity here.
+        "WITH h(d, a, b) AS (VALUES "
+        + ", ".join(
+            f"({d}, {a}, {b})" for d, (a, b) in enumerate(_CMS_HASHES)
+        )
+        + ") "
+        f"SELECT d, ((a * user_id + b) % {_P}) % {_CMS_W} AS bucket, "
         "count(*) AS cnt FROM events CROSS JOIN h GROUP BY 1, 2",
     ),
     "q_stream_join": (

@@ -96,13 +96,22 @@ def q_streaks(spark, sf_dir):
 def q_grid_join(spark, sf_dir):
     """Spatial near-join via grid bucketing (operators/relational.py
     grid_near_join): key-derived lat/lon for suppliers and customers,
-    10-degree grid cells, suppliers replicated into their 3x3 cell
+    20-degree grid cells, suppliers replicated into their 3x3 cell
     neighborhood (a bounded 9x explode), equi-join on the cell, then the
-    exact rounded-haversine predicate (< 2000 km).  This is the standard
+    exact rounded-haversine predicate (< 1000 km).  This is the standard
     decomposition that makes a distance join hash-partitionable: the
     shuffle key is the grid cell, the cross product is confined to one
     neighborhood, and skew is bounded by cell population, not dataset
-    size."""
+    size.
+
+    Coordinates respect grid_near_join's completeness preconditions:
+    \\|lat\\| <= 60 so a 20-degree cell is >= 20*111*cos(60) = 1110 km
+    wide on the longitude axis (>= the 1000 km radius), and
+    \\|lon\\| <= 160 so no qualifying pair straddles the antimeridian
+    (the 40-degree seam gap is >= 40*111*cos(60) = 2220 km > radius).
+    The oracle is a BRUTE-FORCE distance join (no grid), so the parity
+    check proves the decomposition is lossless, not merely that both
+    engines bucket identically."""
     from kafkastreamsjavachallenge_spark.operators.relational import (
         grid_near_join,
     )
@@ -113,14 +122,14 @@ def q_grid_join(spark, sf_dir):
     def coords(df, key):
         return df.withColumns(
             {
-                "lat": (F.col(key) % 181 - 90).cast("double"),
-                "lon": (F.col(key) * 7 % 361 - 180).cast("double"),
+                "lat": (F.col(key) % 121 - 60).cast("double"),
+                "lon": (F.col(key) * 7 % 321 - 160).cast("double"),
             }
         )
 
     sup = coords(su.select("s_suppkey", "s_nationkey"), "s_suppkey")
     cus = coords(cu.select("c_custkey"), "c_custkey")
-    pairs = grid_near_join(sup, cus, radius_km=2000.0, cell_deg=10.0)
+    pairs = grid_near_join(sup, cus, radius_km=1000.0, cell_deg=20.0)
     return pairs.groupBy("s_nationkey").agg(
         F.count("*").alias("n_pairs"),
         F.count_distinct("c_custkey").alias("n_customers"),
@@ -218,18 +227,15 @@ QUERIES = {
     ),
     "q_grid_join": (
         q_grid_join,
+        # Brute-force oracle (no grid): every supplier x customer pair with
+        # the exact rounded-haversine predicate.  Parity with the Spark
+        # grid decomposition proves the 3x3 neighborhood loses no pairs.
         "WITH sup AS (SELECT s_suppkey, s_nationkey, "
-        "CAST(s_suppkey % 181 - 90 AS DOUBLE) AS s_lat, "
-        "CAST(s_suppkey * 7 % 361 - 180 AS DOUBLE) AS s_lon FROM supplier), "
+        "CAST(s_suppkey % 121 - 60 AS DOUBLE) AS s_lat, "
+        "CAST(s_suppkey * 7 % 321 - 160 AS DOUBLE) AS s_lon FROM supplier), "
         "cus AS (SELECT c_custkey, "
-        "CAST(c_custkey % 181 - 90 AS DOUBLE) AS c_lat, "
-        "CAST(c_custkey * 7 % 361 - 180 AS DOUBLE) AS c_lon FROM customer), "
-        "sup9 AS (SELECT s.*, CAST(floor(s_lat / 10) AS BIGINT) + dx.o "
-        "AS cx, CAST(floor(s_lon / 10) AS BIGINT) + dy.o AS cy "
-        "FROM sup s, (VALUES (-1), (0), (1)) dx(o), "
-        "(VALUES (-1), (0), (1)) dy(o)), "
-        "cusg AS (SELECT c.*, CAST(floor(c_lat / 10) AS BIGINT) AS cx, "
-        "CAST(floor(c_lon / 10) AS BIGINT) AS cy FROM cus c), "
+        "CAST(c_custkey % 121 - 60 AS DOUBLE) AS c_lat, "
+        "CAST(c_custkey * 7 % 321 - 160 AS DOUBLE) AS c_lon FROM customer), "
         "pairs AS (SELECT DISTINCT s_suppkey, s_nationkey, c_custkey, "
         "round(2 * 6371.0 * asin(sqrt("
         "sin((radians(c_lat) - radians(s_lat)) / 2) * "
@@ -237,13 +243,13 @@ QUERIES = {
         "cos(radians(s_lat)) * cos(radians(c_lat)) * "
         "sin((radians(c_lon) - radians(s_lon)) / 2) * "
         "sin((radians(c_lon) - radians(s_lon)) / 2))), 4) AS km "
-        "FROM sup9 JOIN cusg USING (cx, cy) "
+        "FROM sup, cus "
         "WHERE round(2 * 6371.0 * asin(sqrt("
         "sin((radians(c_lat) - radians(s_lat)) / 2) * "
         "sin((radians(c_lat) - radians(s_lat)) / 2) + "
         "cos(radians(s_lat)) * cos(radians(c_lat)) * "
         "sin((radians(c_lon) - radians(s_lon)) / 2) * "
-        "sin((radians(c_lon) - radians(s_lon)) / 2))), 4) < 2000.0) "
+        "sin((radians(c_lon) - radians(s_lon)) / 2))), 4) < 1000.0) "
         "SELECT s_nationkey, count(*) AS n_pairs, "
         "count(DISTINCT c_custkey) AS n_customers, min(km) AS min_km "
         "FROM pairs GROUP BY s_nationkey",

@@ -149,7 +149,8 @@ def run_to_memory(
     result: DataFrame,
     output_mode: str = "update",
     query_name: str | None = None,
-    state_partitions: int | None = None,
+    state_partitions: int | str | None = "auto",
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Execute a streaming result with availableNow into a memory sink and
     return the sink contents as a batch DataFrame.
@@ -163,13 +164,23 @@ def run_to_memory(
     checkpoint and every micro-batch pays a fixed per-partition state-store
     commit cost, so it should track stateful-key cardinality × executor
     count — NOT inherit whatever relational shuffle setting happens to be
-    live.  Left ``None`` the session conf applies unchanged.
+    live (a vanilla session's 200 means 200 state-store commits per batch
+    even for tiny state).  The default ``"auto"`` uses
+    ``max(8, defaultParallelism)`` — one store per core, the right order
+    on local[N] and on a multi-executor cluster alike.  Pass an int to
+    pin it explicitly, or ``None`` to inherit the live session conf.
+
+    ``checkpoint`` overrides the throwaway temp checkpoint dir — pass a
+    durable location to resume across runs (production S2 path does the
+    same via write_counts' checkpointLocation).
     """
     spark = result.sparkSession
     name = query_name or f"q_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = checkpoint or tempfile.mkdtemp(prefix="ckpt_")
     conf_key = "spark.sql.shuffle.partitions"
     saved = spark.conf.get(conf_key)
+    if state_partitions == "auto":
+        state_partitions = max(8, spark.sparkContext.defaultParallelism)
     if state_partitions is not None:
         spark.conf.set(conf_key, str(state_partitions))
     try:

@@ -220,6 +220,50 @@ def test_corrupt_json_records_are_filtered_not_epoch0(spark, tmp_path):
     assert all(r["ts"].year > 1970 for r in out)
 
 
+def test_ts_from_key_matches_reference_extractor(spark):
+    """Key-based event time (LogFrameTimestampExtractor.java:8-14): key
+    parsed as unix seconds × 1000 ms.  On well-formed records the key path
+    and the payload path agree; on malformed keys the two compat modes
+    diverge exactly as the reference does — epoch0 maps the record to the
+    1970 window (NumberFormatException -> 0, :12-13), drop filters it."""
+    import json as _json
+
+    from kafkastreamsjavachallenge_spark.sources.kafka import parse_log_frames
+
+    rows = [
+        ("1468244340", {"ts": 1468244340, "uid": "a"}),   # well-formed
+        ("1468244400", {"ts": 1468244400, "uid": "b"}),   # well-formed
+        ("not-a-long", {"ts": 1468244460, "uid": "c"}),   # bad key, good payload
+        (" 146824452 ", {"ts": 1468244520, "uid": "d"}),  # parseLong rejects ws
+    ]
+    raw = spark.createDataFrame(
+        [(k, _json.dumps(v)) for k, v in rows], "key string, value string"
+    )
+
+    payload = {r["uid"]: r["ts"] for r in parse_log_frames(raw).collect()}
+    keyed = {
+        r["uid"]: r["ts"]
+        for r in parse_log_frames(raw, ts_from_key=True).collect()
+    }
+    compat = {
+        r["uid"]: r["ts"]
+        for r in parse_log_frames(
+            raw, ts_from_key=True, malformed="epoch0"
+        ).collect()
+    }
+
+    # agreement on well-formed records, all three paths
+    for uid in ("a", "b"):
+        assert keyed[uid] == payload[uid] == compat[uid]
+    # drop mode: malformed keys are gone even though the payload parses
+    assert set(keyed) == {"a", "b"}
+    # epoch0 mode: reference behavior — record lands at epoch 0
+    assert set(compat) == {"a", "b", "c", "d"}
+    assert compat["c"].year == 1970 and compat["d"].year == 1970
+    # payload path is immune to the bad key
+    assert payload["c"].year == 2016
+
+
 def test_group_normalize_singleton_group_is_null(spark):
     from kafkastreamsjavachallenge_spark.operators.grouped import normalize_per_group
 

@@ -81,6 +81,35 @@ def test_multibatch_append_emits_closed_windows_only(spark, event_files):
     assert all(w > max(got) for w in open_windows)
 
 
+def test_auto_state_partitions_ignore_session_shuffle_conf(
+    spark, event_files, tmp_path
+):
+    """Default 'auto' state sizing: a vanilla session's 200 shuffle
+    partitions must NOT leak into streaming state (200 state-store commits
+    per micro-batch for tiny state).  The checkpoint's state/0/<p> dirs
+    are the physical store count — expect max(8, defaultParallelism) of
+    them, and the session conf restored afterwards."""
+    d, ev = event_files
+    conf_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "200")
+    ckpt = str(tmp_path / "auto_state_ckpt")
+    try:
+        stream = file_stream(spark, d, ev.schema)
+        result = streaming_unique_users(stream, "ts", "user_id", "1 minute")
+        table = run_to_memory(result, output_mode="update", checkpoint=ckpt)
+        assert table.count() > 0
+        assert spark.conf.get(conf_key) == "200"  # restored
+        expected = max(8, spark.sparkContext.defaultParallelism)
+        state0 = os.path.join(ckpt, "state", "0")
+        parts = [p for p in os.listdir(state0) if p.isdigit()]
+        assert len(parts) == expected, (
+            f"state stores {len(parts)} != auto-derived {expected}"
+        )
+    finally:
+        spark.conf.set(conf_key, saved)
+
+
 def test_stream_stream_join_matches_batch(spark, event_files):
     """Watermarked interval stream-stream join over two event streams
     equals the equivalent batch interval join."""
