@@ -1,0 +1,183 @@
+"""Error bounds for the approximate operators (VERDICT r1 item 2).
+
+Every approximate query id the driver checks rows-only gets a quantitative
+bound here against its exact counterpart: HLL++ relative error vs exact
+countDistinct, DataSketches HLL-union vs exact, ANN recall vs the exact
+brute-force ``cosine_topk`` oracle, and k-means planted-cluster recovery.
+All inputs are deterministic (fixed-seed numpy or the frozen testdata), so
+the asserted bounds are reproducible, not flaky.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kafkastreamsjavachallenge_spark.catalog import load_table
+from kafkastreamsjavachallenge_spark.operators import similarity as S
+from kafkastreamsjavachallenge_spark.operators.windows import (
+    unique_users,
+    unique_users_approx,
+)
+
+from tests.conftest import SF_DIR
+
+
+# --------------------------------------------------------------- sketches
+
+
+def test_approx_distinct_within_hll_error_bound(spark):
+    """q_approx_distinct's HLL++ estimate per window vs exact
+    countDistinct: |approx - exact| <= max(2, 3·rsd·exact).  rsd is the
+    relative standard error, so 3·rsd is a ~99.7% bound; the absolute
+    floor of 2 covers tiny windows where HLL++'s sparse representation
+    quantizes."""
+    ev = load_table(spark, SF_DIR, "events")
+    rsd = 0.05
+    exact = {
+        r["window_start"]: r["unique_users"]
+        for r in unique_users(ev, "ts", "user_id", "1 hour").collect()
+    }
+    approx = {
+        r["window_start"]: r["approx_unique_users"]
+        for r in unique_users_approx(ev, "ts", "user_id", "1 hour", rsd).collect()
+    }
+    assert set(exact) == set(approx)
+    for w, ex in exact.items():
+        assert abs(approx[w] - ex) <= max(2, 3 * rsd * ex), (
+            f"window {w}: approx {approx[w]} vs exact {ex}"
+        )
+
+
+def test_hll_union_estimate_within_5pct_of_exact(spark):
+    """q_hll_union (DataSketches per-day sketch -> union -> estimate) vs
+    the exact distinct-user count over the same fact."""
+    ev = load_table(spark, SF_DIR, "events")
+    exact = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).collect()[0][0]
+    assert abs(est - exact) <= 0.05 * exact, f"{est} vs {exact}"
+
+
+# --------------------------------------------------------------- ANN recall
+
+
+def _recall(got_ids, exact_ids):
+    return len(set(got_ids) & set(exact_ids)) / len(exact_ids)
+
+
+def test_ivf_recall_vs_exact_topk_grows_with_nprobe(spark):
+    """q_ann_ivf's oracle is the exact scan (operators/similarity.py
+    cosine_topk): recall >= 0.9 at the query's nprobe=4, reaching 1.0 when
+    every list is probed, and monotone in nprobe (deterministic data, so
+    these are fixed numbers, not expectations)."""
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    base = e.filter(F.col("vec_id") != 0)
+    centroids = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    exact = [r["vec_id"] for r in S.cosine_topk(base, q, k=10).collect()]
+    recalls = {}
+    for nprobe in (2, 4, 16):
+        got = [
+            r["vec_id"]
+            for r in S.ivf_ann_topk(base, q, centroids, k=10, nprobe=nprobe).collect()
+        ]
+        recalls[nprobe] = _recall(got, exact)
+    assert recalls[4] >= 0.9, recalls
+    assert recalls[16] == 1.0, recalls  # all lists probed == exact
+    assert recalls[2] <= recalls[4] <= recalls[16], recalls
+
+
+@pytest.fixture(scope="module")
+def planted_neardups(spark):
+    """200 random 64-d vectors + 10 planted near-duplicates of the query
+    (cos >= ~0.95): the workload LSH exists for — near-dup retrieval where
+    true neighbors are high-similarity, not the random-noise tail."""
+    rng = np.random.RandomState(7)
+    dim = 64
+    base = rng.randn(200, dim)
+    qv = base[0]
+    rows = [(i, base[i].tolist()) for i in range(1, 200)]
+    rows += [
+        (1000 + i, (qv + rng.randn(dim) * 0.08).tolist()) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(
+        [(0, qv.tolist())], "vec_id long, embedding array<double>"
+    )
+    return df, qdf
+
+
+def test_lsh_ann_recall_on_planted_neardups(spark, planted_neardups):
+    """Single-probe sign-bit LSH must retrieve >= 9/10 planted
+    near-duplicates (measured: 10/10), while scanning well under the full
+    table — the recall/pruning contract of the operator."""
+    df, qdf = planted_neardups
+    exact = [r["vec_id"] for r in S.cosine_topk(df, qdf, k=10).collect()]
+    assert sorted(exact) == [1000 + i for i in range(10)]  # planted are top
+    got = [
+        r["vec_id"]
+        for r in S.lsh_ann_topk(df, qdf, k=10, n_planes=8, multiprobe=1).collect()
+    ]
+    assert _recall(got, exact) >= 0.9
+
+    # pruning is real: the Hamming<=1 probe set touches a small fraction
+    b_df = S.lsh_buckets(df, n_planes=8, dim=64)
+    b_q = S.lsh_buckets(qdf, n_planes=8, dim=64).collect()[0]["bucket"]
+    probe = {b_q} | {b_q ^ (1 << p) for p in range(8)}
+    n_cand = b_df.filter(F.col("bucket").isin(probe)).count()
+    assert n_cand < 0.4 * df.count(), f"scanned {n_cand} of {df.count()}"
+
+
+def test_lsh_multiprobe_monotone_recall(spark, planted_neardups):
+    """multiprobe=2's candidate set is a superset of multiprobe=1's, so
+    recall can only grow; verified on the adversarial random embeddings
+    where single-bucket recall actually loses neighbors."""
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    base = e.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in S.cosine_topk(base, q, k=10).collect()]
+    r1 = _recall(
+        [r["vec_id"] for r in S.lsh_ann_topk(base, q, k=10, multiprobe=1).collect()],
+        exact,
+    )
+    r2 = _recall(
+        [r["vec_id"] for r in S.lsh_ann_topk(base, q, k=10, multiprobe=2).collect()],
+        exact,
+    )
+    assert r2 >= r1
+
+
+# --------------------------------------------------------------- k-means
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """4 well-separated planted centers (pairwise distance >> intra-cluster
+    jitter): Lloyd's must recover the partition exactly — every planted
+    group lands in one recovered cluster and the 4 recovered ids are
+    distinct (purity 1.0)."""
+    rng = np.random.RandomState(11)
+    dim = 8
+    centers = np.eye(4, dim) * 10.0
+    rows = []
+    for g in range(4):
+        for i in range(30):
+            v = centers[g] + rng.randn(dim) * 0.3
+            rows.append((g * 30 + i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, centroids = S.kmeans(df, k=4, iters=5)
+    got = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+    labels = []
+    for g in range(4):
+        ids = {got[g * 30 + i] for i in range(30)}
+        assert len(ids) == 1, f"planted group {g} split across {ids}"
+        labels.append(ids.pop())
+    assert len(set(labels)) == 4, f"clusters merged: {labels}"
+    assert centroids.count() == 4
