@@ -42,7 +42,43 @@ HEADLINE = [
     "q_tpch_q18",
     "q_triangle_count",
     "q_grid_join",
+    # heaviest previously-unrepresented ops (VERDICT r1 item 4)
+    "q_neardup_verified",
+    "q_tpch_q9",
+    "q_fuzzy_join",
+    "q_knn_join",
 ]
+
+HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl")
+
+
+def _load_prior(sf: float) -> dict[str, float]:
+    """Most recent recorded per-query timings at the same scale factor."""
+    try:
+        with open(HISTORY) as f:
+            entries = [json.loads(line) for line in f if line.strip()]
+    except FileNotFoundError:
+        return {}
+    for e in reversed(entries):
+        if e.get("sf") == sf and e.get("queries"):
+            return e["queries"]
+    return {}
+
+
+def _regressions(prior: dict[str, float], now: dict[str, float]) -> dict[str, list]:
+    """Name queries that regressed (>25% and >0.15s slower) or improved
+    (>25% and >0.15s faster) vs the prior run at the same sf — the answer
+    to 'which queries regressed' the per-round BENCH compare needs."""
+    slower, faster = [], []
+    for q, t in now.items():
+        p = prior.get(q)
+        if p is None:
+            continue
+        if t > p * 1.25 and t - p > 0.15:
+            slower.append(f"{q}:{p}->{t}")
+        elif t < p * 0.75 and p - t > 0.15:
+            faster.append(f"{q}:{p}->{t}")
+    return {"regressed": slower, "improved": faster}
 
 
 def main() -> None:
@@ -83,17 +119,21 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    diff = _regressions(_load_prior(sf), timings)
+    record.update(diff)
+    try:
+        with open(HISTORY, "a") as f:
+            f.write(json.dumps({**record, "cpus": int(cpus)}) + "\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries everything
+    print(json.dumps(record))
     spark.stop()
 
 

@@ -307,3 +307,72 @@ def test_countmin_on_5m_skewed_events(spark):
     assert est >= heavy  # CMS never underestimates
     assert est - heavy <= 2.7182818 * n / _CMS_W  # eps*N guarantee
     assert elapsed < 90, f"CMS build took {elapsed:.1f}s on {n} rows"
+
+
+def test_flagship_and_minhash_scale_linearly(spark, tmp_path):
+    """Linearity gate (catches an accidental quadratic before a cluster
+    would): the flagship unique-users pipeline and the MinHash→LSH
+    candidate pipeline run from parquet at 1× and 4× volume; wall time
+    may grow at most 2× over proportional (a quadratic term would show
+    ≥16× where ≤8× is asserted).  Timing is best-of-2 after a warm-up so
+    codegen/scan setup isn't attributed to either scale."""
+    from kafkastreamsjavachallenge_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from kafkastreamsjavachallenge_spark.operators.windows import unique_users
+
+    def timed(fn, runs=2):
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
+    # --- events: 1M vs 4M rows of (ts, user_id) parquet
+    def write_events(n, path):
+        spark.range(n).select(
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + (F.col("id") * 7) % 2_000_000
+            ).alias("ts"),
+            ((F.col("id") * 2654435761) % 100_000).cast("string").alias("user_id"),
+        ).write.mode("overwrite").parquet(path)
+
+    times_ev = {}
+    for n in (1_000_000, 4_000_000):
+        p = str(tmp_path / f"ev_{n}")
+        write_events(n, p)
+        ev = spark.read.parquet(p)
+        run = lambda: unique_users(ev, "ts", "user_id").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        run()  # warm-up
+        times_ev[n] = timed(run)
+    ratio_ev = times_ev[4_000_000] / max(times_ev[1_000_000], 0.3)
+    assert ratio_ev <= 8, f"flagship 4x data took {ratio_ev:.1f}x time: {times_ev}"
+
+    # --- documents: 8k vs 32k docs through signatures + banded LSH
+    def write_docs(n, path):
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(19)),
+            lambda i: F.concat(
+                F.lit("w"), ((F.col("id") % (n // 2)) * 31 + i * 7) % 5000
+            ),
+        )
+        spark.range(n).select(
+            F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+        ).write.mode("overwrite").parquet(path)
+
+    times_mh = {}
+    for n in (8_000, 32_000):
+        p = str(tmp_path / f"docs_{n}")
+        write_docs(n, p)
+        docs = spark.read.parquet(p)
+        run = lambda: lsh_candidate_pairs(
+            minhash_signatures(docs, n_perm=8), bands=4, rows_per_band=2
+        ).write.format("noop").mode("overwrite").save()
+        run()  # warm-up
+        times_mh[n] = timed(run)
+    ratio_mh = times_mh[32_000] / max(times_mh[8_000], 0.3)
+    assert ratio_mh <= 8, f"minhash 4x data took {ratio_mh:.1f}x time: {times_mh}"
