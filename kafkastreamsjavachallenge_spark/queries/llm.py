@@ -500,6 +500,114 @@ def q_pii_scrub(spark, sf_dir):
     return c.select("c_custkey", scrub.alias("scrubbed"))
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-LM quality score: mean unigram negative log-likelihood per
+    document — the classic cheap perplexity proxy used to filter training
+    data (high avg NLL = out-of-distribution / noisy text).  Vocabulary is
+    one token aggregate (bounded by the language, not the corpus — a few
+    hundred thousand types at web scale), broadcast back onto the exploded
+    token stream; the scalar corpus total rides along as a literal-free
+    cross join of a 1-row aggregate."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n_total"))
+    scored = tok.join(F.broadcast(vocab), "tok").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.round(
+            F.avg(-F.log(F.col("c") / F.col("n_total"))), 4
+        ).alias("avg_nll"),
+        F.count(F.lit(1)).alias("n_tok"),
+    )
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Chunk-level exact dedup: the 8-token/stride-6 training chunks
+    (q_doc_chunks) grouped by content digest — duplicated chunks with
+    their occurrence count and the min (doc_id, chunk_idx) keeper.  The
+    sub-document twin of exact_dedup: one shuffle on the digest, uniform
+    keys; at 100 TB this is how boilerplate shared across distinct
+    documents gets removed."""
+    d = _docs(spark, sf_dir).withColumn("toks", T.tokens("text"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("toks") - F.lit(2), F.lit(1)), F.lit(6)
+    )
+    chunks = d.select(
+        "doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "s")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(" ", F.slice(F.col("toks"), F.col("s"), 8)).alias("chunk"),
+    )
+    return (
+        chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.struct("doc_id", "chunk_idx")).alias("k"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .select(
+            "chunk_hash",
+            "n_occurrences",
+            F.col("k.doc_id").alias("keep_doc_id"),
+            F.col("k.chunk_idx").alias("keep_chunk_idx"),
+        )
+    )
+
+
+def q_mix_weights(spark, sf_dir):
+    """Data-mixing weights: per-source resampling factor that rebalances
+    the corpus to a uniform target mix (weight = target_share /
+    corpus_share).  The one-aggregate step every training-mix pipeline
+    runs before weighted sampling; the k-source count rides along from a
+    1-row broadcast aggregate."""
+    d = _docs(spark, sf_dir)
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = per_src.agg(
+        F.sum("n_docs").alias("n_total"), F.count(F.lit(1)).alias("k")
+    )
+    return per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        F.round(
+            F.col("n_total") / (F.col("k") * F.col("n_docs")), 4
+        ).alias("weight"),
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: assign documents to fixed token-budget training
+    bins (budget 512) by contiguous fill in deterministic doc_id order,
+    packed independently per source (the parallel unit — each source's
+    prefix sum is its own window partition, so packing scales with the
+    number of shards, not one global sort).  bin = tokens-before / budget;
+    a doc straddling a boundary belongs to the bin its first token falls
+    in — the standard concat-then-split packing discipline."""
+    budget = 512
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(T.tokens("text")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = d.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        ((F.sum("n_tok").over(w) - F.col("n_tok")) / budget)
+        .cast("bigint")
+        .alias("bin"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+
+
 # -------------------------------------------------------- multimodal
 
 def q_binary_meta(spark, sf_dir):
@@ -799,5 +907,51 @@ QUERIES = {
         "c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@example.com>', "
         "'[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'), "
         "'[0-9]+', '<NUM>', 'g') AS scrubbed FROM customer",
+    ),
+    "q_unigram_logprob": (
+        q_unigram_logprob,
+        "WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) "
+        "AS tok FROM documents), "
+        "vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok), "
+        "t AS (SELECT sum(c) AS n_total FROM vocab) "
+        "SELECT doc_id, round(avg(-ln(c / CAST(n_total AS DOUBLE))), 4) "
+        "AS avg_nll, count(*) AS n_tok "
+        "FROM tok JOIN vocab USING (tok) CROSS JOIN t GROUP BY doc_id",
+    ),
+    "q_chunk_dedup": (
+        q_chunk_dedup,
+        "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks "
+        "FROM documents), "
+        "s AS (SELECT doc_id, toks, unnest(generate_series(1, "
+        "greatest(len(toks) - 2, 1), 6)) AS st FROM t), "
+        "chunks AS (SELECT doc_id, CAST((st - 1) // 6 AS INTEGER) "
+        "AS chunk_idx, array_to_string(list_slice(toks, st, st + 7), ' ') "
+        "AS chunk FROM s) "
+        "SELECT md5(chunk) AS chunk_hash, count(*) AS n_occurrences, "
+        "(min(struct_pack(doc_id := doc_id, chunk_idx := chunk_idx))).doc_id "
+        "AS keep_doc_id, "
+        "(min(struct_pack(doc_id := doc_id, chunk_idx := chunk_idx))).chunk_idx "
+        "AS keep_chunk_idx "
+        "FROM chunks GROUP BY md5(chunk) HAVING count(*) > 1",
+    ),
+    "q_mix_weights": (
+        q_mix_weights,
+        "WITH per_src AS (SELECT source, count(*) AS n_docs FROM documents "
+        "GROUP BY source), "
+        "t AS (SELECT sum(n_docs) AS n_total, count(*) AS k FROM per_src) "
+        "SELECT source, n_docs, "
+        "round(n_total / CAST(k * n_docs AS DOUBLE), 4) AS weight "
+        "FROM per_src CROSS JOIN t",
+    ),
+    "q_pack_sequences": (
+        q_pack_sequences,
+        "WITH d AS (SELECT doc_id, source, "
+        "len(string_split(trim(text), ' ')) AS n_tok FROM documents), "
+        "b AS (SELECT source, doc_id, n_tok, "
+        "CAST((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 512 "
+        "AS BIGINT) AS bin FROM d) "
+        "SELECT source, bin, count(*) AS n_docs, sum(n_tok) AS total_tokens "
+        "FROM b GROUP BY source, bin",
     ),
 }

@@ -162,6 +162,23 @@ def q_stream_join(spark, sf_dir):
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming key dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps one record per user_id and —
+    unlike plain streaming dropDuplicates — evicts a key's state once the
+    watermark passes it, so state size tracks the distinct keys per
+    watermark horizon, not per stream lifetime (the reference's unbounded
+    RocksDB growth, README.md:196, is structurally impossible here).  One
+    availableNow drain sees each key at least once → the emitted key set
+    equals batch DISTINCT → full SQL oracle on the projected key."""
+    stream = _event_stream(spark, sf_dir)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id"]
+    )
+    out = run_to_memory(deduped, output_mode="append", state_partitions=8)
+    return out.select("user_id")
+
+
 QUERIES = {
     "q_stream_countmin": (
         q_stream_countmin,
@@ -202,6 +219,10 @@ QUERIES = {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM e) "
         "SELECT user_id, min(ts) AS session_start, count(*) AS n "
         "FROM s GROUP BY user_id, sid",
+    ),
+    "q_stream_dedup": (
+        q_stream_dedup,
+        "SELECT DISTINCT user_id FROM events",
     ),
     "q_stream_sliding": (
         q_stream_sliding,
