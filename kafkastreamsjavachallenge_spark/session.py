@@ -62,6 +62,34 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def enable_runtime_filters(
+    spark: SparkSession,
+    application_side_threshold: str = "10MB",
+    creation_side_threshold: str = "100MB",
+) -> SparkSession:
+    """Turn on runtime bloom-filter join pruning with thresholds suited to
+    the deployment (Spark's defaults only inject above a 10 GB probe-side
+    scan, sized for clusters).
+
+    When a shuffle join's build side is selective (a filtered dimension),
+    the optimizer injects ``bloom_filter_agg`` over the build keys and a
+    ``might_contain`` filter on the probe side — fact rows that cannot
+    match are dropped BEFORE the shuffle, the single biggest win available
+    on a 100 TB fact join after partition pruning.  Plan shape is pinned
+    by tests/test_plans.py::test_runtime_bloom_filter_prunes_fact_side.
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        application_side_threshold,
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        creation_side_threshold,
+    )
+    return spark
+
+
 def build_session(config: EngineConfig | None = None) -> SparkSession:
     """Build a SparkSession with engine defaults.
 

@@ -228,3 +228,49 @@ def test_registry_plans_lint_clean(spark):
         if rules - allowed:
             bad[name] = rules - allowed
     assert not bad, f"lint regressions: {bad}"
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """enable_runtime_filters: a selective filtered dimension joined via
+    shuffle join must inject bloom_filter_agg on the build side and a
+    might_contain probe filter on the fact side — fact rows that cannot
+    match are dropped before the shuffle (the decisive 100 TB fact-join
+    optimization after partition pruning)."""
+    from kafkastreamsjavachallenge_spark.session import enable_runtime_filters
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        enable_runtime_filters(spark, application_side_threshold="0")
+        # force the shuffle-join path: broadcast joins use their own
+        # (also-supported) reuse mechanism and don't need the bloom filter
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = load_table(spark, SF_DIR, "orders")
+        cust = load_table(spark, SF_DIR, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+            "o_orderkey"
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, opt
+        assert "might_contain" in opt, opt
+        # and the result is unchanged by the pruning
+        n_filtered = j.count()
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "10GB",
+        )
+        assert j.count() == n_filtered
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
