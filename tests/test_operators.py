@@ -127,6 +127,85 @@ def shared_spark(spark):
     return spark
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=25),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=25),
+)
+def test_asof_join_matches_bruteforce_property(shared_spark, left, right):
+    """Property: for ANY (key, ts) multiset pair, asof_join backward picks
+    exactly the latest right ts <= left ts per key — verified against a
+    per-row Python brute force.  Right side deduped on (key, ts) so the
+    max_by tie-break is immaterial."""
+    base = dt.datetime(2024, 1, 1)
+    right = sorted(set(right))
+    ldf = shared_spark.createDataFrame(
+        [
+            Row(k=k, lt=base + dt.timedelta(seconds=s), lid=i)
+            for i, (k, s) in enumerate(left)
+        ]
+    )
+    rdf = shared_spark.createDataFrame(
+        [Row(k=k, rt=base + dt.timedelta(seconds=s), rv=s) for k, s in right]
+    )
+    got = {
+        r["lid"]: r["rv"]
+        for r in asof_join(ldf, rdf, on="k", left_ts="lt", right_ts="rt").collect()
+    }
+    for i, (k, s) in enumerate(left):
+        cand = [rs for rk, rs in right if rk == k and rs <= s]
+        want = max(cand) if cand else None
+        assert got.get(i) == want, (i, k, s, got.get(i), want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=0, max_size=25
+    )
+)
+def test_connected_components_matches_union_find_property(shared_spark, edges):
+    """Property: min-label propagation produces exactly the union-find
+    partition (canonical id = min member) for ANY small graph over nodes
+    0..15, including self-loops, duplicate edges, and isolated nodes."""
+    from kafkastreamsjavachallenge_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 16
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize: min member id per root
+    want = {}
+    members: dict[int, list[int]] = {}
+    for v in range(n):
+        members.setdefault(find(v), []).append(v)
+    for root, vs in members.items():
+        m = min(vs)
+        for v in vs:
+            want[v] = m
+
+    edf = shared_spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in edges] or [Row(id_a=0, id_b=0)]
+    )
+    ndf = shared_spark.createDataFrame([Row(doc_id=v) for v in range(n)])
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(edf, ndf).collect()
+    }
+    assert got == want
+
+
 def test_ivf_full_probe_equals_bruteforce(spark):
     """IVF with nprobe == n_centroids probes every inverted list, so the
     result must equal exact brute-force top-k."""
