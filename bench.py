@@ -105,17 +105,22 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         # best-of-N: steady-state cost, not scheduler/codegen jitter
         best = float("inf")
-        for _ in range(runs):
-            # time construction + execution: streaming queries execute
-            # during construction (availableNow → memory sink)
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            # noop sink: full execution, no driver-side materialization
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+        try:
+            for _ in range(runs):
+                # time construction + execution: streaming queries execute
+                # during construction (availableNow → memory sink)
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                # noop sink: full execution, no driver-side materialization
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+        except Exception as exc:  # one broken query must not zero the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -126,6 +131,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        record["errors"] = errors
     diff = _regressions(_load_prior(sf), timings)
     record.update(diff)
     try:

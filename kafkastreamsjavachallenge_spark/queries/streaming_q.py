@@ -48,7 +48,9 @@ def _event_stream(spark, sf_dir):
     stream = file_stream(spark, stage, batch.schema)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return stream
+    from kafkastreamsjavachallenge_spark.streaming.pipeline import ensure_event_time
+
+    return ensure_event_time(stream, "ts")
 
 
 def q_stream_unique_users(spark, sf_dir):

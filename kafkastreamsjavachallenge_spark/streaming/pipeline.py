@@ -25,6 +25,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize an event-time column to TimestampType for watermarking.
+
+    Parquet written without an isAdjustedToUTC annotation reads as
+    TIMESTAMP_NTZ (depending on writer/session), which
+    ``withWatermark`` rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    The session timezone is pinned to UTC (session.py), so casting
+    NTZ -> TIMESTAMP is value-preserving against the naive-timestamp
+    oracle reading of the same files.
+    """
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def streaming_unique_users(
     stream: DataFrame,
     ts_col: str = "ts",
@@ -38,6 +53,7 @@ def streaming_unique_users(
     (the fix for the reference's unbounded store growth), then a windowed
     count of first-occurrences — exact distinct without countDistinct.
     """
+    stream = ensure_event_time(stream, ts_col)
     w = F.window(F.col(ts_col), duration)
     deduped = (
         stream.withWatermark(ts_col, watermark)
@@ -100,8 +116,8 @@ def stream_stream_join(
     can evict state — unbounded stream-stream joins never GC (the same
     failure mode as the reference's broken store retention, README.md:196).
     """
-    lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
+    lw = ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    rw = ensure_event_time(right, right_ts).withWatermark(right_ts, watermark)
     bound = (
         (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {interval}"))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {interval}"))
@@ -118,6 +134,7 @@ def streaming_sliding_counts(
 ) -> DataFrame:
     """Sliding-window event counts over a stream (beyond the reference's
     tumbling-only surface, SURVEY.md §2.2)."""
+    stream = ensure_event_time(stream, ts_col)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), duration, slide).alias("window"))
@@ -137,6 +154,7 @@ def streaming_session_counts(
     SURVEY.md §2.2; reference is tumbling-only).  The engine merges
     adjacent session fragments across micro-batches; watermark bounds the
     merge state."""
+    stream = ensure_event_time(stream, ts_col)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.col(key), F.session_window(F.col(ts_col), gap).alias("session"))
