@@ -323,6 +323,40 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN: per-subspace k-means codebook (8 subspaces
+    × 16 codes), m-byte code words, asymmetric-distance top-10 for one
+    query — the IVF-PQ memory-compression path (codes are m bytes/vector
+    vs 4·dim for raw floats).  Approximate + iterative → rows-only;
+    recall vs exact L2 is pinned in tests/test_approx.py."""
+    e = _embs(spark, sf_dir)
+    base = e.filter(F.col("vec_id") != 0)
+    query = e.filter(F.col("vec_id") == 0)
+    codebook = S.pq_train(base, m=8, k=16, iters=2)
+    return S.pq_ann_topk(base, query, codebook, k=10)
+
+
+def q_embed_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column: per-vector
+    symmetric scale (maxabs/127), elements mapped by floor(x/scale + 0.5)
+    — the storage/bandwidth step before shipping vectors to an ANN index
+    (4 bytes → 1 byte per element).  Pure projection, zero shuffle; the
+    rounding mode is pinned with floor(+0.5) so every engine agrees on
+    half-way cases."""
+    e = _embs(spark, sf_dir)
+    v = F.col("embedding")
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = maxabs / F.lit(127.0)
+    q8 = F.when(maxabs == 0, F.transform(v, lambda x: F.lit(0).cast("bigint"))).otherwise(
+        F.transform(v, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)))
+    )
+    return e.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.concat_ws(",", q8.cast("array<string>")).alias("q8"),
+    )
+
+
 # ------------------------------------------------------ text analysis
 
 def q_token_count(spark, sf_dir):
@@ -751,6 +785,21 @@ QUERIES = {
     ),
     "q_ann_lsh": (q_ann_lsh, None),
     "q_ann_ivf": (q_ann_ivf, None),
+    "q_ann_pq": (q_ann_pq, None),
+    "q_embed_quantize": (
+        q_embed_quantize,
+        # identical arithmetic shape to the Spark side: scale = maxabs/127
+        # computed first, elements mapped by floor(x/scale + 0.5) — same
+        # IEEE op order, so results are bit-identical.
+        "WITH s AS (SELECT vec_id, embedding, "
+        "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 "
+        "AS raw_scale FROM embeddings) "
+        "SELECT vec_id, round(raw_scale, 6) AS scale, "
+        "CASE WHEN raw_scale = 0 THEN array_to_string(list_transform(embedding, x -> 0), ',') "
+        "ELSE array_to_string(list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) / raw_scale + 0.5) AS BIGINT)), ',') END AS q8 "
+        "FROM s",
+    ),
     "q_token_count": (
         q_token_count,
         f"SELECT tok, count(*) AS n FROM (SELECT unnest({_TOKS}) AS tok FROM documents) "

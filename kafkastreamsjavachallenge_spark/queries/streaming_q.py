@@ -164,6 +164,21 @@ def q_stream_join(spark, sf_dir):
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+def q_stream_topk(spark, sf_dir):
+    """Streaming top-k heavy hitters: per-key counts maintained as
+    complete-mode aggregation state, top-10 read off the drained sink.
+    The streaming agg is the exact companion to q_stream_countmin's
+    sketch — use this below memory limits, the sketch above them.  One
+    availableNow drain equals the batch count → full SQL oracle; ties
+    break on user_id so the limit is deterministic in both engines."""
+    from pyspark.sql import functions as F
+
+    stream = _event_stream(spark, sf_dir)
+    counts = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    out = run_to_memory(counts, output_mode="complete", state_partitions=8)
+    return out.orderBy(F.col("n").desc(), "user_id").limit(10)
+
+
 def q_stream_dedup(spark, sf_dir):
     """Streaming key dedup with bounded state:
     ``dropDuplicatesWithinWatermark`` keeps one record per user_id and —
@@ -225,6 +240,11 @@ QUERIES = {
     "q_stream_dedup": (
         q_stream_dedup,
         "SELECT DISTINCT user_id FROM events",
+    ),
+    "q_stream_topk": (
+        q_stream_topk,
+        "SELECT user_id, count(*) AS n FROM events GROUP BY user_id "
+        "ORDER BY n DESC, user_id LIMIT 10",
     ),
     "q_stream_sliding": (
         q_stream_sliding,

@@ -155,6 +155,27 @@ def test_lsh_multiprobe_monotone_recall(spark, planted_neardups):
     assert r2 >= r1
 
 
+def test_pq_ann_recall_on_planted_neardups(spark, planted_neardups):
+    """q_ann_pq's oracle is the exact scan: asymmetric-distance top-10 over
+    m-byte PQ codes must retrieve >= 9/10 planted near-duplicates — the
+    compression/recall contract of product quantization (near neighbors'
+    per-subspace cells coincide with the query's, so their summed table
+    lookups stay far below random vectors')."""
+    df, qdf = planted_neardups
+    exact = [r["vec_id"] for r in S.cosine_topk(df, qdf, k=10).collect()]
+    codebook = S.pq_train(df, m=8, k=16, iters=2)
+    got = [
+        r["vec_id"] for r in S.pq_ann_topk(df, qdf, codebook, k=10).collect()
+    ]
+    assert _recall(got, exact) >= 0.9, got
+
+    # code words are genuinely m bytes: m entries, each in [0, k)
+    codes = S.pq_encode(df, codebook).collect()
+    for r in codes:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+
+
 # --------------------------------------------------------------- k-means
 
 

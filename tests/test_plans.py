@@ -218,6 +218,11 @@ def test_registry_plans_lint_clean(spark):
         "q_hist_quantile",
         "q_dq_audit",
         "q_bloom_fpr",
+        # 1-row global-aggregate broadcasts (corpus totals)
+        "q_mix_weights",
+        "q_unigram_logprob",
+        # PQ scoring: m×k codebook / query distance-table broadcasts
+        "q_ann_pq",
     }
     bad = {}
     for name, (fn, _) in sorted(registry().items()):
