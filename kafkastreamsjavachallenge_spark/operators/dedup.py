@@ -163,10 +163,26 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for given candidate pairs.
 
-    Two broadcast-able joins to attach shingle sets, then per-row array
-    intersection — never an all-pairs computation.
+    Shingle sets are computed only for docs that appear in a candidate
+    pair (semi-join first): the expensive HOF shingling touches
+    |candidates| docs, not |corpus| — at 100 TB candidates are orders of
+    magnitude smaller than the corpus, so the verify stage's cost tracks
+    LSH selectivity, not data size.  Then two joins attach the sets and a
+    per-row array intersection scores each pair — never all-pairs.
+
+    ``pairs`` is referenced twice (the id restriction and the score join),
+    so it is lazily checkpointed — one materialization shared by both
+    branches instead of recomputing the upstream MinHash+LSH chain per
+    branch (same lineage-sharing move as the graph operators).
     """
-    sh = df.select(
+    pairs = pairs.localCheckpoint(eager=False)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # AQE broadcasts the (small) candidate id set at runtime
+    sh = df.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col),
         F.array_distinct(shingles(tokens(text_col), shingle_k)).alias("sh"),
     )
