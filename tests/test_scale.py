@@ -376,3 +376,59 @@ def test_flagship_and_minhash_scale_linearly(spark, tmp_path):
         times_mh[n] = timed(run)
     ratio_mh = times_mh[32_000] / max(times_mh[8_000], 0.3)
     assert ratio_mh <= 8, f"minhash 4x data took {ratio_mh:.1f}x time: {times_mh}"
+
+
+def test_pq_sample_train_encode_all_on_200k_vectors(spark):
+    """PQ at volume with the 100 TB training discipline: the codebook
+    trains on a deterministic ~1% hash-sample (training cost is fixed by
+    the sample, not the corpus), then ALL 200k vectors are encoded and
+    queried — encode/probe are the only corpus-sized stages and both are
+    broadcast-join + hash-agg shapes.  Planted structure (32 well-
+    separated centers, jitter ≪ center spacing) makes recall checkable:
+    every ADC top-10 hit must belong to the query's planted cluster."""
+    from kafkastreamsjavachallenge_spark.operators.similarity import (
+        pq_ann_topk,
+        pq_train,
+    )
+
+    n, dim, n_clusters = 200_000, 16, 32
+    # centers = hypercube corners from the 5 bits of the cluster id
+    # (dim d reads bit d%5, mapped to ±1): clusters differing in one bit
+    # differ in >= 3 dims -> pairwise L2² >= 12, vs jitter (±0.025/dim)
+    # L2² <= 0.01 — unambiguous planted structure.  Each 4-dim subspace
+    # sees <= 16 distinct corner patterns, within the k=16 codebook.
+    def center_bit(c, dd):
+        return (
+            F.floor(c.cast("double") / F.pow(F.lit(2.0), (dd % 5).cast("double")))
+            .cast("bigint")
+            % 2
+        )
+
+    c = F.col("id") % n_clusters
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda dd: (
+                (center_bit(c, dd) * 2 - 1).cast("double")
+                + ((F.col("id") * (dd + 1) * 40503) % 97) / F.lit(1940.0)
+                - 0.025
+            ),
+        ).alias("embedding"),
+    )
+    # noise-free query at cluster 0's center (all bits 0 -> all -1)
+    query = spark.range(1).select(
+        F.lit(-1).cast("long").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)), lambda dd: F.lit(-1.0)
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    sample = vecs.filter(F.abs(F.hash("vec_id")) % 100 == 0)  # ~1%
+    codebook = pq_train(sample, m=4, k=16, iters=2, dim=dim)
+    top = pq_ann_topk(vecs, query, codebook, k=10, m=4, dim=dim).collect()
+    elapsed = time.time() - t0
+    assert elapsed < 180, f"PQ sample-train+encode took {elapsed:.1f}s"
+    assert len(top) == 10
+    wrong = [r["vec_id"] for r in top if r["vec_id"] % n_clusters != 0]
+    assert not wrong, f"ADC top-10 escaped the planted cluster: {wrong}"
