@@ -11,9 +11,12 @@ malformed="epoch0")`` reproduces the extractor including its epoch-0
 NumberFormatException fallback.
 
 No broker exists in the test container, so these builders are exercised for
-plan construction only; end-to-end micro-batch behavior is covered by the
-file source (streaming/pipeline.py), which shares every operator downstream
-of the source.
+plan construction only.  End-to-end behavior with Kafka record semantics —
+keyed binary records, per-partition offsets, resumable micro-batches, the
+connector's exact output schema — runs through the logframes Python
+DataSource (sources/logframe_ds.py, tests/test_logframe_source.py), which
+``parse_log_frames`` consumes unchanged; the plain file source
+(streaming/pipeline.py) covers the operator surface downstream.
 """
 
 from __future__ import annotations
