@@ -313,6 +313,46 @@ def q_json_props_stats(spark, sf_dir):
     )
 
 
+def q_variant_extract(spark, sf_dir):
+    """Semi-structured extraction through the VARIANT type (Spark 4):
+    parse_json once into the binary variant encoding, then typed
+    variant_get path access — the open-format answer to JSON-string
+    re-parsing per field (at scale the parse cost is paid once per row,
+    not once per extracted path; shredded variant columns push the paths
+    into the scan).  Decile histogram of the extracted metric."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select(k.alias("k"), "event_type")
+        .groupBy((F.col("k") - F.col("k") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+    )
+
+
+def q_recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE): ancestor-chain depth over
+    the implicit custkey DIV 10 hierarchy — the iterative-closure SQL
+    surface (org charts, BOM explosions, graph reachability) that needed
+    driver-side loops before 4.0.  Each recursion level is one
+    distributed self-step; the depth histogram aggregates the closure."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("rc_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(custkey, anc, depth) AS (
+          SELECT c_custkey, c_custkey DIV 10, 1
+          FROM rc_customer WHERE c_custkey < 1000
+          UNION ALL
+          SELECT custkey, anc DIV 10, depth + 1 FROM chain WHERE anc > 0
+        )
+        SELECT depth, count(*) AS n, count(DISTINCT custkey) AS n_keys
+        FROM chain GROUP BY depth
+        """
+    )
+
+
 # --------------------------------------------- multi-distinct aggregate
 
 
@@ -498,6 +538,21 @@ QUERIES = {
         "SELECT action, count(*) AS n_rows, "
         "round(CAST(sum(CAST(new_bal AS DECIMAL(18,4))) AS DOUBLE), 4) "
         "AS sum_new_bal FROM m GROUP BY action",
+    ),
+    "q_variant_extract": (
+        q_variant_extract,
+        "WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, "
+        "event_type FROM events) "
+        "SELECT k - k % 10 AS bucket, count(*) AS n, "
+        "count(DISTINCT event_type) AS n_types FROM k GROUP BY 1",
+    ),
+    "q_recursive_cte": (
+        q_recursive_cte,
+        "WITH RECURSIVE chain(custkey, anc, depth) AS ("
+        "SELECT c_custkey, c_custkey // 10, 1 FROM customer WHERE c_custkey < 1000 "
+        "UNION ALL SELECT custkey, anc // 10, depth + 1 FROM chain WHERE anc > 0) "
+        "SELECT depth, count(*) AS n, count(DISTINCT custkey) AS n_keys "
+        "FROM chain GROUP BY depth",
     ),
     "q_json_props_stats": (
         q_json_props_stats,
