@@ -336,6 +336,39 @@ def q_ann_pq(spark, sf_dir):
     return S.pq_ann_topk(base, query, codebook, k=10)
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation composite — the north-star pipeline as ONE
+    declarative plan: quality gate (token-count bounds + lexical
+    diversity) → exact dedup (keep lowest doc_id per content hash) →
+    deterministic hash split → per-split audit (docs, tokens).
+
+    Because it is a single DataFrame expression, Catalyst fuses the gate
+    into the scan (pushdown), the dedup is one shuffle on the content
+    digest, and the split+audit is map-side arithmetic over the dedup
+    output — three logical stages, one shuffle + one final aggregate
+    physically.  At 100 TB each stage's shape is already proven by its
+    standalone id (q_quality_score / q_doc_dedup / q_train_test_split);
+    this pins that composing them does not introduce new shuffles."""
+    d = _docs(spark, sf_dir).withColumn("toks", T.tokens("text"))
+    n_tok = F.size("toks")
+    ttr = T.type_token_ratio(F.col("toks"))
+    gated = d.filter((n_tok >= 10) & (n_tok <= 500) & (ttr >= 0.2)).select(
+        F.md5("text").alias("h"), "doc_id", n_tok.alias("n_tok")
+    )
+    kept = gated.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"), F.min("n_tok").alias("n_tok")
+    )
+    b = _h28(F.col("doc_id")) % 100
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return kept.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_tokens")
+    )
+
+
 def q_embed_quantize(spark, sf_dir):
     """Int8 scalar quantization of the embedding column: per-vector
     symmetric scale (maxabs/127), elements mapped by floor(x/scale + 0.5)
@@ -786,6 +819,21 @@ QUERIES = {
     "q_ann_lsh": (q_ann_lsh, None),
     "q_ann_ivf": (q_ann_ivf, None),
     "q_ann_pq": (q_ann_pq, None),
+    "q_curation_pipeline": (
+        q_curation_pipeline,
+        f"WITH t AS (SELECT doc_id, text, {_TOKS} AS l FROM documents), "
+        "q AS (SELECT doc_id, text, len(l) AS n_tok FROM t "
+        "WHERE len(l) BETWEEN 10 AND 500 "
+        "AND len(list_distinct(l)) / len(l) >= 0.2), "
+        "k AS (SELECT min(doc_id) AS doc_id, min(n_tok) AS n_tok "
+        "FROM q GROUP BY md5(text)), "
+        "s AS (SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' "
+        "ELSE 'test' END AS split, n_tok FROM ("
+        f"SELECT {_H28_SQL.format(x='CAST(doc_id AS VARCHAR)')} % 100 AS b, "
+        "n_tok FROM k)) "
+        "SELECT split, count(*) AS n_docs, sum(n_tok) AS total_tokens "
+        "FROM s GROUP BY split",
+    ),
     "q_embed_quantize": (
         q_embed_quantize,
         # identical arithmetic shape to the Spark side: scale = maxabs/127
