@@ -134,9 +134,10 @@ def q_pagerank(spark, sf_dir):
     pagerank) on the undirected co-occurrence graph — the canonical
     iterative DataFrame algorithm.  Each iteration is one shuffle on the
     node id; at scale the edge list would be pre-partitioned once and
-    every iteration reuses that partitioning.  Iterative fixpoint -> not
-    SQL-expressible -> rows-only check; top-10 with rounded ranks and
-    node-id tie-break keeps the output stable."""
+    every iteration reuses that partitioning.  Oracle: the 5 iterations
+    unrolled as chained SQL CTEs; both sides round to 6 dp and order by
+    the rounded rank so cross-engine float-sum order cannot flip the
+    top-10."""
     ranks = G.pagerank(_edges(spark, sf_dir), iters=5, damping=0.85)
     return (
         ranks.select("a", F.round("rank", 6).alias("rank"))
@@ -268,7 +269,30 @@ QUERIES = {
         "JOIN deg dv ON common.v = dv.a "
         "ORDER BY jaccard DESC, u ASC, v ASC LIMIT 20",
     ),
-    "q_pagerank": (q_pagerank, None),
+    # 5 fixed PageRank iterations unrolled as chained CTEs (recursive
+    # terms can't aggregate portably); contribution sums are double adds
+    # whose order differs between engines, so the 6-dp round on BOTH
+    # sides (and ordering by the rounded rank) absorbs ulp drift — if a
+    # rank ever sat exactly on a rounding boundary the deterministic
+    # parity test would catch it, not flake.
+    "q_pagerank": (
+        q_pagerank,
+        _EDGE_CTE
+        + ", und AS (SELECT ua AS a, ub AS b FROM e "
+        "UNION ALL SELECT ub, ua FROM e), "
+        "deg AS (SELECT a, count(*) AS out_deg FROM und GROUP BY a), "
+        "r0 AS (SELECT a, 1.0 AS rank FROM deg), "
+        + " ".join(
+            f"c{i} AS (SELECT u.b AS a, sum(r.rank / d.out_deg) AS s "
+            f"FROM und u JOIN r{i-1} r ON u.a = r.a "
+            "JOIN deg d ON u.a = d.a GROUP BY u.b), "
+            f"r{i} AS (SELECT d.a, 0.15 + 0.85 * coalesce(c.s, 0.0) AS rank "
+            f"FROM deg d LEFT JOIN c{i} c ON d.a = c.a),"
+            for i in range(1, 6)
+        ).rstrip(",")
+        + " SELECT a, round(rank, 6) AS rank FROM r5 "
+        "ORDER BY rank DESC, a LIMIT 10",
+    ),
     "q_reagg_merge": (
         q_reagg_merge,
         "WITH daily AS (SELECT l_returnflag, "
