@@ -101,9 +101,12 @@ def q_doc_chunks(spark, sf_dir):
 
 def q_kmeans(spark, sf_dir):
     """Distributed Lloyd's k-means (operators/similarity.py kmeans) over the
-    embeddings table: cluster sizes for k=8 after 3 iterations.  Iterative
-    fixpoint — not SQL-expressible → rows-only check; determinism and
-    cluster recovery are pinned by unit test instead."""
+    embeddings table: cluster sizes for k=8 after 3 iterations.  Oracle:
+    the 3 iterations unrolled as chained SQL CTEs (assignment = struct-min
+    argmin with the same lowest-cid tie-break, update = per-(cid, dim)
+    mean re-packed in index order, empty clusters keep the prior
+    centroid) — cluster sizes are integers, so the hash check is exact;
+    cluster recovery is additionally pinned by unit test."""
     assigned, _ = S.kmeans(_embs(spark, sf_dir), k=8, iters=3)
     return (
         assigned.groupBy("centroid_id")
@@ -304,7 +307,10 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate NN — approximate by design → rows-only."""
+    """LSH-bucketed approximate NN.  Deterministic md5-derived hyperplanes
+    make even this "approximate" operator exactly reproducible: the SQL
+    oracle (_ANN_LSH_SQL) rebuilds the same planes, buckets, Hamming-1
+    probe set, and candidate scoring — hash-checked, not rows-only."""
     e = _embs(spark, sf_dir)
     query = e.filter(F.col("vec_id") == 0)
     return S.lsh_ann_topk(e.filter(F.col("vec_id") != 0), query, k=10)
@@ -312,7 +318,9 @@ def q_ann_lsh(spark, sf_dir):
 
 def q_ann_ivf(spark, sf_dir):
     """IVF approximate NN: deterministic centroid set (lowest 16 ids),
-    broadcast assignment, nprobe=4 probed lists — approximate → rows-only."""
+    broadcast assignment, nprobe=4 probed lists.  Deterministic end to
+    end, so the SQL oracle (_ANN_IVF_SQL) reproduces assignment, probe
+    selection, and candidate scoring exactly — hash-checked."""
     e = _embs(spark, sf_dir)
     centroids = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
@@ -327,8 +335,11 @@ def q_ann_pq(spark, sf_dir):
     """Product-quantization ANN: per-subspace k-means codebook (8 subspaces
     × 16 codes), m-byte code words, asymmetric-distance top-10 for one
     query — the IVF-PQ memory-compression path (codes are m bytes/vector
-    vs 4·dim for raw floats).  Approximate + iterative → rows-only;
-    recall vs exact L2 is pinned in tests/test_approx.py."""
+    vs 4·dim for raw floats).  Deterministic training (lowest-id init,
+    tie-broken argmins) makes the whole pipeline SQL-mirrorable: the
+    oracle (_ANN_PQ_SQL) unrolls the per-subspace k-means and reproduces
+    codes and ADC distances exactly; recall vs exact L2 is additionally
+    pinned in tests/test_approx.py."""
     e = _embs(spark, sf_dir)
     base = e.filter(F.col("vec_id") != 0)
     query = e.filter(F.col("vec_id") == 0)
@@ -718,6 +729,178 @@ sig AS (SELECT doc_id,
 FROM hv)
 """
 
+# Sign-bit LSH ANN mirrored in SQL: identical md5-derived hyperplanes
+# (hex4/65536 - 0.5 per (plane, dim) cell), identical sequential-fold dot
+# products (list ops, not a GROUP BY sum, so addition order matches
+# Spark's HOF fold), bucket = sign bits, probes = bucket ∪ Hamming-1
+# flips, exact cosine top-10 over the probed candidates.
+_LSH_PLANES, _LSH_DIM = 8, 64
+_ANN_LSH_SQL = (
+    "WITH v AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
+    "FROM embeddings), "
+    "pl AS (SELECT p.p, list(('0x' || substr(md5(p.p || '|' || i.i), 1, 4))"
+    "::BIGINT / 65536.0 - 0.5 ORDER BY i.i) AS wv "
+    f"FROM range(0, {_LSH_PLANES}) p(p) "
+    f"CROSS JOIN range(0, {_LSH_DIM}) i(i) GROUP BY p.p), "
+    "bk AS (SELECT v.vec_id, v.vec, "
+    "CAST(sum(CASE WHEN list_sum(list_transform("
+    f"range(1, {_LSH_DIM + 1}), i -> v.vec[i] * pl.wv[i])) >= 0 "
+    "THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS bucket "
+    "FROM v CROSS JOIN pl GROUP BY v.vec_id, v.vec), "
+    "qb AS (SELECT bucket, vec FROM bk WHERE vec_id = 0), "
+    "probes AS (SELECT bucket FROM qb UNION "
+    "SELECT xor(qb.bucket, 1::BIGINT << t.p) FROM qb "
+    f"CROSS JOIN range(0, {_LSH_PLANES}) t(p)), "
+    "qn AS (SELECT sqrt(list_sum(list_transform("
+    f"range(1, {_LSH_DIM + 1}), i -> vec[i] * vec[i]))) AS qnorm, "
+    "vec AS qv FROM qb), "
+    "cand AS (SELECT b.vec_id, b.vec FROM bk b WHERE b.vec_id <> 0 "
+    "AND b.bucket IN (SELECT bucket FROM probes)) "
+    "SELECT c.vec_id, round(list_sum(list_transform("
+    f"range(1, {_LSH_DIM + 1}), i -> c.vec[i] * q.qv[i])) / "
+    "(sqrt(list_sum(list_transform("
+    f"range(1, {_LSH_DIM + 1}), i -> c.vec[i] * c.vec[i]))) * q.qnorm), 4) "
+    "AS cos_sim FROM cand c CROSS JOIN qn q "
+    "ORDER BY cos_sim DESC, c.vec_id LIMIT 10"
+)
+
+# PQ ANN mirrored in SQL: per-subspace k-means unrolled (2 iterations,
+# same lowest-id init / struct-min tie-break / index-ordered mean
+# re-pack as the Spark trainer), then encode + query distance table +
+# ADC sum.  All assignment outputs are integers; the ADC sum rounds to
+# 4 dp on both sides.
+_PQ_M, _PQ_K, _PQ_ITERS, _PQ_SUB = 8, 16, 2, 8
+
+
+def _pq_l2(a, b):
+    return (
+        f"list_sum(list_transform(range(1, {_PQ_SUB + 1}), "
+        f"i -> ({a}[i] - {b}[i]) ** 2))"
+    )
+
+
+def _pq_sql():
+    s = (
+        "WITH v AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
+        "FROM embeddings), "
+        "base AS (SELECT * FROM v WHERE vec_id <> 0), "
+        "q AS (SELECT * FROM v WHERE vec_id = 0), "
+        "subs AS (SELECT vec_id, s.s AS sub, "
+        f"vec[s.s*{_PQ_SUB}+1 : s.s*{_PQ_SUB}+{_PQ_SUB}] AS sv "
+        f"FROM base CROSS JOIN range(0, {_PQ_M}) s(s)), "
+        "cb0 AS (SELECT sub, row_number() OVER "
+        "(PARTITION BY sub ORDER BY vec_id) - 1 AS code, sv AS cvec "
+        "FROM (SELECT * FROM subs QUALIFY row_number() OVER "
+        f"(PARTITION BY sub ORDER BY vec_id) <= {_PQ_K}))"
+    )
+    prev = "cb0"
+    for it in range(1, _PQ_ITERS + 1):
+        s += (
+            f", a{it} AS (SELECT s.vec_id, s.sub, s.sv, "
+            f"(min(struct_pack(d := {_pq_l2('s.sv', 'c.cvec')}, c := c.code))).c "
+            f"AS code FROM subs s JOIN {prev} c ON s.sub = c.sub "
+            "GROUP BY s.vec_id, s.sub, s.sv), "
+            f"m{it} AS (SELECT a.sub, a.code, t.i, avg(a.sv[t.i]) AS m "
+            f"FROM a{it} a CROSS JOIN range(1, {_PQ_SUB + 1}) t(i) "
+            "GROUP BY a.sub, a.code, t.i), "
+            f"cb{it} AS (SELECT c.sub, c.code, coalesce(n.cvec, c.cvec) AS cvec "
+            f"FROM {prev} c LEFT JOIN (SELECT sub, code, "
+            f"list(m ORDER BY i) AS cvec FROM m{it} GROUP BY sub, code) n "
+            "ON c.sub = n.sub AND c.code = n.code)"
+        )
+        prev = f"cb{it}"
+    s += (
+        ", enc AS (SELECT s.vec_id, s.sub, "
+        f"(min(struct_pack(d := {_pq_l2('s.sv', 'c.cvec')}, c := c.code))).c "
+        f"AS code FROM subs s JOIN {prev} c ON s.sub = c.sub "
+        "GROUP BY s.vec_id, s.sub, s.sv), "
+        "qsubs AS (SELECT s.s AS sub, "
+        f"vec[s.s*{_PQ_SUB}+1 : s.s*{_PQ_SUB}+{_PQ_SUB}] AS sv "
+        f"FROM q CROSS JOIN range(0, {_PQ_M}) s(s)), "
+        f"dtab AS (SELECT c.sub, c.code, {_pq_l2('qs.sv', 'c.cvec')} AS d "
+        f"FROM qsubs qs JOIN {prev} c ON qs.sub = c.sub) "
+        "SELECT e.vec_id, round(sum(t.d), 4) AS adc_dist "
+        "FROM enc e JOIN dtab t ON e.sub = t.sub AND e.code = t.code "
+        "GROUP BY e.vec_id ORDER BY adc_dist, e.vec_id LIMIT 10"
+    )
+    return s
+
+
+_ANN_PQ_SQL = _pq_sql()
+
+# IVF ANN mirrored in SQL: identical centroid set (vec_id < 16),
+# identical argmax-cosine assignment with lowest-cid tie-break
+# (struct-min over (-cos, cid)), nprobe=4 probed lists, exact cosine
+# top-10 over the candidates.  Same sequential-fold list arithmetic.
+_IVF_DOT = (
+    "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+)
+
+
+def _ivf_cos(a, b):
+    d = _IVF_DOT.format(a=a, b=b)
+    na = f"sqrt({_IVF_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_IVF_DOT.format(a=b, b=b)})"
+    return f"({d} / ({na} * {nb}))"
+
+
+_ANN_IVF_SQL = (
+    "WITH v AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
+    "FROM embeddings), "
+    "cent AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 16), "
+    "base AS (SELECT * FROM v WHERE vec_id <> 0), "
+    "q AS (SELECT vec AS qv FROM v WHERE vec_id = 0), "
+    "assigned AS (SELECT b.vec_id, b.vec, "
+    f"(min(struct_pack(s := -{_ivf_cos('b.vec', 'c.cvec')}, c := c.cid))).c "
+    "AS cid FROM base b CROSS JOIN cent c GROUP BY b.vec_id, b.vec), "
+    "probes AS (SELECT c.cid FROM cent c CROSS JOIN q "
+    f"ORDER BY {_ivf_cos('q.qv', 'c.cvec')} DESC, c.cid LIMIT 4), "
+    "cand AS (SELECT a.vec_id, a.vec FROM assigned a "
+    "WHERE a.cid IN (SELECT cid FROM probes)) "
+    f"SELECT c.vec_id, round({_ivf_cos('c.vec', 'q.qv')}, 4) AS cos_sim "
+    "FROM cand c CROSS JOIN q ORDER BY cos_sim DESC, c.vec_id LIMIT 10"
+)
+
+# Lloyd's k-means (k=8, 3 iterations) unrolled as chained CTEs — mirrors
+# operators/similarity.py kmeans exactly: init = lowest-id vectors,
+# assignment argmin breaks distance ties on the lowest centroid id
+# (struct-min lexicographic), update = per-(cid, dim) mean re-packed in
+# index order, empty clusters keep the previous centroid.
+_KM_K, _KM_ITERS, _KM_DIM = 8, 3, 64
+
+
+def _km_l2(a, c):
+    return (
+        f"list_sum(list_transform(range(1, {_KM_DIM + 1}), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - {c}[i]) ** 2))"
+    )
+
+
+_KMEANS_SQL = (
+    "WITH v AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
+    "FROM embeddings), "
+    "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
+    f"vec AS cvec FROM (SELECT * FROM v ORDER BY vec_id LIMIT {_KM_K}))"
+    + "".join(
+        f", a{it} AS (SELECT v.vec_id, "
+        f"(min(struct_pack(d := {_km_l2('v.vec', 'c.cvec')}, c := c.cid))).c "
+        f"AS cid FROM v CROSS JOIN c{it - 1} c GROUP BY v.vec_id), "
+        f"m{it} AS (SELECT a.cid, t.i, avg(v.vec[t.i]) AS m "
+        f"FROM a{it} a JOIN v USING (vec_id) "
+        f"CROSS JOIN range(1, {_KM_DIM + 1}) t(i) GROUP BY a.cid, t.i), "
+        f"c{it} AS (SELECT c.cid, coalesce(n.cvec, c.cvec) AS cvec "
+        f"FROM c{it - 1} c LEFT JOIN (SELECT cid, list(m ORDER BY i) AS cvec "
+        f"FROM m{it} GROUP BY cid) n ON c.cid = n.cid)"
+        for it in range(1, _KM_ITERS + 1)
+    )
+    + f" SELECT cid AS centroid_id, count(*) AS n FROM a{_KM_ITERS} "
+    "GROUP BY cid ORDER BY cid"
+)
+
 QUERIES = {
     "q_doc_dedup": (
         q_doc_dedup,
@@ -816,9 +999,9 @@ QUERIES = {
         "FROM embeddings a, q, n WHERE a.vec_id <> 0 "
         "ORDER BY cos_sim DESC, a.vec_id LIMIT 10",
     ),
-    "q_ann_lsh": (q_ann_lsh, None),
-    "q_ann_ivf": (q_ann_ivf, None),
-    "q_ann_pq": (q_ann_pq, None),
+    "q_ann_lsh": (q_ann_lsh, _ANN_LSH_SQL),
+    "q_ann_ivf": (q_ann_ivf, _ANN_IVF_SQL),
+    "q_ann_pq": (q_ann_pq, _ANN_PQ_SQL),
     "q_curation_pipeline": (
         q_curation_pipeline,
         f"WITH t AS (SELECT doc_id, text, {_TOKS} AS l FROM documents), "
@@ -964,7 +1147,7 @@ QUERIES = {
         "array_to_string(list_slice(toks, st, st + 7), ' ') AS chunk, "
         "len(list_slice(toks, st, st + 7)) AS n_tok FROM s",
     ),
-    "q_kmeans": (q_kmeans, None),
+    "q_kmeans": (q_kmeans, _KMEANS_SQL),
     "q_tfidf_top": (
         q_tfidf_top,
         "WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM "
