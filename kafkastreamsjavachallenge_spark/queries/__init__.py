@@ -57,15 +57,16 @@ _PRIORITY = (
     "q_unique_users",
     "q_collect_set",
     "q_serde_roundtrip",
-    # LLM data-pipeline pack (dedup / similarity / text)
+    # LLM data-pipeline pack (dedup / similarity / text / curation)
     "q_doc_dedup",
-    "q_fingerprint",
-    "q_minhash_sig",
+    "q_curation_pipeline",
     "q_minhash_pairs",
     "q_neardup_components",
     "q_neardup_verified",
     "q_knn_join",
-    "q_ngram_jaccard",
+    "q_ann_ivf",
+    "q_kmeans",
+    "q_embed_quantize",
     "q_simhash",
     "q_cosine_topk",
     "q_token_count",
@@ -94,7 +95,6 @@ _PRIORITY = (
     # applied analytics
     "q_cooccurrence",
     "q_rfm",
-    "q_ewma",
     # breadth
     "q_multi_distinct",
     "q_merge_upsert",
