@@ -47,6 +47,9 @@ HEADLINE = [
     "q_tpch_q9",
     "q_fuzzy_join",
     "q_knn_join",
+    # round-3 additions: end-to-end curation composite + PQ ANN
+    "q_curation_pipeline",
+    "q_ann_pq",
 ]
 
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl")

@@ -688,6 +688,26 @@ def q_pack_sequences(spark, sf_dir):
 
 # -------------------------------------------------------- multimodal
 
+def q_multimodal_decode(spark, sf_dir):
+    """The full multimodal decode path as a checked query: wrap text bytes
+    as opaque media records (operators/multimodal.to_media), run the
+    Arrow-batched mapInPandas decoder over size-bucketed partitions, and
+    emit typed features.  The deterministic stand-in decoder derives
+    (width, height) from payload length — so the ENTIRE plumbing (binary
+    column handling, Arrow batch shape, repartitionByRange skew control,
+    output schema) is hash-checked against SQL; a real codec swaps in via
+    ``decoder=`` without touching the plan.  Cites reference scope: the
+    reference has no media path; this is north-star surface."""
+    from kafkastreamsjavachallenge_spark.operators.multimodal import (
+        decode_media,
+        to_media,
+    )
+
+    d = _docs(spark, sf_dir)
+    media = to_media(d, "doc_id", "text", "image")
+    return decode_media(media)
+
+
 def q_binary_meta(spark, sf_dir):
     """Binary-column plumbing: byte length + content digest of the payload
     (stand-in for image/audio blobs; decode path lives in
@@ -1072,6 +1092,16 @@ QUERIES = {
     "q_udf_text": (
         q_udf_text,
         f"SELECT doc_id, len({_TOKS}) AS tok_cnt FROM documents",
+    ),
+    "q_multimodal_decode": (
+        q_multimodal_decode,
+        # mirrors fake_decode exactly: width = n%640+1, height = n%480+1,
+        # checksum = md5 over the utf8 payload bytes
+        "SELECT doc_id AS media_id, 'image' AS kind, "
+        "octet_length(encode(text)) AS n_bytes, "
+        "octet_length(encode(text)) % 640 + 1 AS width, "
+        "octet_length(encode(text)) % 480 + 1 AS height, "
+        "md5(text) AS checksum FROM documents",
     ),
     "q_binary_meta": (
         q_binary_meta,
