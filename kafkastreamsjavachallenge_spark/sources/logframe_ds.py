@@ -178,14 +178,22 @@ def write_topic_dir(path: str, records, n_partitions: int = 4) -> str:
     """Test helper: materialize records as a partitioned topic directory.
 
     ``records`` yields (key: str|None, value: str, timestamp: int-seconds);
-    partition = hash(key) % n_partitions when keyed (Kafka's default
-    sticky-by-key placement), round-robin otherwise.
+    partition = md5(key) % n_partitions when keyed (deterministic by-key
+    placement, like Kafka's hash partitioner — Python's builtin ``hash``
+    is salted per process and would move keys between runs), round-robin
+    otherwise.
     """
+    import hashlib
+
     os.makedirs(path, exist_ok=True)
     files = [open(os.path.join(path, f"partition={p}.jsonl"), "a") for p in range(n_partitions)]
     try:
         for i, (key, value, ts) in enumerate(records):
-            p = (hash(key) % n_partitions) if key is not None else i % n_partitions
+            p = (
+                int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % n_partitions
+                if key is not None
+                else i % n_partitions
+            )
             files[p].write(
                 json.dumps({"key": key, "value": value, "timestamp": ts}) + "\n"
             )
