@@ -96,6 +96,18 @@ def test_minhash_single_shuffle(spark):
     assert s.n_exchanges == 1, s
 
 
+def test_curation_pipeline_two_exchanges(spark):
+    """The end-to-end curation composite (gate → dedup → split → audit)
+    must stay at exactly two exchanges — the content-hash dedup shuffle
+    and the final split aggregate — with the quality gate fused into the
+    scan stage.  A third exchange would mean a stage regression in the
+    composed north-star pipeline."""
+    from kafkastreamsjavachallenge_spark.queries.llm import q_curation_pipeline
+
+    s = plan_summary(q_curation_pipeline(spark, SF_DIR))
+    assert s.n_exchanges == 2, s
+
+
 def test_lint_flags_cartesian(spark):
     a = spark.range(10)
     b = spark.range(10).withColumnRenamed("id", "id2")
