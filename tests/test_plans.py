@@ -108,6 +108,15 @@ def test_curation_pipeline_two_exchanges(spark):
     assert s.n_exchanges == 2, s
 
 
+def test_embed_quantize_is_pure_projection(spark):
+    """Int8 quantization is per-row arithmetic: zero exchanges — at any
+    scale it runs entirely inside the scan stage."""
+    from kafkastreamsjavachallenge_spark.queries.llm import q_embed_quantize
+
+    s = plan_summary(q_embed_quantize(spark, SF_DIR))
+    assert s.n_exchanges == 0, s
+
+
 def test_lint_flags_cartesian(spark):
     a = spark.range(10)
     b = spark.range(10).withColumnRenamed("id", "id2")
