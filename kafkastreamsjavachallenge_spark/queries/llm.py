@@ -343,7 +343,12 @@ def q_ann_pq(spark, sf_dir):
     e = _embs(spark, sf_dir)
     base = e.filter(F.col("vec_id") != 0)
     query = e.filter(F.col("vec_id") == 0)
-    codebook = S.pq_train(base, m=8, k=16, iters=2)
+    # sample-train, encode-all: the codebook learns from a deterministic
+    # ~10% hash sample, so training cost is fixed by the sample while
+    # encode/probe remain the only corpus-sized stages (the discipline
+    # tests/test_scale.py runs at 200k vectors)
+    train = base.filter(_h28(F.col("vec_id")) % 10 == 0)
+    codebook = S.pq_train(train, m=8, k=16, iters=2)
     return S.pq_ann_topk(base, query, codebook, k=10)
 
 
@@ -810,9 +815,13 @@ def _pq_sql():
         "subs AS (SELECT vec_id, s.s AS sub, "
         f"vec[s.s*{_PQ_SUB}+1 : s.s*{_PQ_SUB}+{_PQ_SUB}] AS sv "
         f"FROM base CROSS JOIN range(0, {_PQ_M}) s(s)), "
+        # sample-train mirror: codebook iterations see only the ~10%
+        # hash-sampled vectors, encode/probe see all of them
+        "tsubs AS (SELECT s.* FROM subs s WHERE "
+        f"{_H28_SQL.format(x='CAST(s.vec_id AS VARCHAR)')} % 10 = 0), "
         "cb0 AS (SELECT sub, row_number() OVER "
         "(PARTITION BY sub ORDER BY vec_id) - 1 AS code, sv AS cvec "
-        "FROM (SELECT * FROM subs QUALIFY row_number() OVER "
+        "FROM (SELECT * FROM tsubs QUALIFY row_number() OVER "
         f"(PARTITION BY sub ORDER BY vec_id) <= {_PQ_K}))"
     )
     prev = "cb0"
@@ -820,7 +829,7 @@ def _pq_sql():
         s += (
             f", a{it} AS (SELECT s.vec_id, s.sub, s.sv, "
             f"(min(struct_pack(d := {_pq_l2('s.sv', 'c.cvec')}, c := c.code))).c "
-            f"AS code FROM subs s JOIN {prev} c ON s.sub = c.sub "
+            f"AS code FROM tsubs s JOIN {prev} c ON s.sub = c.sub "
             "GROUP BY s.vec_id, s.sub, s.sv), "
             f"m{it} AS (SELECT a.sub, a.code, t.i, avg(a.sv[t.i]) AS m "
             f"FROM a{it} a CROSS JOIN range(1, {_PQ_SUB + 1}) t(i) "
