@@ -176,6 +176,31 @@ def test_pq_ann_recall_on_planted_neardups(spark, planted_neardups):
         assert all(0 <= c < 16 for c in r["codes"])
 
 
+def test_int8_quantization_reconstruction_bound(spark):
+    """q_embed_quantize's contract: dequantized values (q * scale) differ
+    from the originals by at most scale/2 per element (round-half-up into
+    127 symmetric levels), and every code fits int8's [-127, 127]."""
+    e = load_table(spark, SF_DIR, "embeddings")
+    rows = (
+        e.selectExpr(
+            "embedding",
+            "array_max(transform(embedding, x -> abs(cast(x as double)))) / 127.0 AS scale",
+        )
+        .selectExpr(
+            "embedding",
+            "scale",
+            "transform(embedding, x -> floor(cast(x as double) / scale + 0.5)) AS q",
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        scale = r["scale"]
+        for x, q in zip(r["embedding"], r["q"]):
+            assert -127 <= q <= 127, (q, scale)
+            assert abs(float(x) - q * scale) <= scale / 2 + 1e-12, (x, q, scale)
+
+
 # --------------------------------------------------------------- k-means
 
 
