@@ -1,0 +1,157 @@
+"""Fluent corpus-curation pipeline: the user-facing API that composes the
+operator modules into one lazily-built DataFrame plan with a provenance
+manifest.
+
+A training-data pipeline is a sequence of curation steps — quality gate,
+dedup, decontamination, sampling, splitting — each of which exists in this
+engine as a standalone operator with its own oracle-checked query id.
+``CorpusPipeline`` chains them WITHOUT materializing between steps: every
+step contributes to one logical plan, so Catalyst fuses gates into the
+scan, shares scans across steps, and the whole pipeline executes with the
+same physical shape as the hand-composed q_curation_pipeline (two
+exchanges for gate→dedup→split→audit; see tests/test_plans.py).
+
+At 100 TB this matters twice over: no intermediate tables are written
+between steps, and the manifest records exactly which steps/parameters
+produced a dataset — the provenance a training run needs to be
+reproducible.
+
+Example::
+
+    pipe = (CorpusPipeline(docs)
+            .quality_filter(min_tokens=10, max_tokens=500, min_ttr=0.2)
+            .exact_dedup()
+            .neardup_dedup(threshold=0.5)
+            .sample(rate_pct=50)
+            .split())
+    df = pipe.df()            # the composed lazy DataFrame
+    pipe.manifest()           # [("quality_filter", {...}), ...]
+    pipe.audit()              # per-step retained row counts (runs jobs)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafkastreamsjavachallenge_spark.functions import text as T
+from kafkastreamsjavachallenge_spark.operators import dedup as D
+
+
+def _h28(col):
+    return T.base_hash28(col.cast("string"))
+
+
+class CorpusPipeline:
+    """Lazily-composed curation pipeline over a document DataFrame."""
+
+    def __init__(
+        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ):
+        self._df = df
+        self._text = text_col
+        self._id = id_col
+        self._steps: list[tuple[str, dict]] = []
+        self._stages: list[tuple[str, DataFrame]] = [("input", df)]
+
+    # ------------------------------------------------------------ steps
+
+    def _push(self, name: str, params: dict, df: DataFrame) -> "CorpusPipeline":
+        self._steps.append((name, params))
+        self._stages.append((name, df))
+        self._df = df
+        return self
+
+    def quality_filter(
+        self,
+        min_tokens: int = 10,
+        max_tokens: int = 500,
+        min_ttr: float = 0.2,
+    ) -> "CorpusPipeline":
+        """Token-count bounds + lexical-diversity gate (pure filter —
+        fuses into the scan; q_quality_score is the per-doc view)."""
+        toks = T.tokens(self._text)
+        n = F.size(toks)
+        ttr = T.type_token_ratio(toks)
+        out = self._df.filter(
+            (n >= min_tokens) & (n <= max_tokens) & (ttr >= min_ttr)
+        )
+        return self._push(
+            "quality_filter",
+            {"min_tokens": min_tokens, "max_tokens": max_tokens, "min_ttr": min_ttr},
+            out,
+        )
+
+    def exact_dedup(self) -> "CorpusPipeline":
+        """One row per distinct content (min-id representative); one
+        shuffle on the content digest (q_doc_dedup is the group view)."""
+        return self._push(
+            "exact_dedup", {}, D.exact_dedup(self._df, self._text, self._id)
+        )
+
+    def neardup_dedup(
+        self,
+        threshold: float = 0.5,
+        n_perm: int = 8,
+        bands: int = 4,
+        rows_per_band: int = 2,
+    ) -> "CorpusPipeline":
+        """Drop near-duplicates: MinHash→LSH candidates→exact Jaccard
+        verify (sub-quadratic end to end, q_neardup_verified's chain);
+        of each verified pair the higher id is removed."""
+        sigs = D.minhash_signatures(
+            self._df, self._text, self._id, n_perm=n_perm
+        )
+        pairs = D.lsh_candidate_pairs(sigs, self._id, bands, rows_per_band)
+        dupes = (
+            D.ngram_jaccard(self._df, pairs, self._text, self._id)
+            .filter(F.col("jaccard") >= threshold)
+            .select(F.col("id_b").alias(self._id))
+            .distinct()
+        )
+        out = self._df.join(dupes, on=self._id, how="left_anti")
+        return self._push(
+            "neardup_dedup",
+            {
+                "threshold": threshold,
+                "n_perm": n_perm,
+                "bands": bands,
+                "rows_per_band": rows_per_band,
+            },
+            out,
+        )
+
+    def sample(self, rate_pct: int = 10) -> "CorpusPipeline":
+        """Deterministic hash sampling (md5-derived — stable across runs
+        and engines, q_sample_hash's predicate)."""
+        out = self._df.filter(_h28(F.col(self._id)) % 100 < rate_pct)
+        return self._push("sample", {"rate_pct": rate_pct}, out)
+
+    def split(self, train_pct: int = 80, valid_pct: int = 10) -> "CorpusPipeline":
+        """Add a deterministic train/valid/test split column — rows never
+        migrate between splits as the corpus grows (q_train_test_split)."""
+        b = _h28(F.col(self._id)) % 100
+        col = (
+            F.when(b < train_pct, F.lit("train"))
+            .when(b < train_pct + valid_pct, F.lit("valid"))
+            .otherwise(F.lit("test"))
+        )
+        out = self._df.withColumn("split", col)
+        return self._push(
+            "split", {"train_pct": train_pct, "valid_pct": valid_pct}, out
+        )
+
+    # ----------------------------------------------------------- access
+
+    def df(self) -> DataFrame:
+        """The composed lazy DataFrame (no jobs have run)."""
+        return self._df
+
+    def manifest(self) -> list[tuple[str, dict]]:
+        """Ordered (step, params) provenance of the composed plan."""
+        return list(self._steps)
+
+    def audit(self) -> list[tuple[str, int]]:
+        """Row count after each step (runs one count job per stage) —
+        the per-step retention funnel a curation run reports."""
+        return [(name, df.count()) for name, df in self._stages]

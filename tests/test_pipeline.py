@@ -1,0 +1,79 @@
+"""CorpusPipeline facade: composition equals the hand-built operator
+chain, the manifest records provenance, and the audit funnel is
+monotone non-increasing (filters only remove rows)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafkastreamsjavachallenge_spark.catalog import load_table
+from kafkastreamsjavachallenge_spark.functions import text as T
+from kafkastreamsjavachallenge_spark.operators import dedup as D
+from kafkastreamsjavachallenge_spark.pipeline import CorpusPipeline
+
+from tests.conftest import SF_DIR
+
+
+def test_pipeline_matches_hand_composed_chain(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    pipe = (
+        CorpusPipeline(docs)
+        .quality_filter(min_tokens=10, max_tokens=500, min_ttr=0.2)
+        .exact_dedup()
+        .split()
+    )
+    got = pipe.df()
+
+    toks = T.tokens("text")
+    gated = docs.filter(
+        (F.size(toks) >= 10)
+        & (F.size(toks) <= 500)
+        & (T.type_token_ratio(toks) >= 0.2)
+    )
+    deduped = D.exact_dedup(gated)
+    assert got.count() == deduped.count()
+    assert set(got.columns) == set(docs.columns) | {"split"}
+    # split shares are deterministic hash buckets: re-running moves nothing
+    a = {r["doc_id"]: r["split"] for r in got.select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in pipe.df().select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_pipeline_manifest_and_audit_funnel(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    pipe = (
+        CorpusPipeline(docs)
+        .quality_filter()
+        .exact_dedup()
+        .neardup_dedup(threshold=0.5)
+        .sample(rate_pct=50)
+        .split()
+    )
+    names = [n for n, _ in pipe.manifest()]
+    assert names == [
+        "quality_filter",
+        "exact_dedup",
+        "neardup_dedup",
+        "sample",
+        "split",
+    ]
+    funnel = pipe.audit()
+    assert funnel[0][0] == "input"
+    counts = [c for _, c in funnel]
+    # every step up to split only removes rows; split only adds a column
+    assert all(a >= b for a, b in zip(counts[:-1], counts[1:])), funnel
+    assert counts[-1] == counts[-2]  # split preserves rows
+    assert counts[-1] > 0
+
+
+def test_pipeline_neardup_removes_only_higher_ids(spark):
+    """Of each verified near-dup pair the canonical (lower) id survives."""
+    docs = load_table(spark, SF_DIR, "documents")
+    pipe = CorpusPipeline(docs).neardup_dedup(threshold=0.5)
+    kept = {r["doc_id"] for r in pipe.df().select("doc_id").collect()}
+    sigs = D.minhash_signatures(docs, n_perm=8)
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    verified = D.ngram_jaccard(docs, pairs).filter(F.col("jaccard") >= 0.5)
+    for r in verified.collect():
+        assert r["id_a"] in kept or r["id_b"] not in kept
+        assert r["id_b"] not in kept  # higher id always dropped
