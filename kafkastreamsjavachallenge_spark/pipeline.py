@@ -121,6 +121,35 @@ class CorpusPipeline:
             out,
         )
 
+    def decontaminate(
+        self, benchmark: DataFrame, ngram: int = 5
+    ) -> "CorpusPipeline":
+        """Drop docs sharing any ``ngram``-token shingle with the
+        benchmark set (q_decontaminate's shape): benchmark grams are
+        small by construction → broadcast semi-join against the corpus
+        explode; no pairwise work at any scale."""
+        bench_text = benchmark.columns[
+            benchmark.columns.index(self._text)
+            if self._text in benchmark.columns
+            else 0
+        ]
+        sh = T.shingles(T.tokens(self._text), ngram)
+        bench_sh = T.shingles(T.tokens(bench_text), ngram)
+        bench_grams = (
+            benchmark.select(F.explode_outer(bench_sh).alias("g"))
+            .filter(F.col("g").isNotNull())
+            .distinct()
+        )
+        contaminated = (
+            self._df.select(self._id, F.explode_outer(sh).alias("g"))
+            .filter(F.col("g").isNotNull())
+            .join(F.broadcast(bench_grams), "g", "left_semi")
+            .select(self._id)
+            .distinct()
+        )
+        out = self._df.join(contaminated, on=self._id, how="left_anti")
+        return self._push("decontaminate", {"ngram": ngram}, out)
+
     def sample(self, rate_pct: int = 10) -> "CorpusPipeline":
         """Deterministic hash sampling (md5-derived — stable across runs
         and engines, q_sample_hash's predicate)."""

@@ -66,6 +66,21 @@ def test_pipeline_manifest_and_audit_funnel(spark):
     assert counts[-1] > 0
 
 
+def test_pipeline_decontaminate_matches_query_semantics(spark):
+    """Facade decontamination equals q_decontaminate's result on the same
+    benchmark split (source='src0' as the eval suite)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    got = CorpusPipeline(corpus).decontaminate(bench, ngram=5).df()
+    from kafkastreamsjavachallenge_spark.queries.llm import q_decontaminate
+
+    want = q_decontaminate(spark, SF_DIR)
+    assert {r["doc_id"] for r in got.select("doc_id").collect()} == {
+        r["doc_id"] for r in want.select("doc_id").collect()
+    }
+
+
 def test_pipeline_neardup_removes_only_higher_ids(spark):
     """Of each verified near-dup pair the canonical (lower) id survives."""
     docs = load_table(spark, SF_DIR, "documents")
