@@ -13,6 +13,7 @@ MinHash LSH, cosine top-k) — the operators whose plans must survive a
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -55,8 +56,8 @@ HEADLINE = [
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl")
 
 
-def _load_prior(sf: float) -> dict[str, float]:
-    """Most recent recorded per-query timings at the same scale factor."""
+def _load_prior(sf: float) -> dict:
+    """Most recent recorded entry at the same scale factor."""
     try:
         with open(HISTORY) as f:
             entries = [json.loads(line) for line in f if line.strip()]
@@ -64,24 +65,45 @@ def _load_prior(sf: float) -> dict[str, float]:
         return {}
     for e in reversed(entries):
         if e.get("sf") == sf and e.get("queries"):
-            return e["queries"]
+            return e
     return {}
 
 
-def _regressions(prior: dict[str, float], now: dict[str, float]) -> dict[str, list]:
-    """Name queries that regressed (>25% and >0.15s slower) or improved
-    (>25% and >0.15s faster) vs the prior run at the same sf — the answer
-    to 'which queries regressed' the per-round BENCH compare needs."""
-    slower, faster = [], []
-    for q, t in now.items():
-        p = prior.get(q)
-        if p is None:
+def _plan_fingerprint(df) -> str:
+    """Stable hash of the optimized logical plan: expression ids (#123),
+    plan ids and absolute paths are stripped so the fingerprint only
+    moves when the plan SHAPE moves — run-to-run jitter keeps the same
+    hash, a real plan change (new join strategy, lost pushdown) flips it."""
+    s = df._jdf.queryExecution().optimizedPlan().toString()
+    s = re.sub(r"#\d+", "#", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"file:[^\s,\]]+", "file:", s)
+    s = re.sub(r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "uuid", s)
+    return hashlib.md5(s.encode()).hexdigest()[:12]
+
+
+def _regressions(prior: dict, medians: dict[str, float], plans: dict[str, str],
+                 errors: dict[str, str]) -> dict[str, list]:
+    """Noise-resistant regression report: a query regresses only when its
+    MEDIAN moved >20% (and >0.2s) vs the prior run AND its plan
+    fingerprint changed; a median move on an identical plan is recorded
+    under `noisy` instead (run jitter, not a code change).  Errored
+    queries never enter the comparison — they are flagged in `errors`."""
+    prior_t = prior.get("queries_median") or prior.get("queries") or {}
+    prior_p = prior.get("plans") or {}
+    slower, faster, noisy = [], [], []
+    for q, t in medians.items():
+        p = prior_t.get(q)
+        if p is None or q in errors:
             continue
-        if t > p * 1.25 and t - p > 0.15:
-            slower.append(f"{q}:{p}->{t}")
-        elif t < p * 0.75 and p - t > 0.15:
+        plan_changed = bool(prior_p.get(q)) and prior_p.get(q) != plans.get(q)
+        if t > p * 1.2 and t - p > 0.2:
+            (slower if plan_changed or not prior_p.get(q) else noisy).append(
+                f"{q}:{p}->{t}"
+            )
+        elif t < p * 0.8 and p - t > 0.2:
             faster.append(f"{q}:{p}->{t}")
-    return {"regressed": slower, "improved": faster}
+    return {"regressed": slower, "improved": faster, "noisy": noisy}
 
 
 def main() -> None:
@@ -106,25 +128,35 @@ def main() -> None:
     # warmup: JVM/codegen/catalog spin-up not attributed to the first query
     qs["q_tumbling_window"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings: dict[str, float] = {}
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    timings: dict[str, float] = {}   # best-of (kept for history continuity)
+    medians: dict[str, float] = {}   # regression detection uses these
+    plans: dict[str, str] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        # best-of-N: steady-state cost, not scheduler/codegen jitter
-        best = float("inf")
-        try:
-            for _ in range(runs):
+        samples: list[float] = []
+        for _ in range(runs):
+            # the try wraps ONE run, not the whole loop: a throw on run 3
+            # keeps runs 1-2's valid timings (flagged alongside the error)
+            t0 = time.time()
+            try:
                 # time construction + execution: streaming queries execute
                 # during construction (availableNow → memory sink)
-                t0 = time.time()
                 df = qs[name](spark, sf_dir)
-                # noop sink: full execution, no driver-side materialization
+                # noop sink: full execution, no driver materialization
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-        except Exception as exc:  # one broken query must not zero the bench
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            continue
-        timings[name] = round(best, 3)
+            except Exception as exc:  # a broken query must not zero the bench
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                break
+            samples.append(time.time() - t0)
+            if name not in plans:
+                try:
+                    plans[name] = _plan_fingerprint(df)
+                except Exception:
+                    pass
+        if samples:
+            timings[name] = round(min(samples), 3)
+            medians[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     record = {
@@ -132,12 +164,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "sf": sf,
     }
     if errors:
         record["errors"] = errors
-    diff = _regressions(_load_prior(sf), timings)
+    diff = _regressions(_load_prior(sf), medians, plans, errors)
     record.update(diff)
+    record["plans"] = plans
     try:
         with open(HISTORY, "a") as f:
             f.write(json.dumps({**record, "cpus": int(cpus)}) + "\n")

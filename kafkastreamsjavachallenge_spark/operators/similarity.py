@@ -321,6 +321,7 @@ def pq_ann_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_query_id: bool = False,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k: precompute the query's m×k distance
     table against the codebook (tiny, broadcast), then score every stored
@@ -332,24 +333,47 @@ def pq_ann_topk(
     float math, and the whole distance table ships to every executor
     once.  Approximate by construction → verify recall against
     ``cosine_topk``/exact-L2 (tests), not an SQL oracle.
+
+    ``query`` may contain multiple rows: the distance table carries the
+    query id, the ADC sum groups by (query id, stored id), and the top-k
+    is ranked per query (a single-row query yields the familiar flat
+    top-k).  Pass ``keep_query_id=True`` to retain the query id as a
+    ``query_id`` column — required to disambiguate multi-query output.
     """
+    from pyspark.sql import Window
+
     from kafkastreamsjavachallenge_spark.functions.vector import l2_sq
 
     codes = pq_encode(df, codebook, m, dim, id_col, vec_col)
     q_subs = _subvectors(query, m, dim, id_col, vec_col)
     dtab = (
         q_subs.join(codebook, "sub")
-        .select("sub", "code", l2_sq(F.col("sv"), F.col("cvec")).alias("d"))
+        .select(
+            F.col("__id").alias("__qid"),
+            "sub",
+            "code",
+            l2_sq(F.col("sv"), F.col("cvec")).alias("d"),
+        )
     )
     exploded = codes.select(
         id_col, F.posexplode("codes").alias("sub", "code")
     )
     scored = (
         exploded.join(F.broadcast(dtab), ["sub", "code"])
-        .groupBy(id_col)
+        .groupBy("__qid", id_col)
         .agg(F.round(F.sum("d"), 4).alias("adc_dist"))
     )
-    return scored.orderBy(F.col("adc_dist"), F.col(id_col)).limit(k)
+    w = Window.partitionBy("__qid").orderBy(F.col("adc_dist"), F.col(id_col))
+    ranked = scored.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    if keep_query_id:
+        return ranked.select(
+            F.col("__qid").alias("query_id"), id_col, "adc_dist"
+        ).orderBy("query_id", F.col("adc_dist"), F.col(id_col))
+    return ranked.drop("__rn", "__qid").orderBy(
+        F.col("adc_dist"), F.col(id_col)
+    )
 
 
 def kmeans(

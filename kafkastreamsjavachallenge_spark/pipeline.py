@@ -128,11 +128,13 @@ class CorpusPipeline:
         benchmark set (q_decontaminate's shape): benchmark grams are
         small by construction → broadcast semi-join against the corpus
         explode; no pairwise work at any scale."""
-        bench_text = benchmark.columns[
-            benchmark.columns.index(self._text)
-            if self._text in benchmark.columns
-            else 0
-        ]
+        if self._text not in benchmark.columns:
+            raise ValueError(
+                f"decontaminate: benchmark DataFrame has no {self._text!r} "
+                f"column (found {benchmark.columns}); shingling a "
+                "non-text column would silently disable decontamination"
+            )
+        bench_text = self._text
         sh = T.shingles(T.tokens(self._text), ngram)
         bench_sh = T.shingles(T.tokens(bench_text), ngram)
         bench_grams = (

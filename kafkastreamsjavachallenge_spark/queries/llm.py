@@ -337,9 +337,12 @@ def q_ann_pq(spark, sf_dir):
     query — the IVF-PQ memory-compression path (codes are m bytes/vector
     vs 4·dim for raw floats).  Deterministic training (lowest-id init,
     tie-broken argmins) makes the whole pipeline SQL-mirrorable: the
-    oracle (_ANN_PQ_SQL) unrolls the per-subspace k-means and reproduces
-    codes and ADC distances exactly; recall vs exact L2 is additionally
-    pinned in tests/test_approx.py."""
+    oracle (_ANN_PQ_SQL) unrolls the per-subspace k-means with the same
+    init/tie-break/fold order; code assignments are integers and ADC
+    distances agree away from rounding boundaries (centroid MEANS are
+    order-unspecified float group-aggs on both engines, absorbed by the
+    4-dp round); recall vs exact L2 is additionally pinned in
+    tests/test_approx.py."""
     e = _embs(spark, sf_dir)
     base = e.filter(F.col("vec_id") != 0)
     query = e.filter(F.col("vec_id") == 0)
@@ -367,8 +370,11 @@ def q_curation_pipeline(spark, sf_dir):
     this pins that composing them does not introduce new shuffles."""
     d = _docs(spark, sf_dir).withColumn("toks", T.tokens("text"))
     n_tok = F.size("toks")
-    ttr = T.type_token_ratio(F.col("toks"))
-    gated = d.filter((n_tok >= 10) & (n_tok <= 500) & (ttr >= 0.2)).select(
+    # integer-exact lexical-diversity gate (ttr >= 0.2 rewritten as
+    # 5*distinct >= total): both engines compare exact integers, so no
+    # float-boundary doc can flip between splits across testdata seeds
+    diverse = F.size(F.array_distinct("toks")) * 5 >= n_tok
+    gated = d.filter((n_tok >= 10) & (n_tok <= 500) & diverse).select(
         F.md5("text").alias("h"), "doc_id", n_tok.alias("n_tok")
     )
     kept = gated.groupBy("h").agg(
@@ -794,14 +800,21 @@ _ANN_LSH_SQL = (
 # same lowest-id init / struct-min tie-break / index-ordered mean
 # re-pack as the Spark trainer), then encode + query distance table +
 # ADC sum.  All assignment outputs are integers; the ADC sum rounds to
-# 4 dp on both sides.
+# 4 dp on both sides.  Caveat: centroid means (avg) are float group-
+# aggregations with unspecified accumulation order on BOTH engines, so
+# parity holds away from rounding/argmin boundaries, not bit-for-bit;
+# the per-row list folds (l2, dot) ARE order-pinned.
 _PQ_M, _PQ_K, _PQ_ITERS, _PQ_SUB = 8, 16, 2, 8
 
 
 def _pq_l2(a, b):
+    # (x-y)*(x-y), not (x-y)**2: DuckDB's ** is libm pow, which differs
+    # from the correctly-rounded product by 1 ulp for ~2% of doubles —
+    # enough to flip an argmin when two centroids are near-equidistant.
+    # Spark's l2_sq multiplies, so the oracle must multiply too.
     return (
         f"list_sum(list_transform(range(1, {_PQ_SUB + 1}), "
-        f"i -> ({a}[i] - {b}[i]) ** 2))"
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
     )
 
 
@@ -893,8 +906,10 @@ _ANN_IVF_SQL = (
     "FROM cand c CROSS JOIN q ORDER BY cos_sim DESC, c.vec_id LIMIT 10"
 )
 
-# Lloyd's k-means (k=8, 3 iterations) unrolled as chained CTEs — mirrors
-# operators/similarity.py kmeans exactly: init = lowest-id vectors,
+# Lloyd's k-means (k=8, 3 iterations) unrolled as chained CTEs — same
+# construction as operators/similarity.py kmeans (parity away from
+# rounding boundaries; centroid means are order-unspecified float aggs
+# on both engines): init = lowest-id vectors,
 # assignment argmin breaks distance ties on the lowest centroid id
 # (struct-min lexicographic), update = per-(cid, dim) mean re-packed in
 # index order, empty clusters keep the previous centroid.
@@ -902,9 +917,10 @@ _KM_K, _KM_ITERS, _KM_DIM = 8, 3, 64
 
 
 def _km_l2(a, c):
+    # multiply instead of ** for the same ulp-exactness reason as _pq_l2
     return (
         f"list_sum(list_transform(range(1, {_KM_DIM + 1}), "
-        f"i -> (CAST({a}[i] AS DOUBLE) - {c}[i]) ** 2))"
+        f"i -> (CAST({a}[i] AS DOUBLE) - {c}[i]) * (CAST({a}[i] AS DOUBLE) - {c}[i])))"
     )
 
 
@@ -1036,14 +1052,15 @@ QUERIES = {
         f"WITH t AS (SELECT doc_id, text, {_TOKS} AS l FROM documents), "
         "q AS (SELECT doc_id, text, len(l) AS n_tok FROM t "
         "WHERE len(l) BETWEEN 10 AND 500 "
-        "AND len(list_distinct(l)) / len(l) >= 0.2), "
+        "AND 5 * len(list_distinct(l)) >= len(l)), "
         "k AS (SELECT min(doc_id) AS doc_id, min(n_tok) AS n_tok "
         "FROM q GROUP BY md5(text)), "
         "s AS (SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' "
         "ELSE 'test' END AS split, n_tok FROM ("
         f"SELECT {_H28_SQL.format(x='CAST(doc_id AS VARCHAR)')} % 100 AS b, "
         "n_tok FROM k)) "
-        "SELECT split, count(*) AS n_docs, sum(n_tok) AS total_tokens "
+        "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tok) AS BIGINT) AS total_tokens "
         "FROM s GROUP BY split",
     ),
     "q_embed_quantize": (

@@ -1,0 +1,101 @@
+"""Regenerate sf0.01-shaped `documents` and `embeddings` tables with an
+arbitrary seed, symlinking the remaining tables from the real sf0.01 dir.
+
+The driver regenerates testdata between rounds, so any oracle whose gate
+sits on a float boundary can pass on one seed and fail on the next
+(exactly what happened to q_curation_pipeline in round 3).  This script
+makes that failure mode testable locally:
+
+    python scripts/fuzz_testdata.py /tmp/fuzz_seed7 7
+    SPARK_GRAFT_SIM_SF=/tmp/fuzz_seed7 python scripts/verify_driver_sim.py \
+        q_curation_pipeline q_ann_pq q_kmeans ...
+
+Adversarial by construction: plants docs EXACTLY on the 0.2 TTR gate
+(5*distinct == total), exact duplicate texts (dedup min-id path), exact
+duplicate embedding vectors and near-equidistant vectors (argmin
+tie-break path the ** 2 / x*x ulp bug could flip).
+"""
+import os
+import random
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REAL = "/root/testdata/sf0.01"
+VOCAB = (
+    "key agg row scan slow fast table value part hash merge batch spark "
+    "window order data column join small line customer query the a big "
+    "filter sort group stream vector"
+).split()
+LANGS = ["en", "en", "en", "zh", "es", "fr", "de"]
+
+
+def gen_documents(rng: random.Random, n: int = 500) -> pa.Table:
+    rows = []
+    for i in range(n):
+        kind = rng.random()
+        if kind < 0.06:
+            # exact TTR boundary: d distinct tokens repeated to 5*d total
+            d = rng.randint(2, 6)
+            words = rng.sample(VOCAB, d) * 5
+            rng.shuffle(words)
+        elif kind < 0.12:
+            # just below the gate: d distinct in 5*d + 1 tokens
+            d = rng.randint(2, 6)
+            words = rng.sample(VOCAB, d) * 5 + [rng.choice(VOCAB[:d])]
+            rng.shuffle(words)
+        elif kind < 0.18 and rows:
+            # exact duplicate of an earlier doc (dedup keeps min doc_id)
+            words = rows[rng.randrange(len(rows))][1].split()
+        else:
+            words = [rng.choice(VOCAB) for _ in range(rng.randint(8, 100))]
+        text = " ".join(words)
+        rows.append((i, text, rng.choice(LANGS), f"src{i % 20}", len(text)))
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+def gen_embeddings(seed: int, n: int = 500, dim: int = 64) -> pa.Table:
+    rs = np.random.RandomState(seed)
+    vecs = rs.randn(n, dim).astype(np.float32)
+    # exact duplicates: equidistant to every centroid -> argmin tie-break
+    for i in range(20, n, 47):
+        vecs[i] = vecs[i - 1]
+    # vectors exactly midway between two early vectors (centroid seeds)
+    for i in range(30, n, 61):
+        vecs[i] = ((vecs[1] + vecs[2]) / 2).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([int(i % 8) for i in range(n)], pa.int32()),
+        }
+    )
+
+
+def main() -> None:
+    out, seed = sys.argv[1], int(sys.argv[2])
+    os.makedirs(out, exist_ok=True)
+    rng = random.Random(seed)
+    pq.write_table(gen_documents(rng), os.path.join(out, "documents.parquet"))
+    pq.write_table(gen_embeddings(seed), os.path.join(out, "embeddings.parquet"))
+    for t in "region nation customer supplier part orders lineitem events".split():
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(REAL, f"{t}.parquet"), dst)
+    print(f"fuzz testdata seed={seed} -> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,12 +1,15 @@
-"""Driver simulation: vanilla session, t1 smoke, t2 DuckDB-oracle compare at sf0.01."""
-import sys, time, traceback
+"""Driver simulation: vanilla session, t1 smoke, t2 DuckDB-oracle compare at sf0.01.
+
+Set SPARK_GRAFT_SIM_SF to point the compare at alternative testdata
+(e.g. seed-fuzzed tables from scripts/fuzz_testdata.py)."""
+import os, sys, time, traceback
 
 sys.path.insert(0, "/root/repo")
 import duckdb
 import pandas as pd
 from pyspark.sql import SparkSession
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 spark = (

@@ -176,6 +176,25 @@ def test_pq_ann_recall_on_planted_neardups(spark, planted_neardups):
         assert all(0 <= c < 16 for c in r["codes"])
 
 
+def test_pq_ann_multi_query_ranks_per_query(spark, planted_neardups):
+    """With a multi-row query, the ADC sum groups by (query, stored id)
+    and the top-k is ranked per query — two queries yield 2*k rows, and
+    each query's keep_query_id=True slice equals its single-query run."""
+    df, qdf = planted_neardups
+    q2 = df.filter(F.col("vec_id").isin(1, 2))
+    codebook = S.pq_train(df, m=8, k=16, iters=2)
+    both = S.pq_ann_topk(df, q2, codebook, k=5, keep_query_id=True).collect()
+    assert len(both) == 10
+    for qid in (1, 2):
+        solo = S.pq_ann_topk(
+            df, df.filter(F.col("vec_id") == qid), codebook, k=5
+        ).collect()
+        part = [r for r in both if r["query_id"] == qid]
+        assert [(r["vec_id"], r["adc_dist"]) for r in part] == [
+            (r["vec_id"], r["adc_dist"]) for r in solo
+        ]
+
+
 def test_int8_quantization_reconstruction_bound(spark):
     """q_embed_quantize's contract: dequantized values (q * scale) differ
     from the originals by at most scale/2 per element (round-half-up into

@@ -81,6 +81,17 @@ def test_pipeline_decontaminate_matches_query_semantics(spark):
     }
 
 
+def test_pipeline_decontaminate_rejects_missing_text_column(spark):
+    """A benchmark frame without the configured text column must raise,
+    not silently shingle an id column (which would disable the step)."""
+    import pytest
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench_no_text = docs.select("doc_id", "source")
+    with pytest.raises(ValueError, match="decontaminate"):
+        CorpusPipeline(docs).decontaminate(bench_no_text)
+
+
 def test_pipeline_neardup_removes_only_higher_ids(spark):
     """Of each verified near-dup pair the canonical (lower) id survives."""
     docs = load_table(spark, SF_DIR, "documents")
