@@ -43,72 +43,70 @@ _MODULES = (
 )
 
 # The external grader's CORRECTNESS check covers the FIRST 50 registry ids,
-# so registration order is part of the public surface: these 50 ids are a
-# deliberate cross-section of every query pack (LLM-pipeline flagship ops,
-# streaming, graphs, time-series, quality, TPC-H) rather than whatever
-# module happens to import first. Remaining ids follow in module order.
+# so registration order is part of the public surface.  The slate ROTATES
+# each round: a handful of flagship constants stay pinned (regression
+# canaries for the reference-parity core) and the rest are ids that have
+# never had a driver-checked row — r01 covered the module-order head, r03
+# a cross-section, r04 (this slate) 44 first-time ids (TPC-H tail, window
+# functions, scalar packs, curation ops, ANN), pushing lifetime driver
+# coverage to ~134/189.  Remaining ids follow in module order.
 _PRIORITY = (
-    # core / reference-parity flagship
+    # flagship constants — every round
     "q_source_scan",
-    "q_json_extract",
-    "q_filter",
-    "q_event_time",
-    "q_tumbling_window",
     "q_unique_users",
-    "q_collect_set",
-    "q_serde_roundtrip",
-    # LLM data-pipeline pack (dedup / similarity / text / curation)
     "q_doc_dedup",
-    "q_curation_pipeline",
     "q_minhash_pairs",
-    "q_neardup_components",
-    "q_neardup_verified",
-    "q_knn_join",
-    "q_ann_ivf",
-    "q_kmeans",
-    "q_embed_quantize",
-    "q_simhash",
-    "q_cosine_topk",
-    "q_token_count",
-    "q_text_stats",
-    "q_quality_score",
-    "q_lang_id",
-    "q_tfidf_top",
-    "q_doc_chunks",
-    # quality / sketches
-    "q_dq_audit",
-    "q_countmin",
-    "q_bloom_fpr",
-    # graphs
-    "q_triangle_count",
-    "q_jaccard_neighbors",
-    "q_pagerank",
-    # time-series
-    "q_gap_fill",
-    "q_streaks",
-    "q_grid_join",
-    "q_resample_ohlc",
-    # streaming (Structured Streaming micro-batch)
+    "q_curation_pipeline",
     "q_stream_unique_users",
-    "q_stream_countmin",
-    "q_stream_join",
-    # applied analytics
-    "q_cooccurrence",
-    "q_rfm",
-    # breadth
-    "q_multi_distinct",
-    "q_merge_upsert",
-    "q_null_safe_join",
-    # analytics
-    "q_funnel",
-    "q_retention",
-    "q_topk_per_group",
-    # extended
-    "q_grouping_sets",
-    "q_embed_neardup",
-    # relational / TPC-H
-    "q_asof_join",
-    "q_tpch_q1",
+    # TPC-H shapes never driver-checked before r04
+    "q_tpch_q2",
+    "q_tpch_q8",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    # window-function pack
+    "q_range_frame",
+    "q_ntile",
+    "q_dense_rank",
+    "q_cume_dist",
+    "q_percent_rank",
+    "q_first_last",
+    # scalar function packs
+    "q_regexp_fns",
+    "q_date_arith",
+    "q_array_fns",
+    "q_map_fns",
+    "q_null_fns",
+    "q_try_cast",
+    "q_hash_fns",
+    "q_url_parse",
+    "q_hof_filter",
+    # curation / training-data ops
+    "q_sample_hash",
+    "q_stratified_sample",
+    "q_train_test_split",
+    "q_shard_assign",
+    "q_decontaminate",
+    "q_pii_scrub",
+    "q_chunk_dedup",
+    "q_mix_weights",
+    "q_pack_sequences",
+    "q_gopher_repetition",
+    # ANN / similarity / graph tail
+    "q_ann_lsh",
+    "q_ann_pq",
+    "q_fuzzy_join",
+    "q_ngram_jaccard",
+    "q_minhash_sig",
+    "q_fingerprint",
+    "q_graph_degree",
+    "q_stream_session",
 )
 
 
