@@ -64,11 +64,61 @@ def to_media(df: DataFrame, id_col: str, payload_col: str, kind: str) -> DataFra
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers that carry geometry (baseline, extended
+# sequential, progressive, lossless, and their differential/arithmetic
+# variants) — every marker in 0xC0-0xCF except DHT/JPG/DAC.
+_JPEG_SOF = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+
+
 def real_decode(payload: bytes) -> tuple[int, int]:
-    """Stub for the real codec path (Pillow/ffmpeg not in this container)."""
+    """Header-only image geometry: parses PNG IHDR and JPEG SOF markers
+    with pure byte arithmetic — no codec library needed, so the 'real'
+    path works even in codec-free containers.  Full pixel decode
+    (Pillow/ffmpeg) still does not exist here; anything that is neither
+    a PNG nor a JPEG raises NotImplementedError so callers cannot
+    mistake the stub for a universal decoder.
+
+    PNG: the 8-byte signature is followed by the IHDR chunk whose data
+    starts at byte 16 — width and height are the two big-endian u32 at
+    bytes 16-23 (PNG spec, RFC 2083 §4.1.1).
+    JPEG: scan the marker stream (0xFF id len payload); any SOFn marker
+    carries [precision u8][height u16][width u16] at payload offset 1
+    (ITU-T T.81 §B.2.2)."""
+    if payload.startswith(_PNG_MAGIC) and len(payload) >= 24:
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        if w > 0 and h > 0:
+            return w, h
+        raise ValueError(f"corrupt PNG IHDR: width={w} height={h}")
+    if payload[:2] == b"\xff\xd8":  # SOI
+        i = 2
+        n = len(payload)
+        while i + 3 < n:
+            if payload[i] != 0xFF:
+                break  # desynced marker stream
+            marker = payload[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if marker in _JPEG_SOF:
+                if i + 9 <= n:
+                    h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                    w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                    if w > 0 and h > 0:
+                        return w, h
+                raise ValueError("corrupt JPEG SOF segment")
+            if seg_len < 2:
+                break
+            i += 2 + seg_len
+        raise ValueError("JPEG with no SOF marker before scan data")
     raise NotImplementedError(
-        "image/audio codecs are not available in this environment; "
-        "use fake_decode for plumbing tests"
+        "real_decode parses PNG/JPEG headers only; pixel-level codecs "
+        "(Pillow/ffmpeg) are not available in this environment — "
+        "use fake_decode for synthetic payloads"
     )
 
 

@@ -83,9 +83,62 @@ def test_multimodal_decode_plumbing(spark):
         assert len(r["checksum"]) == 32
 
 
-def test_real_decode_is_stubbed():
+def _png(w: int, h: int) -> bytes:
+    """Minimal PNG prefix: signature + IHDR length/type + geometry."""
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00"
+    )
+
+
+def _jpeg(w: int, h: int, progressive: bool = False) -> bytes:
+    """Minimal JPEG: SOI, APP0 with junk, then SOF0/SOF2 carrying geometry."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof = (
+        (b"\xff\xc2" if progressive else b"\xff\xc0")
+        + (11).to_bytes(2, "big")
+        + b"\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof
+
+
+def test_real_decode_parses_png_and_jpeg_headers():
+    assert real_decode(_png(640, 480)) == (640, 480)
+    assert real_decode(_png(1, 1)) == (1, 1)
+    assert real_decode(_jpeg(1920, 1080)) == (1920, 1080)
+    assert real_decode(_jpeg(320, 240, progressive=True)) == (320, 240)
+
+
+def test_real_decode_rejects_corrupt_and_unknown_payloads():
     with pytest.raises(NotImplementedError):
-        real_decode(b"payload")
+        real_decode(b"payload")  # neither PNG nor JPEG -> honest stub
+    with pytest.raises(ValueError):
+        real_decode(_png(0, 480))  # zero-width IHDR
+    with pytest.raises(ValueError):
+        real_decode(b"\xff\xd8\xff\xd9")  # JPEG with no SOF
+
+
+def test_real_decode_through_spark_plumbing(spark):
+    """decode_media with the real header parser: planted PNG/JPEG payloads
+    come back with their true geometry through the Arrow batch path."""
+    rows = [
+        Row(media_id=1, payload=_png(800, 600)),
+        Row(media_id=2, payload=_jpeg(1024, 768)),
+    ]
+    df = spark.createDataFrame(rows)
+    media = to_media(df, "media_id", "payload", kind="image")
+    got = {
+        r["media_id"]: (r["width"], r["height"])
+        for r in decode_media(media, decoder=real_decode).collect()
+    }
+    assert got == {1: (800, 600), 2: (1024, 768)}
 
 
 def test_exact_dedup_keeps_one_per_content(spark):
