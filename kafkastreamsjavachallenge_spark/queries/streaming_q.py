@@ -4,11 +4,15 @@ results drained through a memory sink.
 
 ``q_stream_unique_users`` (update mode, single availableNow batch) emits
 final counts for every window → identical to the batch flagship → full
-DuckDB oracle.  ``q_stream_unique_users_append`` shows suppressed
-emit-on-close semantics (X1): with a single batch the watermark never
-advances past the data, so nothing is emitted — the changelog-vs-final
-distinction the reference documents at README.md:132-136 → rows-only.
-Multi-batch incremental behavior is covered in tests/test_streaming.py.
+DuckDB oracle.  ``q_stream_unique_users_append`` exercises suppressed
+emit-on-close semantics (X1, the changelog-vs-final distinction the
+reference documents at README.md:132-136): a sentinel event staged 10
+minutes past the corpus horizon advances the watermark past every real
+window, so append mode emits exactly the final per-window counts — while
+the sentinel's own window stays open and is itself suppressed.  That
+makes the append path hash-checkable against the same oracle as the
+update path.  Multi-batch incremental behavior is covered in
+tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -29,7 +33,7 @@ from kafkastreamsjavachallenge_spark.streaming.pipeline import (
 )
 
 
-def _event_stream(spark, sf_dir):
+def _event_stream(spark, sf_dir, horizon_sentinel=False):
     # The file stream source requires a directory: stage a symlink dir
     # (testdata is read-only; no data is copied).
     import os
@@ -45,6 +49,20 @@ def _event_stream(spark, sf_dir):
     os.symlink(src, os.path.join(stage, "part-00000.parquet"))
 
     batch = spark.read.parquet(src)  # schema donor
+    if horizon_sentinel:
+        # One extra event 10 minutes past the corpus max event time:
+        # after the availableNow batch the watermark lands beyond every
+        # real window, so append mode's no-data flush emits all real
+        # final counts; the sentinel's OWN window never closes and is
+        # suppressed — which is exactly the emit-on-close semantics
+        # under test.  Derived from the latest real row so its schema
+        # (incl. nanos-as-bigint drift) matches the source bit-for-bit.
+        last = batch.orderBy(F.desc("ts")).limit(1)
+        if dict(batch.dtypes).get("ts") == "bigint":  # nanos drift
+            sent = last.withColumn("ts", F.col("ts") + F.lit(600_000_000_000))
+        else:
+            sent = last.withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 MINUTES"))
+        sent.coalesce(1).write.mode("append").parquet(stage)
     stream = file_stream(spark, stage, batch.schema)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -59,7 +77,14 @@ def q_stream_unique_users(spark, sf_dir):
 
 
 def q_stream_unique_users_append(spark, sf_dir):
-    result = streaming_unique_users(_event_stream(spark, sf_dir))
+    """X1 suppression, hash-checked: the horizon sentinel closes every
+    real window, so the append-mode (emit-on-close) result equals the
+    batch flagship.  The sentinel's own window is never emitted — the
+    watermark (sentinel_ts - 1min) is always below that window's end —
+    and the oracle reads only the real events.parquet, so both sides
+    exclude it by construction."""
+    stream = _event_stream(spark, sf_dir, horizon_sentinel=True)
+    result = streaming_unique_users(stream)
     return run_to_memory(result, output_mode="append", state_partitions=8)
 
 
@@ -221,7 +246,13 @@ QUERIES = {
         "SELECT date_trunc('minute', ts) AS window_start, "
         "count(DISTINCT user_id) AS unique_users FROM events GROUP BY 1",
     ),
-    "q_stream_unique_users_append": (q_stream_unique_users_append, None),
+    "q_stream_unique_users_append": (
+        q_stream_unique_users_append,
+        # same final-counts oracle as the update path: the horizon
+        # sentinel means append emits every real window exactly once
+        "SELECT date_trunc('minute', ts) AS window_start, "
+        "count(DISTINCT user_id) AS unique_users FROM events GROUP BY 1",
+    ),
     "q_stream_enrich": (
         q_stream_enrich,
         "SELECT c_mktsegment, count(*) AS n_events FROM events "
