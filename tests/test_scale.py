@@ -432,3 +432,63 @@ def test_pq_sample_train_encode_all_on_200k_vectors(spark):
     assert len(top) == 10
     wrong = [r["vec_id"] for r in top if r["vec_id"] % n_clusters != 0]
     assert not wrong, f"ADC top-10 escaped the planted cluster: {wrong}"
+
+
+def test_corpus_pipeline_funnel_on_1m_docs(spark):
+    """CorpusPipeline at 1M synthetic docs with a CLOSED-FORM retention
+    funnel.  Construction (by id % 10): r=0 docs have 5 tokens (fail the
+    min_tokens=10 gate); r=2 and r=4 docs are exact twins of their r=1 /
+    r=3 decade-mates (caught by the near-dup chain, higher id dropped);
+    every other doc draws 20 tokens from an id-disjoint vocabulary, so
+    non-twin Jaccard is exactly 0 and no stray LSH candidate can survive
+    verification.  The decontamination benchmark is the r=5 docs with
+    id < 10_000 (exactly 1000 post-gate survivors share their shingles).
+
+    funnel: 1_000_000 -> 900_000 (quality) -> 700_000 (neardup)
+            -> 700_000 (exact dedup: twins already gone) -> 699_000
+            (decontaminate) -> 699_000 (split adds a column only)
+    """
+    from kafkastreamsjavachallenge_spark.pipeline import CorpusPipeline
+
+    n = 1_000_000
+    r = F.col("id") % 10
+    # twins share their decade-mate's token base; everyone else is unique
+    base = F.when(r.isin(2, 4), F.col("id") - 1).otherwise(F.col("id"))
+    n_tok = F.when(r == 0, F.lit(5)).otherwise(F.lit(20))
+    words = F.transform(
+        F.sequence(F.lit(0), n_tok - 1),
+        lambda j: F.concat(F.lit("w"), base * 20 + j),
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    )
+    benchmark = docs.filter((r == 5) & (F.col("id") < 10_000))
+
+    t0 = time.time()
+    pipe = CorpusPipeline(docs).quality_filter(
+        min_tokens=10, max_tokens=500, min_ttr=0.2
+    ).neardup_dedup(threshold=0.5, n_perm=8, bands=4, rows_per_band=2)
+    cached = pipe.df().cache()  # audit() counts every stage; cache the heavy one
+    try:
+        pipe = pipe.exact_dedup().decontaminate(benchmark, ngram=5).split()
+        funnel = pipe.audit()
+        elapsed = time.time() - t0
+        assert [(name, cnt) for name, cnt in funnel] == [
+            ("input", 1_000_000),
+            ("quality_filter", 900_000),
+            ("neardup_dedup", 700_000),
+            ("exact_dedup", 700_000),
+            ("decontaminate", 699_000),
+            ("split", 699_000),
+        ], funnel
+        assert elapsed < 300, f"pipeline funnel took {elapsed:.1f}s on {n} docs"
+        # split is exhaustive and deterministic: three buckets, full cover
+        by_split = {
+            row["split"]: row["n"]
+            for row in pipe.df().groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert sum(by_split.values()) == 699_000
+        assert set(by_split) == {"train", "valid", "test"}
+        assert by_split["train"] > by_split["valid"] > 0
+    finally:
+        cached.unpersist()
