@@ -84,13 +84,52 @@ def gen_embeddings(seed: int, n: int = 500, dim: int = 64) -> pa.Table:
     )
 
 
+def gen_events(rng: random.Random, n: int = 10_000) -> pa.Table:
+    """sf0.01-shaped events: ~1-month horizon, JSON props, a few exact
+    duplicate (ts, user) collisions (dedup/window boundary paths)."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC in microseconds
+    rows = []
+    for i in range(n):
+        ts = base_us + rng.randrange(30 * 24 * 3600 * 1_000_000)
+        rows.append(
+            (
+                i,
+                ts,
+                rng.randrange(200),
+                rng.choice(types),
+                round(rng.uniform(0, 20), 2),
+                '{"k": %d}' % rng.randrange(100),
+            )
+        )
+    rows.sort(key=lambda r: r[1])
+    # duplicate ts+user collisions: every 500th event clones its neighbor
+    rows = [
+        r if i % 500 != 1 else (r[0],) + rows[i - 1][1:]
+        for i, r in enumerate(rows)
+    ]
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r[1] for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+
+
 def main() -> None:
     out, seed = sys.argv[1], int(sys.argv[2])
     os.makedirs(out, exist_ok=True)
     rng = random.Random(seed)
     pq.write_table(gen_documents(rng), os.path.join(out, "documents.parquet"))
     pq.write_table(gen_embeddings(seed), os.path.join(out, "embeddings.parquet"))
-    for t in "region nation customer supplier part orders lineitem events".split():
+    pq.write_table(gen_events(rng), os.path.join(out, "events.parquet"))
+    for t in "region nation customer supplier part orders lineitem".split():
         dst = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(REAL, f"{t}.parquet"), dst)
