@@ -112,6 +112,51 @@ def ivf_assign(
     )
 
 
+def semdedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Semantic deduplication via cluster-then-dedup (the SemDeDup recipe,
+    Abbas et al. 2023, arXiv:2303.09540): assign every embedding to its
+    nearest centroid, then compare pairs ONLY within a cluster and drop
+    the higher id of any pair with cosine >= ``threshold``.
+
+    Scale shape: the assignment is a broadcast argmax (big side never
+    shuffles — ``ivf_assign``); the pairwise stage is an equi-join on the
+    cluster id, so its cost is sum over clusters of |c|², bounded by the
+    largest cluster and never corpus-quadratic.  At 100 TB the assigned
+    table is written partitioned by ``centroid_id`` so each cluster
+    dedups independently; a skewed cluster is split by raising k for a
+    second-level clustering, exactly like IVF list balancing.
+
+    Returns the kept rows (lowest id per semantic group survives) with
+    their ``centroid_id``.
+    """
+    assigned = ivf_assign(df, centroids, id_col, vec_col, centroid_id)
+    a = assigned.select(
+        F.col(centroid_id).alias("__cid"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = assigned.select(
+        F.col(centroid_id).alias("__cid"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+    )
+    dup = (
+        a.join(b, "__cid")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dup, id_col, "left_anti")
+
+
 def ivf_ann_topk(
     df: DataFrame,
     query: DataFrame,

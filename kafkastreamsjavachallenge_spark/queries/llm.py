@@ -570,6 +570,96 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_contamination_report(spark, sf_dir):
+    """Decontamination AUDIT (the report a data owner reviews before the
+    drop in q_decontaminate runs): for every benchmark doc (source='src0'),
+    how many corpus docs share at least one 5-gram, and how many distinct
+    5-grams are shared.  Benchmark grams broadcast (small by
+    construction); the corpus side is one explode + distinct — identical
+    scale shape to q_decontaminate, plus one small left join so
+    uncontaminated benchmark docs report zeros instead of vanishing."""
+    d = _docs(spark, sf_dir)
+    sh = T.shingles(T.tokens("text"), 5)
+    bg = (
+        d.filter(F.col("source") == "src0")
+        .select(F.col("doc_id").alias("bench_id"), F.explode_outer(sh).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    cg = (
+        d.filter(F.col("source") != "src0")
+        .select("doc_id", F.explode_outer(sh).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    hits = (
+        cg.join(F.broadcast(bg), "g")
+        .groupBy("bench_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs_hit"),
+            F.countDistinct("g").alias("n_grams_hit"),
+        )
+    )
+    bench_docs = d.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("bench_id")
+    )
+    return bench_docs.join(hits, "bench_id", "left").select(
+        "bench_id",
+        F.coalesce("n_docs_hit", F.lit(0)).alias("n_docs_hit"),
+        F.coalesce("n_grams_hit", F.lit(0)).alias("n_grams_hit"),
+    )
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Corpus novelty score (template/boilerplate detector): per doc, the
+    fraction of its distinct 3-gram shingles that FIRST appear in that doc
+    (first = lowest doc_id corpus-wide).  Low novelty late in the corpus
+    marks recycled text.  One explode + one gram-keyed agg + one join
+    back — the gram table shuffles once; the ratio is integer/integer so
+    both engines agree exactly, rounded 4 dp for display."""
+    d = _docs(spark, sf_dir)
+    g = (
+        d.select("doc_id", F.explode_outer(T.shingles(T.tokens("text"), 3)).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    first = g.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        g.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("bigint")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 4).alias(
+            "novelty"
+        ),
+    )
+
+
+def q_semdedup(spark, sf_dir):
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): cluster embeddings to
+    the 16 deterministic centroids (vec_id < 16), drop the higher id of
+    any within-cluster pair with cosine >= 0.92, keep the rest.  The
+    pairwise stage is cluster-local (sum of |c|², never corpus-
+    quadratic); assignment is a broadcast argmax — operators/
+    similarity.py semdedup.  Oracle mirrors the assignment tie-break and
+    the same sequential-fold cosine."""
+    e = _embs(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    kept = S.semdedup(e, cent, threshold=0.92)
+    return kept.select("vec_id", "centroid_id")
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction pass: email then digit-run regex rewrite over a
     synthesized contact string — stateless projection, Catalyst keeps it
@@ -906,6 +996,25 @@ _ANN_IVF_SQL = (
     "FROM cand c CROSS JOIN q ORDER BY cos_sim DESC, c.vec_id LIMIT 10"
 )
 
+# SemDeDup mirrored in SQL: same broadcast-argmax assignment tie-break as
+# IVF (struct-min over (-cos, cid)), then within-cluster pairs only, drop
+# the higher id of any pair with cosine >= 0.92 — same sequential-fold
+# cosine as the Spark side.
+_SEMDEDUP_SQL = (
+    "WITH v AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
+    "FROM embeddings), "
+    "cent AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 16), "
+    "assigned AS (SELECT b.vec_id, b.vec, "
+    f"(min(struct_pack(s := -{_ivf_cos('b.vec', 'c.cvec')}, c := c.cid))).c "
+    "AS cid FROM v b CROSS JOIN cent c GROUP BY b.vec_id, b.vec), "
+    "dup AS (SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b "
+    "ON a.cid = b.cid AND a.vec_id < b.vec_id "
+    f"WHERE {_ivf_cos('a.vec', 'b.vec')} >= 0.92) "
+    "SELECT vec_id, cid AS centroid_id FROM assigned "
+    "WHERE vec_id NOT IN (SELECT vec_id FROM dup)"
+)
+
 # Lloyd's k-means (k=8, 3 iterations) unrolled as chained CTEs — same
 # construction as operators/similarity.py kmeans (parity away from
 # rounding boundaries; centroid means are order-unspecified float aggs
@@ -1047,6 +1156,7 @@ QUERIES = {
     "q_ann_lsh": (q_ann_lsh, _ANN_LSH_SQL),
     "q_ann_ivf": (q_ann_ivf, _ANN_IVF_SQL),
     "q_ann_pq": (q_ann_pq, _ANN_PQ_SQL),
+    "q_semdedup": (q_semdedup, _SEMDEDUP_SQL),
     "q_curation_pipeline": (
         q_curation_pipeline,
         f"WITH t AS (SELECT doc_id, text, {_TOKS} AS l FROM documents), "
@@ -1171,6 +1281,37 @@ QUERIES = {
         "AND g IN (SELECT g FROM bench)) "
         "SELECT doc_id, lang FROM documents WHERE source <> 'src0' "
         "AND doc_id NOT IN (SELECT doc_id FROM bad)",
+    ),
+    "q_contamination_report": (
+        q_contamination_report,
+        f"WITH t AS (SELECT doc_id, source, {_TOKS} AS l FROM documents), "
+        "g AS (SELECT DISTINCT doc_id, source, "
+        "unnest([array_to_string(l[i:i+4], ' ') for i in range(1, len(l) - 3)]) AS g "
+        "FROM t), "
+        "hits AS (SELECT b.doc_id AS bench_id, "
+        "count(DISTINCT c.doc_id) AS n_docs_hit, "
+        "count(DISTINCT c.g) AS n_grams_hit "
+        "FROM g b JOIN g c ON b.g = c.g AND c.source <> 'src0' "
+        "WHERE b.source = 'src0' GROUP BY b.doc_id) "
+        "SELECT d.doc_id AS bench_id, "
+        "CAST(coalesce(h.n_docs_hit, 0) AS BIGINT) AS n_docs_hit, "
+        "CAST(coalesce(h.n_grams_hit, 0) AS BIGINT) AS n_grams_hit "
+        "FROM documents d LEFT JOIN hits h ON d.doc_id = h.bench_id "
+        "WHERE d.source = 'src0'",
+    ),
+    "q_ngram_novelty": (
+        q_ngram_novelty,
+        f"WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents), "
+        "g AS (SELECT DISTINCT doc_id, "
+        "unnest([array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)]) AS g "
+        "FROM t), "
+        "f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g), "
+        "per AS (SELECT g.doc_id, count(*) AS n_grams, "
+        "sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel "
+        "FROM g JOIN f USING (g) GROUP BY g.doc_id) "
+        "SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, "
+        "CAST(n_novel AS BIGINT) AS n_novel, "
+        "round(CAST(n_novel AS DOUBLE) / n_grams, 4) AS novelty FROM per",
     ),
     "q_graph_degree": (
         q_graph_degree,

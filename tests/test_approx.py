@@ -176,6 +176,34 @@ def test_pq_ann_recall_on_planted_neardups(spark, planted_neardups):
         assert all(0 <= c < 16 for c in r["codes"])
 
 
+def test_semdedup_drops_higher_id_within_cluster_only(spark):
+    """SemDeDup closed form: ids 0/1 are exact duplicates in cluster 0
+    (higher id 1 dropped), id 2 sits in cluster 0 at cosine 0.9 < 0.92
+    (kept), ids 3/4 are exact duplicates in cluster 1 (4 dropped).
+    Cross-cluster duplicates are NEVER compared — that's the cluster-
+    local contract that keeps the pairwise stage sub-quadratic."""
+    from pyspark.sql import Row
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    near = [0.9, (1 - 0.81) ** 0.5, 0.0, 0.0]  # cos 0.9 to e1, unit norm
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=e1),
+            Row(vec_id=1, embedding=e1),
+            Row(vec_id=2, embedding=near),
+            Row(vec_id=3, embedding=e2),
+            Row(vec_id=4, embedding=e2),
+        ]
+    )
+    cent = spark.createDataFrame(
+        [Row(centroid_id=0, embedding=e1), Row(centroid_id=1, embedding=e2)]
+    )
+    kept = S.semdedup(vecs, cent, threshold=0.92).collect()
+    got = {r["vec_id"]: r["centroid_id"] for r in kept}
+    assert got == {0: 0, 2: 0, 3: 1}
+
+
 def test_pq_ann_multi_query_ranks_per_query(spark, planted_neardups):
     """With a multi-row query, the ADC sum groups by (query, stored id)
     and the top-k is ranked per query — two queries yield 2*k rows, and
