@@ -244,6 +244,8 @@ def test_registry_plans_lint_clean(spark):
         "q_unigram_logprob",
         # PQ scoring: m×k codebook / query distance-table broadcasts
         "q_ann_pq",
+        # SemDeDup assignment: 16 centroids broadcast (ivf_assign shape)
+        "q_semdedup",
     }
     # every comparison in the filter is over a COMPUTED expression
     # (token counts / ratios derived from split(text)) — unpushable by
