@@ -492,3 +492,53 @@ def test_corpus_pipeline_funnel_on_1m_docs(spark):
         assert by_split["train"] > by_split["valid"] > 0
     finally:
         cached.unpersist()
+
+
+def test_semdedup_on_30k_vectors_collapses_planted_clusters(spark):
+    """SemDeDup at 30k vectors / 512 planted clusters (6× the bench
+    embeddings): every vector in a cluster sits at the same hypercube
+    corner (±1 per dim from the 9 bits of its cluster id) plus tiny
+    jitter, so all within-cluster cosines are ~1 >= 0.92 and each
+    cluster collapses to its lowest id — which by construction
+    (cluster = id % 512) is the cluster id itself.  Closed form: exactly
+    ids 0..511 survive.  Pairwise work is cluster-local (~58²/2 pairs ×
+    512 clusters ≈ 0.9M), never corpus-quadratic — the same run at
+    200k×1024 passes in ~170 s on local[32]."""
+    from kafkastreamsjavachallenge_spark.operators.similarity import semdedup
+
+    n, k, dim = 30_000, 512, 16
+
+    def corner(c, dd):
+        # dim d reads bit d%9 of the cluster id, mapped to ±1
+        bit = (
+            F.floor(c.cast("double") / F.pow(F.lit(2.0), (dd % 9).cast("double")))
+            .cast("bigint")
+            % 2
+        )
+        return (bit * 2 - 1).cast("double")
+
+    c = F.col("id") % k
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda dd: corner(c, dd)
+            + ((F.col("id") * (dd + 3) * 40503) % 97) / F.lit(19400.0),
+        ).alias("embedding"),
+    )
+    cents = spark.range(k).select(
+        F.col("id").alias("centroid_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda dd: corner(F.col("id"), dd),
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    kept = semdedup(vecs, cents, threshold=0.92)
+    n_kept = kept.count()
+    elapsed = time.time() - t0
+    assert elapsed < 150, f"semdedup took {elapsed:.1f}s on {n} vectors"
+    assert n_kept == k
+    # survivors are exactly the lowest id per cluster = the cluster id
+    bad = kept.filter(F.col("vec_id") >= k).count()
+    assert bad == 0
