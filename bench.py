@@ -51,6 +51,9 @@ HEADLINE = [
     # round-3 additions: end-to-end curation composite + PQ ANN
     "q_curation_pipeline",
     "q_ann_pq",
+    # round-4 additions: semantic dedup + corpus novelty
+    "q_semdedup",
+    "q_ngram_novelty",
 ]
 
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl")
