@@ -103,19 +103,17 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_band_buckets(
     sigs: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 2,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs.
-
-    One explode (docs × bands) + one self-equi-join on (band, band_hash).
-    Distinct (id_a < id_b) pairs out.  Bucket-join keys are hashes →
-    uniform partitioning, no skew; AQE splits any pathological bucket.
-    """
-    banded = sigs.select(
+    """Explode signatures into (id, band, bucket) rows — the shared
+    banding step of self-join (``lsh_candidate_pairs``) and cross-corpus
+    (``crosscorpus_dedup``) LSH.  Bucket = md5 of the band's signature
+    slice, so join keys are uniform hashes (no skew by construction)."""
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -135,6 +133,21 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    One explode (docs × bands) + one self-equi-join on (band, band_hash).
+    Distinct (id_a < id_b) pairs out.  Bucket-join keys are hashes →
+    uniform partitioning, no skew; AQE splits any pathological bucket.
+    """
+    banded = lsh_band_buckets(sigs, id_col, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -197,6 +210,53 @@ def ngram_jaccard(
         "id_b",
         F.round(inter / union, 4).alias("jaccard"),
     )
+
+
+def crosscorpus_dedup(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Incremental-crawl dedup: drop corpus docs that are near-duplicates
+    of ANY reference doc (the production case when a new crawl lands on
+    top of an existing training set — self-dedup alone cannot catch
+    cross-corpus repeats).
+
+    Same sub-quadratic chain as ``lsh_candidate_pairs`` +
+    ``ngram_jaccard``, but the band-bucket equi-join runs reference ×
+    corpus instead of self × self: candidates are docs sharing any LSH
+    band, the exact Jaccard verify touches candidates only, and the
+    final step is one anti-join.  At 100 TB the reference side's banded
+    table is computed once and reused across crawl increments.
+
+    Ids must be unique across the two inputs (they share the verify
+    join's id space).  Returns the surviving corpus rows.
+    """
+    sig_c = minhash_signatures(corpus, text_col, id_col, n_perm, shingle_k)
+    sig_r = minhash_signatures(reference, text_col, id_col, n_perm, shingle_k)
+    bc = lsh_band_buckets(sig_c, id_col, bands, rows_per_band).select(
+        F.col(id_col).alias("id_b"), "band", "bucket"
+    )
+    br = lsh_band_buckets(sig_r, id_col, bands, rows_per_band).select(
+        F.col(id_col).alias("id_a"), "band", "bucket"
+    )
+    pairs = br.join(bc, ["band", "bucket"]).select("id_a", "id_b").distinct()
+    both = reference.select(id_col, text_col).unionByName(
+        corpus.select(id_col, text_col)
+    )
+    verified = ngram_jaccard(both, pairs, text_col, id_col, shingle_k)
+    dupes = (
+        verified.filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(dupes, id_col, "left_anti")
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:

@@ -249,6 +249,21 @@ def q_neardup_verified(spark, sf_dir):
     return D.ngram_jaccard(d, pairs).filter(F.col("jaccard") >= 0.5)
 
 
+def q_crosscorpus_dedup(spark, sf_dir):
+    """Cross-corpus near-dup removal (operators/dedup.py
+    crosscorpus_dedup): the corpus (source != 'src0') deduped against the
+    reference set (source = 'src0') — MinHash banding joined reference ×
+    corpus, exact Jaccard verify on candidates only, anti-join out.  The
+    incremental-crawl companion to q_neardup_verified's self-dedup."""
+    d = _docs(spark, sf_dir)
+    kept = D.crosscorpus_dedup(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        threshold=0.5,
+    )
+    return kept.select("doc_id", "lang")
+
+
 def q_knn_join(spark, sf_dir):
     """k-NN join: top-3 cosine neighbors for EACH query vector (bounded
     query block, vec_id < 20) via broadcast nested-loop + ranked window —
@@ -1077,6 +1092,26 @@ QUERIES = {
         "FROM sig, (SELECT unnest(range(0, 4)) AS b)) "
         "SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a "
         "JOIN bands c ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id",
+    ),
+    "q_crosscorpus_dedup": (
+        q_crosscorpus_dedup,
+        # same signature/banding CTEs as q_minhash_pairs, but the band
+        # join runs reference (src0) × corpus and the verified gate uses
+        # the same round-then-threshold as q_neardup_verified
+        _MINHASH_SIG_CTE.format(nperm=8)
+        + ", bands AS (SELECT doc_id, b, md5(array_to_string(sigl[b*2+1:b*2+2], '|')) AS bucket "
+        "FROM sig, (SELECT unnest(range(0, 4)) AS b)), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b "
+        "FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket "
+        "JOIN documents da ON da.doc_id = a.doc_id "
+        "JOIN documents dc ON dc.doc_id = c.doc_id "
+        "WHERE da.source = 'src0' AND dc.source <> 'src0'), "
+        "dup AS (SELECT DISTINCT id_b FROM (SELECT p.id_b, "
+        "round(len(list_intersect(da.sh, db.sh)) / len(list_distinct(da.sh || db.sh)), 4) "
+        "AS jaccard FROM pairs p JOIN d da ON da.doc_id = p.id_a "
+        "JOIN d db ON db.doc_id = p.id_b) WHERE jaccard >= 0.5) "
+        "SELECT doc_id, lang FROM documents WHERE source <> 'src0' "
+        "AND doc_id NOT IN (SELECT id_b FROM dup)",
     ),
     "q_neardup_components": (
         q_neardup_components,

@@ -141,6 +141,23 @@ def test_real_decode_through_spark_plumbing(spark):
     assert got == {1: (800, 600), 2: (1024, 768)}
 
 
+def test_crosscorpus_dedup_drops_only_reference_twins(spark):
+    """A corpus doc identical to a reference doc is dropped; a corpus doc
+    with disjoint shingles survives; reference rows are never returned."""
+    from kafkastreamsjavachallenge_spark.operators.dedup import crosscorpus_dedup
+
+    ref_text = "a b c d e f g h i j"
+    other = "p q r s t u v w x y"
+    reference = spark.createDataFrame(
+        [Row(doc_id=0, text=ref_text), Row(doc_id=1, text="k l m n o k l m n o")]
+    )
+    corpus = spark.createDataFrame(
+        [Row(doc_id=10, text=ref_text), Row(doc_id=11, text=other)]
+    )
+    kept = crosscorpus_dedup(corpus, reference, threshold=0.5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11]
+
+
 def test_exact_dedup_keeps_one_per_content(spark):
     df = spark.createDataFrame(
         [Row(doc_id=i, text=t) for i, t in enumerate(["a b", "a b", "c d", "a b"])]
