@@ -121,6 +121,44 @@ class CorpusPipeline:
             out,
         )
 
+    def dedup_against(
+        self,
+        reference: DataFrame,
+        threshold: float = 0.5,
+        n_perm: int = 8,
+        bands: int = 4,
+        rows_per_band: int = 2,
+    ) -> "CorpusPipeline":
+        """Drop docs near-duplicate to ANY doc in ``reference`` — the
+        incremental-crawl step (new crawl deduped against the existing
+        training set; operators/dedup.crosscorpus_dedup's shape).  Ids
+        must be unique across both inputs."""
+        if self._text not in reference.columns:
+            raise ValueError(
+                f"dedup_against: reference DataFrame has no {self._text!r} "
+                f"column (found {reference.columns})"
+            )
+        out = D.crosscorpus_dedup(
+            self._df,
+            reference,
+            self._text,
+            self._id,
+            n_perm=n_perm,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            threshold=threshold,
+        )
+        return self._push(
+            "dedup_against",
+            {
+                "threshold": threshold,
+                "n_perm": n_perm,
+                "bands": bands,
+                "rows_per_band": rows_per_band,
+            },
+            out,
+        )
+
     def decontaminate(
         self, benchmark: DataFrame, ngram: int = 5
     ) -> "CorpusPipeline":

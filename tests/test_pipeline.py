@@ -81,6 +81,21 @@ def test_pipeline_decontaminate_matches_query_semantics(spark):
     }
 
 
+def test_pipeline_dedup_against_matches_query_semantics(spark):
+    """Facade cross-corpus dedup equals q_crosscorpus_dedup on the same
+    reference split."""
+    docs = load_table(spark, SF_DIR, "documents")
+    ref = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    got = CorpusPipeline(corpus).dedup_against(ref, threshold=0.5).df()
+    from kafkastreamsjavachallenge_spark.queries.llm import q_crosscorpus_dedup
+
+    want = q_crosscorpus_dedup(spark, SF_DIR)
+    assert {r["doc_id"] for r in got.select("doc_id").collect()} == {
+        r["doc_id"] for r in want.select("doc_id").collect()
+    }
+
+
 def test_pipeline_decontaminate_rejects_missing_text_column(spark):
     """A benchmark frame without the configured text column must raise,
     not silently shingle an id column (which would disable the step)."""
