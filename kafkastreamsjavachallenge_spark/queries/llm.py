@@ -836,8 +836,184 @@ def q_binary_meta(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ("spark", "window", "join")
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain document cap — the crawl-curation step that stops a
+    single hot site from dominating the training mix (the `source` column
+    stands in for the registrable domain).  Each domain keeps at most 15
+    documents, chosen by a DETERMINISTIC hash order (md5 of the doc id),
+    not arrival order, so re-runs and backfills select the identical
+    subset.  One shuffle on the domain key.  At 100 TB the window sort
+    serializes each hot domain onto one task; the scale remedy keeps the
+    same semantics — because ranks come from a uniform hash, a first
+    pass computes each mega-domain's cap-quantile hash threshold and
+    filters by comparison, leaving the exact rank sort to the tiny
+    remainder under the threshold.  (The all-domains-fit-in-one-window
+    version here is the semantic spec both paths must match.)"""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return (
+        d.select("source", "doc_id", rk.alias("rk"))
+        .filter(F.col("rk") <= 15)
+    )
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 top-10 retrieval for a fixed 3-term query (k1=1.2, b=0.75,
+    Lucene's +1-inside-the-log idf) — the lexical-retrieval half of a
+    RAG / data-selection stack.  With a bounded query vocabulary the
+    whole computation is shuffle-free on the corpus side: per-document
+    term frequencies are `size(filter(toks, ...))` projections (no
+    explode, no (doc, term) shuffle), the corpus statistics (N, Σdl,
+    per-term document frequencies) are ONE 1-row aggregate broadcast
+    back, and the score is a fixed-order arithmetic expression, so the
+    only corpus-sized operation left is TakeOrderedAndProject's
+    per-partition top-10 heap.  avgdl is derived as Σdl/N (integer sum,
+    one correctly-rounded divide) rather than avg() so both engines see
+    the bit-identical double; the term sum is written out literally
+    (c0+c1+c2) to pin the fold order cross-engine."""
+    d = _docs(spark, sf_dir).select("doc_id", T.tokens("text").alias("toks"))
+    tf = d.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        # NB: a `lambda x, t=t:` default would be treated as the (elem,
+        # index) two-arg HOF form by F.filter — hence the closure factory
+        *[
+            F.size(
+                F.filter("toks", (lambda term: lambda x: x == F.lit(term))(t))
+            ).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    st = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    sc = tf.crossJoin(F.broadcast(st))
+    n = F.col("n").cast("double")
+    avgdl = F.col("sdl").cast("double") / F.col("n")
+
+    def contrib(i):
+        t = F.col(f"tf{i}").cast("double")
+        df = F.col(f"df{i}").cast("double")
+        idf = F.log((n - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0))
+        den = t + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / avgdl)
+        return idf * (t * F.lit(2.2)) / den
+
+    score = F.round(contrib(0) + contrib(1) + contrib(2), 4)
+    return (
+        sc.select("doc_id", score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed-unigram distribution is.
+    Target = the `src0` domain; features = 64 hash buckets over tokens
+    (base_hash28 % 64); weight = Σ_b c_b · (ln p̂_tgt(b) − ln p̂_raw(b))
+    with add-one smoothing.  The two 64-row bucket models are corpus
+    aggregates broadcast back onto per-document bucket counts, so the
+    corpus shuffles once (doc×bucket agg) regardless of scale.  The
+    per-document sum folds a sorted bucket list SEQUENTIALLY
+    (F.aggregate over array_sort / DuckDB `sum(... ORDER BY b)`) so both
+    engines add the identical doubles in the identical order — the
+    unordered-float-agg drift class flagged in round 3 cannot occur."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", "source", F.explode(T.tokens("text")).alias("tok")
+    ).select("doc_id", "source", (T.base_hash28(F.col("tok")) % 64).alias("b"))
+    tgt = (
+        tok.filter(F.col("source") == "src0")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = (
+        tok.filter(F.col("source") != "src0")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    nt = tgt.agg(F.sum("ct").alias("n_tgt"))
+    nr = raw.agg(F.sum("cr").alias("n_raw"))
+    db = (
+        tok.filter(F.col("source") != "src0")
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    j = (
+        db.join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(raw), "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+    )
+    lr = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("n_tgt") + F.lit(64)).cast("double")
+    ) - F.log(
+        (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("n_raw") + F.lit(64)).cast("double")
+    )
+    per = j.select("doc_id", "b", (F.col("c") * lr).alias("contrib"))
+    folded = per.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("b", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("lw")
+    )
+    return folded.select("doc_id", F.round("lw", 4).alias("log_weight"))
+
+
 _TOKS = "string_split(trim(text), ' ')"
 _H28_SQL = "('0x' || substr(md5({x}), 1, 7))::BIGINT"
+
+
+def _bm25_sql(terms: tuple) -> str:
+    """DuckDB oracle for q_bm25, assembled per-term so the arithmetic
+    expression tree (cast points, parenthesisation, fold order of the
+    c0+c1+c2 sum) is textually in lockstep with the Spark expression."""
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    contribs = " + ".join(
+        f"ln((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / "
+        f"(CAST(df{i} AS DOUBLE) + 0.5) + 1.0) * "
+        f"(CAST(tf{i} AS DOUBLE) * 2.2) / (CAST(tf{i} AS DOUBLE) + "
+        f"1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / "
+        f"(CAST(sdl AS DOUBLE) / n)))"
+        for i in range(len(terms))
+    )
+    return (
+        f"WITH t AS (SELECT doc_id, len(toks) AS dl, {tf_cols} "
+        f"FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)), "
+        f"st AS (SELECT count(*) AS n, sum(dl) AS sdl, {df_cols} FROM t) "
+        f"SELECT doc_id, score FROM (SELECT doc_id, "
+        f"round({contribs}, 4) AS score FROM t CROSS JOIN st) "
+        f"WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10"
+    )
+
+
+_BM25_SQL = _bm25_sql(_BM25_TERMS)
 _SHINGLES = (
     "list_distinct([array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)])"
 )
@@ -1454,6 +1630,43 @@ QUERIES = {
         "SELECT source, n_docs, "
         "round(n_total / CAST(k * n_docs AS DOUBLE), 4) AS weight "
         "FROM per_src CROSS JOIN t",
+    ),
+    "q_domain_cap": (
+        q_domain_cap,
+        "SELECT source, doc_id, rk FROM (SELECT source, doc_id, "
+        "row_number() OVER (PARTITION BY source "
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk "
+        "FROM documents) WHERE rk <= 15",
+    ),
+    "q_bm25": (
+        q_bm25,
+        _BM25_SQL,
+    ),
+    "q_dsir_weights": (
+        q_dsir_weights,
+        "WITH tok AS (SELECT doc_id, source, "
+        f"{_H28_SQL.format(x='t')} % 64 AS b FROM "
+        f"(SELECT doc_id, source, unnest({_TOKS}) AS t FROM documents)), "
+        "tgt AS (SELECT b, count(*) AS ct FROM tok WHERE source = 'src0' "
+        "GROUP BY b), "
+        "raw AS (SELECT b, count(*) AS cr FROM tok WHERE source <> 'src0' "
+        "GROUP BY b), "
+        "nt AS (SELECT sum(ct) AS n_tgt FROM tgt), "
+        "nr AS (SELECT sum(cr) AS n_raw FROM raw), "
+        "db AS (SELECT doc_id, b, count(*) AS c FROM tok "
+        "WHERE source <> 'src0' GROUP BY doc_id, b), "
+        "per AS (SELECT doc_id, b, "
+        "c * (ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / "
+        "CAST(n_tgt + 64 AS DOUBLE)) - "
+        "ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) / "
+        "CAST(n_raw + 64 AS DOUBLE))) AS contrib "
+        "FROM db LEFT JOIN tgt USING (b) LEFT JOIN raw USING (b) "
+        "CROSS JOIN nt CROSS JOIN nr) "
+        # list_prepend(0.0, ...) + list_reduce = the same sequential
+        # 0.0-seeded left fold as Spark's F.aggregate over array_sort
+        "SELECT doc_id, round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list(contrib ORDER BY b)), (acc, x) -> acc + x), 4) AS log_weight "
+        "FROM per GROUP BY doc_id",
     ),
     "q_pack_sequences": (
         q_pack_sequences,

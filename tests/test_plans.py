@@ -242,6 +242,10 @@ def test_registry_plans_lint_clean(spark):
         # 1-row global-aggregate broadcasts (corpus totals)
         "q_mix_weights",
         "q_unigram_logprob",
+        # BM25 / DSIR: 1-row corpus-stats and 64-row bucket-model
+        # broadcasts — bounded by vocabulary/bucket count, not corpus
+        "q_bm25",
+        "q_dsir_weights",
         # PQ scoring: m×k codebook / query distance-table broadcasts
         "q_ann_pq",
         # SemDeDup assignment: 16 centroids broadcast (ivf_assign shape)
