@@ -54,6 +54,9 @@ HEADLINE = [
     # round-4 additions: semantic dedup + corpus novelty
     "q_semdedup",
     "q_ngram_novelty",
+    # round-4 additions: lexical retrieval + importance-weighted selection
+    "q_bm25",
+    "q_dsir_weights",
 ]
 
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl")

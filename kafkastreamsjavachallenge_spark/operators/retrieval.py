@@ -1,0 +1,135 @@
+"""Lexical retrieval and importance-weighted data selection.
+
+``bm25_topk`` is the lexical-retrieval half of a RAG / data-selection
+stack; ``dsir_logweights`` is the DSIR recipe (Xie et al. 2023,
+arXiv:2302.03169) for scoring raw documents by how target-like their
+hashed-unigram distribution is.
+
+Scale shapes (100 TB):
+- BM25 with a bounded query vocabulary never shuffles the corpus: term
+  frequencies are ``size(filter(...))`` projections, the corpus
+  statistics are ONE 1-row aggregate broadcast back, and the final
+  top-k is TakeOrderedAndProject's per-partition heap.
+- DSIR shuffles the corpus once (the doc×bucket aggregate); the two
+  bucket models are tiny (n_buckets rows) broadcast aggregates.  The
+  per-document sum folds a sorted bucket list sequentially so the
+  result is independent of partitioning AND bit-reproducible across
+  engines (the unordered-float-agg drift class from round 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafkastreamsjavachallenge_spark.functions import text as T
+
+
+def bm25_topk(
+    d: DataFrame,
+    terms: tuple,
+    k: int = 10,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75, Lucene's +1-inside-the-log idf) top-``k``
+    documents for a fixed bag of query ``terms``.
+
+    ``avgdl`` is derived as Σdl/N (exact integer sum, one correctly-
+    rounded divide) rather than ``avg()`` and the per-term sum is a
+    literal fixed-order expression, so any engine evaluating the same
+    tree reproduces the score bit-for-bit up to the shared ``ln``.
+    """
+    tf = d.select(
+        id_col,
+        F.size(toks_col).alias("dl"),
+        # NB: a `lambda x, t=t:` default would be treated as the (elem,
+        # index) two-arg HOF form by F.filter — hence the closure factory
+        *[
+            F.size(
+                F.filter(toks_col, (lambda term: lambda x: x == F.lit(term))(t))
+            ).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    st = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    sc = tf.crossJoin(F.broadcast(st))
+    n = F.col("n").cast("double")
+    avgdl = F.col("sdl").cast("double") / F.col("n")
+
+    def contrib(i: int) -> Column:
+        t = F.col(f"tf{i}").cast("double")
+        df = F.col(f"df{i}").cast("double")
+        idf = F.log((n - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0))
+        den = t + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / avgdl)
+        return idf * (t * F.lit(2.2)) / den
+
+    score = contrib(0)
+    for i in range(1, len(terms)):
+        score = score + contrib(i)
+    score = F.round(score, 4)
+    return (
+        sc.select(id_col, score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )
+
+
+def dsir_logweights(
+    tok: DataFrame,
+    is_target: Column,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    tok_col: str = "tok",
+) -> DataFrame:
+    """DSIR importance log-weights over a (doc, token) relation.
+
+    ``is_target`` marks the rows belonging to the target domain; every
+    NON-target document gets ``log_weight`` = Σ_b c_b · (ln p̂_tgt(b) −
+    ln p̂_raw(b)) over ``n_buckets`` hashed-unigram features with
+    add-one smoothing, rounded to 4 dp.
+    """
+    tok = tok.select(
+        id_col,
+        is_target.alias("__tgt"),
+        (T.base_hash28(F.col(tok_col)) % n_buckets).alias("b"),
+    )
+    tgt = tok.filter(F.col("__tgt")).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    raw = tok.filter(~F.col("__tgt")).groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    nt = tgt.agg(F.sum("ct").alias("n_tgt"))
+    nr = raw.agg(F.sum("cr").alias("n_raw"))
+    db = (
+        tok.filter(~F.col("__tgt"))
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    j = (
+        db.join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(raw), "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+    )
+    lr = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("n_tgt") + F.lit(n_buckets)).cast("double")
+    ) - F.log(
+        (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("n_raw") + F.lit(n_buckets)).cast("double")
+    )
+    per = j.select(id_col, "b", (F.col("c") * lr).alias("contrib"))
+    folded = per.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("b", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("lw")
+    )
+    return folded.select(id_col, F.round("lw", 4).alias("log_weight"))

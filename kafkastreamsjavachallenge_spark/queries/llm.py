@@ -871,54 +871,15 @@ def q_bm25(spark, sf_dir):
     Lucene's +1-inside-the-log idf) — the lexical-retrieval half of a
     RAG / data-selection stack.  With a bounded query vocabulary the
     whole computation is shuffle-free on the corpus side: per-document
-    term frequencies are `size(filter(toks, ...))` projections (no
-    explode, no (doc, term) shuffle), the corpus statistics (N, Σdl,
-    per-term document frequencies) are ONE 1-row aggregate broadcast
-    back, and the score is a fixed-order arithmetic expression, so the
-    only corpus-sized operation left is TakeOrderedAndProject's
-    per-partition top-10 heap.  avgdl is derived as Σdl/N (integer sum,
-    one correctly-rounded divide) rather than avg() so both engines see
-    the bit-identical double; the term sum is written out literally
-    (c0+c1+c2) to pin the fold order cross-engine."""
+    term frequencies are size(filter(...)) projections (no explode, no
+    (doc, term) shuffle), the corpus statistics are ONE 1-row aggregate
+    broadcast back, and the only corpus-sized operation left is
+    TakeOrderedAndProject's per-partition top-10 heap — see
+    operators/retrieval.py bm25_topk for the float-discipline notes."""
+    from kafkastreamsjavachallenge_spark.operators.retrieval import bm25_topk
+
     d = _docs(spark, sf_dir).select("doc_id", T.tokens("text").alias("toks"))
-    tf = d.select(
-        "doc_id",
-        F.size("toks").alias("dl"),
-        # NB: a `lambda x, t=t:` default would be treated as the (elem,
-        # index) two-arg HOF form by F.filter — hence the closure factory
-        *[
-            F.size(
-                F.filter("toks", (lambda term: lambda x: x == F.lit(term))(t))
-            ).alias(f"tf{i}")
-            for i, t in enumerate(_BM25_TERMS)
-        ],
-    )
-    st = tf.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("dl").alias("sdl"),
-        *[
-            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
-            for i in range(len(_BM25_TERMS))
-        ],
-    )
-    sc = tf.crossJoin(F.broadcast(st))
-    n = F.col("n").cast("double")
-    avgdl = F.col("sdl").cast("double") / F.col("n")
-
-    def contrib(i):
-        t = F.col(f"tf{i}").cast("double")
-        df = F.col(f"df{i}").cast("double")
-        idf = F.log((n - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0))
-        den = t + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / avgdl)
-        return idf * (t * F.lit(2.2)) / den
-
-    score = F.round(contrib(0) + contrib(1) + contrib(2), 4)
-    return (
-        sc.select("doc_id", score.alias("score"))
-        .filter(F.col("score") > 0)
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(10)
-    )
+    return bm25_topk(d, _BM25_TERMS, k=10)
 
 
 def q_dsir_weights(spark, sf_dir):
@@ -926,57 +887,20 @@ def q_dsir_weights(spark, sf_dir):
     for Language Models via Importance Resampling"): score every raw
     document by how target-like its hashed-unigram distribution is.
     Target = the `src0` domain; features = 64 hash buckets over tokens
-    (base_hash28 % 64); weight = Σ_b c_b · (ln p̂_tgt(b) − ln p̂_raw(b))
+    (base_hash28 % 64); weight = sum_b c_b * (ln p_tgt(b) - ln p_raw(b))
     with add-one smoothing.  The two 64-row bucket models are corpus
     aggregates broadcast back onto per-document bucket counts, so the
-    corpus shuffles once (doc×bucket agg) regardless of scale.  The
-    per-document sum folds a sorted bucket list SEQUENTIALLY
-    (F.aggregate over array_sort / DuckDB `sum(... ORDER BY b)`) so both
-    engines add the identical doubles in the identical order — the
-    unordered-float-agg drift class flagged in round 3 cannot occur."""
+    corpus shuffles once (doc x bucket agg) regardless of scale; the
+    per-document sum folds a sorted bucket list SEQUENTIALLY on both
+    engines so the round-3 unordered-float-agg drift class cannot occur
+    (operators/retrieval.py dsir_logweights)."""
+    from kafkastreamsjavachallenge_spark.operators.retrieval import dsir_logweights
+
     d = _docs(spark, sf_dir)
     tok = d.select(
         "doc_id", "source", F.explode(T.tokens("text")).alias("tok")
-    ).select("doc_id", "source", (T.base_hash28(F.col("tok")) % 64).alias("b"))
-    tgt = (
-        tok.filter(F.col("source") == "src0")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
     )
-    raw = (
-        tok.filter(F.col("source") != "src0")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("cr"))
-    )
-    nt = tgt.agg(F.sum("ct").alias("n_tgt"))
-    nr = raw.agg(F.sum("cr").alias("n_raw"))
-    db = (
-        tok.filter(F.col("source") != "src0")
-        .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    j = (
-        db.join(F.broadcast(tgt), "b", "left")
-        .join(F.broadcast(raw), "b", "left")
-        .crossJoin(F.broadcast(nt))
-        .crossJoin(F.broadcast(nr))
-    )
-    lr = F.log(
-        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
-        / (F.col("n_tgt") + F.lit(64)).cast("double")
-    ) - F.log(
-        (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1)).cast("double")
-        / (F.col("n_raw") + F.lit(64)).cast("double")
-    )
-    per = j.select("doc_id", "b", (F.col("c") * lr).alias("contrib"))
-    folded = per.groupBy("doc_id").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("b", "contrib"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["contrib"],
-        ).alias("lw")
-    )
-    return folded.select("doc_id", F.round("lw", 4).alias("log_weight"))
+    return dsir_logweights(tok, F.col("source") == "src0", n_buckets=64)
 
 
 _TOKS = "string_split(trim(text), ' ')"

@@ -542,3 +542,70 @@ def test_semdedup_on_30k_vectors_collapses_planted_clusters(spark):
     # survivors are exactly the lowest id per cluster = the cluster id
     bad = kept.filter(F.col("vec_id") >= k).count()
     assert bad == 0
+
+
+def test_bm25_on_1m_synthetic_docs(spark):
+    """1M docs, 10 planted every 100k-th doc carrying 5 'spark' tokens:
+    BM25 must return exactly the 10 planted ids with one shared score,
+    shuffle-free on the corpus side, in bounded time."""
+    from kafkastreamsjavachallenge_spark.operators.retrieval import bm25_topk
+
+    n = 1_000_000
+    filler = F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda i: F.concat(F.lit("w"), ((F.col("id") * 31 + i * 7) % 5000).cast("string")),
+    )
+    toks = F.when(
+        F.col("id") % 100_000 == 0,
+        F.concat(filler, F.array_repeat(F.lit("spark"), 5)),
+    ).otherwise(filler)
+    d = spark.range(n).select(F.col("id").alias("doc_id"), toks.alias("toks"))
+    t0 = time.time()
+    hits = bm25_topk(d, ("spark",), k=10).toPandas()
+    elapsed = time.time() - t0
+    assert elapsed < 90, f"bm25 took {elapsed:.1f}s on {n} docs"
+    assert sorted(hits["doc_id"]) == [i * 100_000 for i in range(10)]
+    assert hits["score"].nunique() == 1 and (hits["score"] > 0).all()
+
+
+def test_dsir_separates_planted_vocabularies(spark):
+    """500k raw docs, half from the target vocabulary (even hash buckets
+    by construction), half from a disjoint-bucket vocabulary: every
+    target-vocab raw doc must outweigh every off-vocab raw doc."""
+    import hashlib
+
+    from kafkastreamsjavachallenge_spark.operators.retrieval import dsir_logweights
+
+    def bucket(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:7], 16) % 64
+
+    cands = [f"t{i}" for i in range(400)]
+    vocab_a = [t for t in cands if bucket(t) % 2 == 0][:20]
+    vocab_b = [t for t in cands if bucket(t) % 2 == 1][:20]
+    assert len(vocab_a) == 20 and len(vocab_b) == 20
+
+    n = 500_000
+    arr_a = F.array(*[F.lit(t) for t in vocab_a])
+    arr_b = F.array(*[F.lit(t) for t in vocab_b])
+    # doc i: target iff i < 10k (drawn from A); raw docs alternate A/B
+    docs = spark.range(n + 10_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") < 10_000).alias("is_tgt"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(4)),
+            lambda i: F.element_at(
+                F.when((F.col("id") < 10_000) | (F.col("id") % 2 == 0), arr_a)
+                .otherwise(arr_b),
+                ((F.col("id") * 13 + i * 3) % 20 + 1).cast("int"),
+            ),
+        ).alias("toks"),
+    )
+    tok = docs.select("doc_id", "is_tgt", F.explode("toks").alias("tok"))
+    t0 = time.time()
+    w = dsir_logweights(tok, F.col("is_tgt"), n_buckets=64).toPandas()
+    elapsed = time.time() - t0
+    assert elapsed < 120, f"dsir took {elapsed:.1f}s on {n} raw docs"
+    assert len(w) == n
+    on_vocab = w[w["doc_id"] % 2 == 0]["log_weight"]
+    off_vocab = w[w["doc_id"] % 2 == 1]["log_weight"]
+    assert on_vocab.min() > off_vocab.max()
