@@ -713,3 +713,30 @@ def test_dsir_weights_cover_raw_corpus(spark):
     assert len(w) == n_raw
     assert w["doc_id"].is_unique
     assert np.isfinite(w["log_weight"]).all()
+
+
+def test_remove_dup_spans_keeps_first_occurrence_only(spark):
+    """q_remove_dup_spans: total kept blocks equals the number of
+    DISTINCT 8-token blocks in the corpus (every block survives exactly
+    once, at its first occurrence), every doc appears exactly once, and
+    each cleaned text is an in-order block subsequence of the original."""
+    from kafkastreamsjavachallenge_spark.catalog import load_table
+    from kafkastreamsjavachallenge_spark.queries.llm import q_remove_dup_spans
+    from tests.conftest import SF_DIR
+
+    out = q_remove_dup_spans(spark, SF_DIR).toPandas()
+    docs = load_table(spark, SF_DIR, "documents").toPandas()
+    assert len(out) == len(docs) and out["doc_id"].is_unique
+
+    def blocks(text):
+        toks = text.strip().split(" ")
+        return [" ".join(toks[i : i + 8]) for i in range(0, max(len(toks), 1), 8)]
+
+    all_blocks = [b for t in docs["text"] for b in blocks(t)]
+    assert out["n_blocks_kept"].sum() == len(set(all_blocks))
+    orig = docs.set_index("doc_id")["text"]
+    for _, row in out.iterrows():
+        ob = blocks(orig.loc[row["doc_id"]])
+        kb = blocks(row["cleaned_text"]) if row["cleaned_text"] else []
+        it = iter(ob)
+        assert all(b in it for b in kb), f"doc {row['doc_id']} not a subsequence"
