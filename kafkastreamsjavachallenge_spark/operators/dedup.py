@@ -52,6 +52,67 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(w_keep, on=id_col, how="left_semi")
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block: int = 8,
+) -> DataFrame:
+    """Substring-level dedup with reconstruction (Lee et al. 2022,
+    arXiv:2107.06499, adapted to fixed blocks): split every document
+    into non-overlapping ``block``-token blocks, keep only the
+    corpus-wide FIRST occurrence (min (id, block_idx)) of any repeated
+    block, and re-assemble each document from its surviving blocks in
+    order.  Returns (id, cleaned_text, n_blocks_kept) for EVERY input
+    row — a fully-boilerplate document comes back with the empty string.
+
+    Scale shape: one shuffle on the block content (uniform keys — block
+    text hashes spread evenly), one back on the doc id; the reassembly
+    folds an array_sort'ed (idx, block) list so the output string is
+    independent of partitioning.  At 100 TB the window-min on the block
+    key is a plain partial-aggregatable shuffle, and the block length
+    bounds every group row's size.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    d = df.select(F.col(id_col), toks.alias("__toks"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("__toks"), F.lit(1)), F.lit(block)
+    )
+    blocks = d.select(
+        id_col, "__toks", F.posexplode(starts).alias("__bidx", "__s")
+    ).select(
+        id_col,
+        "__bidx",
+        F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__s"), block)).alias(
+            "__block"
+        ),
+    )
+    w = Window.partitionBy("__block")
+    keep = blocks.withColumn(
+        "__keeper", F.min(F.struct(id_col, "__bidx")).over(w)
+    ).filter(
+        (F.col(f"__keeper.{id_col}") == F.col(id_col))
+        & (F.col("__keeper.__bidx") == F.col("__bidx"))
+    )
+    agg = keep.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__bidx", "__block"))),
+                lambda x: x["__block"],
+            ),
+            " ",
+        ).alias("__ct"),
+        F.count(F.lit(1)).alias("__nk"),
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("__ct"), F.lit("")).alias("cleaned_text"),
+        F.coalesce(F.col("__nk"), F.lit(0)).alias("n_blocks_kept"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

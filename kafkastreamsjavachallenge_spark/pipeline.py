@@ -190,6 +190,84 @@ class CorpusPipeline:
         out = self._df.join(contaminated, on=self._id, how="left_anti")
         return self._push("decontaminate", {"ngram": ngram}, out)
 
+    def cap_domains(
+        self, domain_col: str = "source", cap: int = 15
+    ) -> "CorpusPipeline":
+        """Keep at most ``cap`` docs per domain, chosen by deterministic
+        md5 rank (q_domain_cap's predicate) — re-runs and backfills
+        select the identical subset, hot domains can't dominate the mix."""
+        from pyspark.sql import Window
+
+        rk = F.row_number().over(
+            Window.partitionBy(domain_col).orderBy(
+                F.md5(F.col(self._id).cast("string")), self._id
+            )
+        )
+        out = (
+            self._df.withColumn("__rk", rk)
+            .filter(F.col("__rk") <= cap)
+            .drop("__rk")
+        )
+        return self._push(
+            "cap_domains", {"domain_col": domain_col, "cap": cap}, out
+        )
+
+    def remove_dup_spans(self, block: int = 8) -> "CorpusPipeline":
+        """Rewrite the text column with corpus-wide duplicated
+        ``block``-token spans removed (operators/dedup.remove_dup_spans);
+        docs scrubbed to nothing are dropped."""
+        cleaned = D.remove_dup_spans(self._df, self._text, self._id, block)
+        out = (
+            self._df.drop(self._text)
+            .join(
+                cleaned.filter(F.col("n_blocks_kept") > 0).select(
+                    self._id, F.col("cleaned_text").alias(self._text)
+                ),
+                self._id,
+            )
+        )
+        return self._push("remove_dup_spans", {"block": block}, out)
+
+    def dsir_filter(
+        self,
+        target: DataFrame,
+        min_log_weight: float = 0.0,
+        n_buckets: int = 64,
+    ) -> "CorpusPipeline":
+        """Keep docs whose DSIR importance log-weight against the
+        ``target`` corpus meets the threshold (operators/retrieval.py
+        dsir_logweights) — hashed-unigram importance-resampling
+        selection, Xie et al. 2023."""
+        from kafkastreamsjavachallenge_spark.operators.retrieval import (
+            dsir_logweights,
+        )
+
+        if self._text not in target.columns:
+            raise ValueError(
+                f"dsir_filter: target DataFrame has no {self._text!r} "
+                f"column (found {target.columns})"
+            )
+        tok = self._df.select(
+            self._id, F.lit(False).alias("__tgt"),
+            F.explode(T.tokens(self._text)).alias("tok"),
+        ).unionByName(
+            target.select(
+                (-F.monotonically_increasing_id() - 1).alias(self._id),
+                F.lit(True).alias("__tgt"),
+                F.explode(T.tokens(self._text)).alias("tok"),
+            )
+        )
+        w = dsir_logweights(
+            tok, F.col("__tgt"), n_buckets=n_buckets, id_col=self._id
+        )
+        keep = w.filter(F.col("log_weight") >= min_log_weight).select(self._id)
+        out = self._df.join(keep, on=self._id, how="left_semi")
+        return self._push(
+            "dsir_filter",
+            {"min_log_weight": min_log_weight, "n_buckets": n_buckets},
+            out,
+        )
+
     def sample(self, rate_pct: int = 10) -> "CorpusPipeline":
         """Deterministic hash sampling (md5-derived — stable across runs
         and engines, q_sample_hash's predicate)."""

@@ -770,53 +770,13 @@ def q_mix_weights(spark, sf_dir):
 
 
 def q_remove_dup_spans(spark, sf_dir):
-    """Substring-level dedup with reconstruction (the remove-the-span
-    move of Lee et al. 2022, "Deduplicating Training Data Makes Language
-    Models Better", arXiv:2107.06499, adapted to fixed blocks): split
-    every document into non-overlapping 8-token blocks, keep only the
-    corpus-wide FIRST occurrence (min (doc_id, block_idx)) of any
-    repeated block, and re-assemble each document from its surviving
-    blocks in order.  Unlike q_chunk_dedup (which only reports
-    duplicated chunks) this emits the cleaned corpus.  Two shuffles:
-    one on the block hash (uniform keys), one back on doc_id; the
-    reassembly folds an array_sort'ed (idx, block) list, so the output
-    string is independent of partitioning."""
-    d = _docs(spark, sf_dir).withColumn("toks", T.tokens("text"))
-    starts = F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(8))
-    blocks = d.select(
-        "doc_id", "toks", F.posexplode(starts).alias("block_idx", "s")
-    ).select(
-        "doc_id",
-        "block_idx",
-        F.concat_ws(" ", F.slice(F.col("toks"), F.col("s"), 8)).alias("block"),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("block")
-    keep = blocks.withColumn(
-        "keeper", F.min(F.struct("doc_id", "block_idx")).over(w)
-    ).filter(
-        (F.col("keeper.doc_id") == F.col("doc_id"))
-        & (F.col("keeper.block_idx") == F.col("block_idx"))
-    )
-    agg = keep.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("block_idx", "block"))),
-                lambda x: x["block"],
-            ),
-            " ",
-        ).alias("ct"),
-        F.count(F.lit(1)).alias("nk"),
-    )
-    # left join back so a doc whose every block is repeated elsewhere-first
-    # still appears (cleaned to the empty string), mirroring the oracle
-    return d.select("doc_id").join(agg, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("ct"), F.lit("")).alias("cleaned_text"),
-        F.coalesce(F.col("nk"), F.lit(0)).alias("n_blocks_kept"),
-    )
-
+    """Substring-level dedup with reconstruction (operators/dedup.py
+    remove_dup_spans — the remove-the-span move of Lee et al. 2022,
+    arXiv:2107.06499, adapted to non-overlapping 8-token blocks): keep
+    only the corpus-wide first occurrence of any repeated block and
+    re-assemble every document from its surviving blocks in order.
+    Unlike q_chunk_dedup (reporting) this emits the cleaned corpus."""
+    return D.remove_dup_spans(_docs(spark, sf_dir), block=8)
 
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing: assign documents to fixed token-budget training

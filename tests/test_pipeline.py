@@ -118,3 +118,45 @@ def test_pipeline_neardup_removes_only_higher_ids(spark):
     for r in verified.collect():
         assert r["id_a"] in kept or r["id_b"] not in kept
         assert r["id_b"] not in kept  # higher id always dropped
+
+
+def test_pipeline_cap_domains_and_remove_dup_spans(spark):
+    """cap_domains matches q_domain_cap's doc selection; remove_dup_spans
+    rewrites text to the operator's cleaned output and keeps schema."""
+    from kafkastreamsjavachallenge_spark.queries.llm import q_domain_cap
+
+    docs = load_table(spark, SF_DIR, "documents")
+    capped = CorpusPipeline(docs).cap_domains(cap=15).df()
+    want = {r["doc_id"] for r in q_domain_cap(spark, SF_DIR).collect()}
+    got = {r["doc_id"] for r in capped.select("doc_id").collect()}
+    assert got == want
+    assert set(capped.columns) == set(docs.columns)
+
+    spans = CorpusPipeline(docs).remove_dup_spans(block=8)
+    out = spans.df()
+    assert set(out.columns) == set(docs.columns)
+    cleaned = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in D.remove_dup_spans(docs, block=8)
+        .filter(F.col("n_blocks_kept") > 0)
+        .collect()
+    }
+    for r in out.select("doc_id", "text").collect():
+        assert r["text"] == cleaned[r["doc_id"]]
+
+
+def test_pipeline_dsir_filter_keeps_target_like_docs(spark):
+    """dsir_filter against the src0 slice keeps exactly the raw docs
+    whose q_dsir_weights log-weight clears the threshold."""
+    from kafkastreamsjavachallenge_spark.queries.llm import q_dsir_weights
+
+    docs = load_table(spark, SF_DIR, "documents")
+    target = docs.filter(F.col("source") == "src0").select("text")
+    raw = docs.filter(F.col("source") != "src0")
+    kept = (
+        CorpusPipeline(raw).dsir_filter(target, min_log_weight=0.0).df()
+    )
+    w = q_dsir_weights(spark, SF_DIR).toPandas()
+    want = set(w[w["log_weight"] >= 0.0]["doc_id"])
+    got = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert got == want
