@@ -778,6 +778,44 @@ def q_remove_dup_spans(spark, sf_dir):
     Unlike q_chunk_dedup (reporting) this emits the cleaned corpus."""
     return D.remove_dup_spans(_docs(spark, sf_dir), block=8)
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: Reciprocal Rank Fusion (Cormack et al. 2009) of
+    the BM25 lexical top-20 and the dense cosine top-20 — the standard
+    fusion step of a two-tower search stack.  rrf = sum over lists of
+    1/(60+rank), absent-from-list contributing 0.  Both input lists are
+    tiny (k rows) by the time fusion happens, so the full-outer join and
+    final sort are driver-trivial at any corpus scale; the heavy lifting
+    stays in the two underlying retrievers (shuffle-free BM25, heap-based
+    cosine top-k).  Ranks are integers over hash-checked orderings and
+    1/(60+r) is one correctly-rounded divide, so fusion is bit-exact."""
+    from pyspark.sql import Window
+
+    from kafkastreamsjavachallenge_spark.operators.retrieval import bm25_topk
+
+    e = _embs(spark, sf_dir)
+    query = e.filter(F.col("vec_id") == 0)
+    dense = S.cosine_topk(e.filter(F.col("vec_id") != 0), query, k=20)
+    wd = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    dense = dense.select(
+        F.col("vec_id").alias("id"), F.row_number().over(wd).alias("rd")
+    )
+    d = _docs(spark, sf_dir).select("doc_id", T.tokens("text").alias("toks"))
+    lex = bm25_topk(d, _BM25_TERMS, k=20)
+    wl = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex = lex.select(
+        F.col("doc_id").alias("id"), F.row_number().over(wl).alias("rl")
+    )
+    fused = dense.join(lex, "id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("rd")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rl")), F.lit(0.0))
+    return (
+        fused.select("id", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), "id")
+        .limit(10)
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing: assign documents to fixed token-budget training
     bins (budget 512) by contiguous fill in deterministic doc_id order,
@@ -916,7 +954,7 @@ _TOKS = "string_split(trim(text), ' ')"
 _H28_SQL = "('0x' || substr(md5({x}), 1, 7))::BIGINT"
 
 
-def _bm25_sql(terms: tuple) -> str:
+def _bm25_sql(terms: tuple, k: int = 10) -> str:
     """DuckDB oracle for q_bm25, assembled per-term so the arithmetic
     expression tree (cast points, parenthesisation, fold order of the
     c0+c1+c2 sum) is textually in lockstep with the Spark expression."""
@@ -942,7 +980,7 @@ def _bm25_sql(terms: tuple) -> str:
         f"st AS (SELECT count(*) AS n, sum(dl) AS sdl, {df_cols} FROM t) "
         f"SELECT doc_id, score FROM (SELECT doc_id, "
         f"round({contribs}, 4) AS score FROM t CROSS JOIN st) "
-        f"WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10"
+        f"WHERE score > 0 ORDER BY score DESC, doc_id LIMIT {k}"
     )
 
 
@@ -1582,6 +1620,31 @@ QUERIES = {
         "SELECT d.doc_id, coalesce(a.ct, '') AS cleaned_text, "
         "coalesce(a.nk, 0) AS n_blocks_kept "
         "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id",
+    ),
+    "q_hybrid_rrf": (
+        q_hybrid_rrf,
+        # dense CTE = q_cosine_topk's oracle at k=20; lex CTE = the BM25
+        # oracle at k=20 (nested WITH is legal in a CTE body)
+        "WITH dense AS (WITH q AS (SELECT embedding AS qv FROM embeddings "
+        "WHERE vec_id = 0), "
+        "n AS (SELECT sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS qnorm FROM q) "
+        f"SELECT a.vec_id AS id, round({_DOT} / "
+        "(sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) "
+        "* n.qnorm), 4) AS cos_sim "
+        "FROM embeddings a, q, n WHERE a.vec_id <> 0 "
+        "ORDER BY cos_sim DESC, a.vec_id LIMIT 20), "
+        "dr AS (SELECT id, row_number() OVER (ORDER BY cos_sim DESC, id) AS rd "
+        "FROM dense), "
+        f"lex AS ({_bm25_sql(_BM25_TERMS, k=20)}), "
+        "lr AS (SELECT doc_id AS id, row_number() OVER "
+        "(ORDER BY score DESC, doc_id) AS rl FROM lex) "
+        "SELECT id, coalesce(CAST(1.0 AS DOUBLE) / (60 + rd), "
+        "CAST(0.0 AS DOUBLE)) + coalesce(CAST(1.0 AS DOUBLE) / (60 + rl), "
+        "CAST(0.0 AS DOUBLE)) AS rrf_score "
+        "FROM dr FULL OUTER JOIN lr USING (id) "
+        "ORDER BY rrf_score DESC, id LIMIT 10",
     ),
     "q_domain_cap": (
         q_domain_cap,

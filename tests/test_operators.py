@@ -740,3 +740,28 @@ def test_remove_dup_spans_keeps_first_occurrence_only(spark):
         kb = blocks(row["cleaned_text"]) if row["cleaned_text"] else []
         it = iter(ob)
         assert all(b in it for b in kb), f"doc {row['doc_id']} not a subsequence"
+
+
+def test_hybrid_rrf_fuses_both_lists(spark):
+    """q_hybrid_rrf: scores are valid RRF values (sum of at most two
+    1/(60+rank) terms over 20-deep lists), descending, and an id present
+    in both retriever lists scores higher than either of its single-list
+    contributions alone."""
+    from kafkastreamsjavachallenge_spark.queries.llm import q_hybrid_rrf
+    from tests.conftest import SF_DIR
+
+    out = q_hybrid_rrf(spark, SF_DIR).toPandas()
+    assert 0 < len(out) <= 10
+    s = out["rrf_score"]
+    assert (s > 0).all() and (s <= 2 / 61 + 1e-12).all()
+    assert (s.values[:-1] >= s.values[1:] - 1e-15).all()
+    single_max = 1 / 61
+    both = s[s > single_max + 1e-12]
+    for v in both:
+        # decomposable into two valid rank terms
+        found = any(
+            abs(v - (1 / (60 + a) + 1 / (60 + b))) < 1e-12
+            for a in range(1, 21)
+            for b in range(1, 21)
+        )
+        assert found

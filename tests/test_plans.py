@@ -246,6 +246,9 @@ def test_registry_plans_lint_clean(spark):
         # broadcasts — bounded by vocabulary/bucket count, not corpus
         "q_bm25",
         "q_dsir_weights",
+        # RRF fusion: both retriever lists carry their own bounded
+        # broadcasts (query row / corpus stats)
+        "q_hybrid_rrf",
         # PQ scoring: m×k codebook / query distance-table broadcasts
         "q_ann_pq",
         # SemDeDup assignment: 16 centroids broadcast (ivf_assign shape)
