@@ -89,6 +89,7 @@ def dsir_logweights(
     n_buckets: int = 64,
     id_col: str = "doc_id",
     tok_col: str = "tok",
+    cache: bool = False,
 ) -> DataFrame:
     """DSIR importance log-weights over a (doc, token) relation.
 
@@ -102,15 +103,20 @@ def dsir_logweights(
         is_target.alias("__tgt"),
         (T.base_hash28(F.col(tok_col)) % n_buckets).alias("b"),
     )
-    tgt = tok.filter(F.col("__tgt")).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    raw = tok.filter(~F.col("__tgt")).groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    # The (doc, bucket) counts are the ONE corpus-sized aggregate; both
+    # bucket models re-aggregate that bounded relation (≤ docs × n_buckets
+    # rows).  Without ``cache`` Catalyst pushes the __tgt filters below the
+    # aggregate and specializes each branch (re-scanning the token source);
+    # at real scale pass cache=True to materialize the doc×bucket relation
+    # once — the 100 TB path reads the corpus a single time.
+    db_all = tok.groupBy(id_col, "__tgt", "b").agg(F.count(F.lit(1)).alias("c"))
+    if cache:
+        db_all = db_all.persist()
+    tgt = db_all.filter(F.col("__tgt")).groupBy("b").agg(F.sum("c").alias("ct"))
+    raw = db_all.filter(~F.col("__tgt")).groupBy("b").agg(F.sum("c").alias("cr"))
     nt = tgt.agg(F.sum("ct").alias("n_tgt"))
     nr = raw.agg(F.sum("cr").alias("n_raw"))
-    db = (
-        tok.filter(~F.col("__tgt"))
-        .groupBy(id_col, "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    db = db_all.filter(~F.col("__tgt")).select(id_col, "b", "c")
     j = (
         db.join(F.broadcast(tgt), "b", "left")
         .join(F.broadcast(raw), "b", "left")

@@ -602,7 +602,7 @@ def test_dsir_separates_planted_vocabularies(spark):
     )
     tok = docs.select("doc_id", "is_tgt", F.explode("toks").alias("tok"))
     t0 = time.time()
-    w = dsir_logweights(tok, F.col("is_tgt"), n_buckets=64).toPandas()
+    w = dsir_logweights(tok, F.col("is_tgt"), n_buckets=64, cache=True).toPandas()
     elapsed = time.time() - t0
     assert elapsed < 120, f"dsir took {elapsed:.1f}s on {n} raw docs"
     assert len(w) == n
