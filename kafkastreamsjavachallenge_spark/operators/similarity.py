@@ -497,3 +497,96 @@ def kmeans(
         ).localCheckpoint(eager=True)
     out = assigned.select(F.col("__id").alias(id_col), "centroid_id")
     return out, centroids.select("centroid_id", F.col("cvec").alias(vec_col))
+
+
+def pca_top_component(
+    df: DataFrame,
+    sample_max_id: int = 128,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component by power iteration over a BOUNDED,
+    deterministic sample (``id < sample_max_id``), following the
+    sample-trained discipline of the PQ codebook: model-fitting cost is
+    fixed by the sample, never by the corpus.
+
+    The entire fit happens inside ONE 1-row aggregate: the sample
+    collects into an id-sorted list and every reduction (mean vector,
+    covariance-free power steps  w = Σ_x ((x−μ)·v)(x−μ),  norms) is a
+    SEQUENTIAL fold over that list — so the model is bit-reproducible
+    across partitionings and engines; no corpus-sized shuffle exists
+    anywhere.  v0 is the constant 1/8 vector (exactly representable).
+
+    Returns a 1-row DataFrame (mu array<double>, pc array<double>).
+    """
+    zeros = F.array_repeat(F.lit(0.0), dim)
+
+    def vsum(lst):
+        return F.aggregate(lst, zeros, lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b))
+
+    def sdot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    s = (
+        df.filter(F.col(id_col) < sample_max_id)
+        .select(
+            id_col,
+            F.transform(F.col(vec_col), lambda e: e.cast("double")).alias("__x"),
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(id_col, "__x"))),
+                lambda r: r["__x"],
+            ).alias("xs")
+        )
+    )
+    n = F.size("xs").cast("double")
+    s = s.withColumn("mu", F.transform(vsum(F.col("xs")), lambda v: v / n))
+    s = s.withColumn(
+        "cx",
+        F.transform(
+            F.col("xs"), lambda x: F.zip_with(x, F.col("mu"), lambda a, b: a - b)
+        ),
+    )
+    s = s.withColumn("v0", F.array_repeat(F.lit(0.125), dim))
+    for t in range(iters):
+        vt, vn = f"v{t}", f"v{t + 1}"
+        ss = F.transform(F.col("cx"), lambda c: sdot(c, F.col(vt)))
+        scaled = F.zip_with(
+            F.col("cx"), ss, lambda c, sc: F.transform(c, lambda ci: sc * ci)
+        )
+        s = s.withColumn("__w", vsum(scaled))
+        s = s.withColumn(
+            vn,
+            F.transform(
+                F.col("__w"),
+                lambda wi: wi / F.sqrt(sdot(F.col("__w"), F.col("__w"))),
+            ),
+        )
+    return s.select("mu", F.col(f"v{iters}").alias("pc"))
+
+
+def pca_project(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every vector onto the fitted component: pc1 = (x−μ)·pc,
+    rounded 4 dp.  Pure per-row arithmetic under a broadcast 1-row model
+    — zero corpus shuffles at any scale."""
+
+    def sdot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    x = F.transform(F.col(vec_col), lambda e: e.cast("double"))
+    centered = F.zip_with(x, F.col("mu"), lambda a, b: a - b)
+    return df.crossJoin(F.broadcast(model)).select(
+        id_col, F.round(sdot(centered, F.col("pc")), 4).alias("pc1")
+    )

@@ -816,6 +816,21 @@ def q_hybrid_rrf(spark, sf_dir):
     )
 
 
+def q_pca_project(spark, sf_dir):
+    """PCA projection onto the top principal component, fitted by power
+    iteration over a bounded deterministic sample (vec_id < 128, 3
+    iterations, v0 = the exactly-representable 1/8 vector) — the
+    dimensionality-reduction step before ANN indexing.  The whole fit is
+    ONE 1-row aggregate of sequential folds (operators/similarity.py
+    pca_top_component), so model cost is fixed by the sample at any
+    corpus size; projection is per-row arithmetic under a broadcast
+    1-row model.  Oracle unrolls the identical folds via
+    list_reduce/list_prepend — bit-exact, not rows-only."""
+    e = _embs(spark, sf_dir)
+    model = S.pca_top_component(e, sample_max_id=128, iters=3)
+    return S.pca_project(e, model)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing: assign documents to fixed token-budget training
     bins (budget 512) by contiguous fill in deterministic doc_id order,
@@ -985,6 +1000,68 @@ def _bm25_sql(terms: tuple, k: int = 10) -> str:
 
 
 _BM25_SQL = _bm25_sql(_BM25_TERMS)
+
+
+def _pca_sql(iters: int = 3) -> str:
+    """DuckDB oracle for q_pca_project: the same sequential folds as
+    pca_top_component/pca_project, unrolled per power-iteration step
+    (list_prepend seeds the fold with the identical 0.0 / zero-vector
+    inits Spark's F.aggregate uses)."""
+    zeros = "list_transform(range(1, 65), i -> CAST(0.0 AS DOUBLE))"
+
+    def vsum(lst):
+        return (
+            f"list_reduce(list_prepend({zeros}, {lst}), "
+            f"(acc, x) -> list_transform(range(1, 65), i -> acc[i] + x[i]))"
+        )
+
+    def sdot(a, b):
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, 65), i -> {a}[i] * {b}[i])), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    sql = (
+        "WITH s0 AS (SELECT list(list_transform(embedding, "
+        "e -> CAST(e AS DOUBLE)) ORDER BY vec_id) AS xs "
+        "FROM embeddings WHERE vec_id < 128), "
+        f"s1 AS (SELECT xs, list_transform({vsum('xs')}, "
+        "v -> v / CAST(len(xs) AS DOUBLE)) AS mu FROM s0), "
+        "s2 AS (SELECT xs, mu, list_transform(xs, x -> "
+        "list_transform(range(1,65), i -> x[i] - mu[i])) AS cx FROM s1), "
+        "s3 AS (SELECT *, list_transform(range(1,65), "
+        "i -> CAST(0.125 AS DOUBLE)) AS v0 FROM s2)"
+    )
+    prev = "s3"
+    for t in range(iters):
+        vt, vn = f"v{t}", f"v{t + 1}"
+        scaled = (
+            f"list_transform(list_zip(cx, list_transform(cx, "
+            f"c -> {sdot('c', vt)})), "
+            "z -> list_transform(z[1], ci -> z[2] * ci))"
+        )
+        sql += f", w{t} AS (SELECT *, {vsum(scaled)} AS w_{t} FROM {prev})"
+        sql += (
+            f", i{t} AS (SELECT *, list_transform(w_{t}, "
+            f"wi -> wi / sqrt({sdot(f'w_{t}', f'w_{t}')})) AS {vn} "
+            f"FROM w{t})"
+        )
+        prev = f"i{t}"
+    centered = (
+        "list_transform(range(1,65), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) - m.mu[i])"
+    )
+    sql += (
+        f", m AS (SELECT mu, v{iters} AS pc FROM {prev}) "
+        f"SELECT e.vec_id, round({sdot(centered, 'm.pc')}, 4) AS pc1 "
+        "FROM embeddings e, m"
+    )
+    return sql
+
+
+_PCA_SQL = _pca_sql(3)
+
 _SHINGLES = (
     "list_distinct([array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)])"
 )
@@ -1646,6 +1723,7 @@ QUERIES = {
         "FROM dr FULL OUTER JOIN lr USING (id) "
         "ORDER BY rrf_score DESC, id LIMIT 10",
     ),
+    "q_pca_project": (q_pca_project, _PCA_SQL),
     "q_domain_cap": (
         q_domain_cap,
         "SELECT source, doc_id, rk FROM (SELECT source, doc_id, "

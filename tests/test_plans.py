@@ -249,6 +249,8 @@ def test_registry_plans_lint_clean(spark):
         # RRF fusion: both retriever lists carry their own bounded
         # broadcasts (query row / corpus stats)
         "q_hybrid_rrf",
+        # PCA projection: broadcast 1-row (mu, pc) model
+        "q_pca_project",
         # PQ scoring: m×k codebook / query distance-table broadcasts
         "q_ann_pq",
         # SemDeDup assignment: 16 centroids broadcast (ivf_assign shape)

@@ -609,3 +609,43 @@ def test_dsir_separates_planted_vocabularies(spark):
     on_vocab = w[w["doc_id"] % 2 == 0]["log_weight"]
     off_vocab = w[w["doc_id"] % 2 == 1]["log_weight"]
     assert on_vocab.min() > off_vocab.max()
+
+
+def test_pca_recovers_planted_direction(spark):
+    """200k synthetic vectors with variance concentrated on a planted
+    axis mix: 3-iteration power PCA must align with the true direction
+    (|cos| > 0.99) and the projection must separate the two planted
+    clusters by sign."""
+    from kafkastreamsjavachallenge_spark.operators.similarity import (
+        pca_project,
+        pca_top_component,
+    )
+
+    n = 200_000
+    # dominant direction = (1,1,0,...,0)/sqrt(2); big +/- spread along it,
+    # small deterministic noise elsewhere
+    sgn = F.when(F.col("id") % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (
+            F.when((i == 0) | (i == 1), sgn * F.lit(5.0))
+            .otherwise(((F.col("id") * 37 + i * 11) % 100).cast("double") / 1000.0)
+        ).cast("float"),
+    )
+    e = spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    t0 = time.time()
+    model = pca_top_component(e, sample_max_id=128, iters=3)
+    out = pca_project(e, model).toPandas()
+    elapsed = time.time() - t0
+    assert elapsed < 90, f"pca took {elapsed:.1f}s on {n} vectors"
+    import numpy as np
+
+    pc = np.array(model.first()["pc"])
+    truth = np.zeros(64)
+    truth[0] = truth[1] = 1 / np.sqrt(2)
+    assert abs(pc @ truth) > 0.99, f"alignment {abs(pc @ truth):.3f}"
+    assert len(out) == n
+    # clusters separate cleanly (orientation of pc is arbitrary)
+    even = out[out.vec_id % 2 == 0]["pc1"]
+    odd = out[out.vec_id % 2 == 1]["pc1"]
+    assert (even.min() > odd.max()) or (odd.min() > even.max())
