@@ -590,3 +590,45 @@ def pca_project(
     return df.crossJoin(F.broadcast(model)).select(
         id_col, F.round(sdot(centered, F.col("pc")), 4).alias("pc1")
     )
+
+
+def rp_project(
+    df: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` components,
+    in long form (id, component j, value): y_j = x · R_j with the same
+    deterministic md5-derived plane family as the LSH operators (seeded
+    'rp<j>|<i>' so the two families never collide).  Pure per-row
+    arithmetic — the projection matrix is out_dim × dim literals folded
+    per row, no broadcast, no shuffle, no RNG state; distances are
+    preserved within the JL bound while ANN/cluster stages downstream
+    touch 4× fewer floats."""
+    planes = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda j: F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                hex4_to_int(
+                    F.md5(
+                        F.concat(
+                            F.lit("rp"), j.cast("string"), F.lit("|"), i.cast("string")
+                        )
+                    )
+                )
+                / F.lit(65536.0)
+                - F.lit(0.5)
+            ),
+        ),
+    )
+    x = F.transform(F.col(vec_col), lambda e: e.cast("double"))
+    d = df.select(id_col, x.alias("__x"), F.posexplode(planes).alias("j", "__r"))
+    val = F.aggregate(
+        F.zip_with(F.col("__x"), F.col("__r"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return d.select(id_col, "j", F.round(val, 4).alias("val"))

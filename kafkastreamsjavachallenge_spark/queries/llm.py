@@ -831,6 +831,15 @@ def q_pca_project(spark, sf_dir):
     return S.pca_project(e, model)
 
 
+def q_rp_project(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims in long form
+    (operators/similarity.py rp_project): deterministic md5-derived
+    projection matrix, per-row sequential-fold dot products, zero
+    shuffles at any scale.  Oracle rebuilds the identical plane family
+    and fold — hash-checked."""
+    return S.rp_project(_embs(spark, sf_dir), out_dim=16, dim=64)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing: assign documents to fixed token-budget training
     bins (budget 512) by contiguous fill in deterministic doc_id order,
@@ -1724,6 +1733,19 @@ QUERIES = {
         "ORDER BY rrf_score DESC, id LIMIT 10",
     ),
     "q_pca_project": (q_pca_project, _PCA_SQL),
+    "q_rp_project": (
+        q_rp_project,
+        "WITH v AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS vec FROM embeddings), "
+        "pl AS (SELECT j.j, list(('0x' || substr(md5('rp' || j.j || '|' || i.i), "
+        "1, 4))::BIGINT / 65536.0 - 0.5 ORDER BY i.i) AS wv "
+        "FROM range(0, 16) j(j) CROSS JOIN range(0, 64) i(i) GROUP BY j.j) "
+        "SELECT v.vec_id, pl.j AS j, round(list_reduce(list_prepend("
+        "CAST(0.0 AS DOUBLE), list_transform(range(1, 65), "
+        "i -> v.vec[i] * pl.wv[i])), (acc, x) -> acc + x), 4) AS val "
+        "FROM v CROSS JOIN pl",
+    ),
+
     "q_domain_cap": (
         q_domain_cap,
         "SELECT source, doc_id, rk FROM (SELECT source, doc_id, "

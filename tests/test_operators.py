@@ -765,3 +765,37 @@ def test_hybrid_rrf_fuses_both_lists(spark):
             for b in range(1, 21)
         )
         assert found
+
+
+def test_rp_project_preserves_distances_jl(spark):
+    """rp_project: deterministic, linear, and distance-preserving in the
+    JL sense — squared-distance distortion after scaling by dim ratio
+    stays bounded for sampled pairs and averages near 1."""
+    import numpy as np
+
+    from kafkastreamsjavachallenge_spark.operators.similarity import rp_project
+    from kafkastreamsjavachallenge_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    out = rp_project(e, out_dim=16, dim=64).toPandas()
+    assert len(out) == e.count() * 16
+    Y = out.pivot(index="vec_id", columns="j", values="val").sort_index()
+    X = (
+        e.toPandas()
+        .sort_values("vec_id")
+        .set_index("vec_id")["embedding"]
+        .apply(np.asarray)
+    )
+    ids = Y.index.to_numpy()
+    rng_pairs = [(ids[i], ids[-(i + 1)]) for i in range(40) if ids[i] != ids[-(i + 1)]]
+    # E[||Ry||^2] = (dim * var_entry) * ||y||^2; entries ~ U(-.5,.5) -> var 1/12
+    scale = 16.0 / 12.0
+    ratios = []
+    for a, b in rng_pairs:
+        dx = np.asarray(X.loc[a], dtype="float64") - np.asarray(X.loc[b], dtype="float64")
+        dy = Y.loc[a].to_numpy() - Y.loc[b].to_numpy()
+        ratios.append((dy @ dy) / (scale * (dx @ dx)))
+    r = np.array(ratios)
+    assert (r > 0.2).all() and (r < 2.5).all(), (r.min(), r.max())
+    assert abs(r.mean() - 1) < 0.3, r.mean()
