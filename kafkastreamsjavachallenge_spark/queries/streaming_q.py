@@ -221,7 +221,58 @@ def q_stream_dedup(spark, sf_dir):
     return out.select("user_id")
 
 
+def q_stream_curation(spark, sf_dir):
+    """Streaming curation ingest: the quality-gate + dedup front of the
+    corpus pipeline run by the micro-batch engine — documents arrive as
+    files, pass the integer-exact token/TTR gate, dedup on content
+    WITHIN source (state key = (source, md5(text)), so the kept-copy
+    choice can never change per-source counts), and aggregate per-source
+    retained-distinct counts in update mode.  Chains a stateful
+    dropDuplicates into a stateful aggregation — the canonical
+    ingest-side curation topology.  This harness run keeps dedup state
+    unbounded (one availableNow batch); a production stream bounds it
+    with dropDuplicatesWithinWatermark (streaming/stateful.py)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafkastreamsjavachallenge_spark.functions import text as T
+    from kafkastreamsjavachallenge_spark.session import configure_runtime
+
+    configure_runtime(spark)
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    stage = tempfile.mkdtemp(prefix="stream_docs_")
+    os.symlink(src, os.path.join(stage, "part-00000.parquet"))
+    schema = spark.read.parquet(src).schema
+    stream = file_stream(spark, stage, schema)
+
+    toks = T.tokens("text")
+    n = F.size(toks)
+    gated = stream.filter(
+        (n >= 10)
+        & (n <= 500)
+        & (F.lit(5) * F.size(F.array_distinct(toks)) >= n)
+    )
+    deduped = gated.withColumn("content_hash", F.md5("text")).dropDuplicates(
+        ["source", "content_hash"]
+    )
+    counts = deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept_distinct")
+    )
+    return run_to_memory(counts, output_mode="update", state_partitions=8)
+
+
+
 QUERIES = {
+    "q_stream_curation": (
+        q_stream_curation,
+        "SELECT source, count(DISTINCT md5(text)) AS n_kept_distinct "
+        "FROM documents WHERE len(string_split(trim(text), ' ')) >= 10 "
+        "AND len(string_split(trim(text), ' ')) <= 500 "
+        "AND 5 * len(list_distinct(string_split(trim(text), ' '))) >= "
+        "len(string_split(trim(text), ' ')) GROUP BY source",
+    ),
     "q_stream_countmin": (
         q_stream_countmin,
         # Derived from quality._CMS_HASHES/_CMS_W/_P (single source of

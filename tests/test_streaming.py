@@ -374,3 +374,51 @@ def test_late_data_dropped_after_watermark(spark, tmp_path):
     # dropped by the watermark filter, not merged
     assert got.get(base) == 2
     assert dropped >= 1
+
+
+def test_stream_curation_dedup_state_spans_batches(spark, tmp_path):
+    """Streaming curation ingest: re-delivering the same documents in a
+    second micro-batch must not raise per-source retained-distinct
+    counts — the dropDuplicates state persists across batches — and the
+    converged counts equal the batch gate+distinct computation."""
+    import tempfile
+
+    from kafkastreamsjavachallenge_spark.functions import text as T
+    from kafkastreamsjavachallenge_spark.streaming.pipeline import (
+        file_stream,
+        run_to_memory,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    stage = str(tmp_path / "docs_stream")
+    os.makedirs(stage)
+    docs.coalesce(1).write.mode("append").parquet(stage)
+    docs.coalesce(1).write.mode("append").parquet(stage)  # exact re-delivery
+
+    toks = T.tokens("text")
+    n = F.size(toks)
+    stream = file_stream(spark, stage, docs.schema, max_files_per_trigger=1)
+    gated = stream.filter(
+        (n >= 10) & (n <= 500) & (F.lit(5) * F.size(F.array_distinct(toks)) >= n)
+    )
+    deduped = gated.withColumn("content_hash", F.md5("text")).dropDuplicates(
+        ["source", "content_hash"]
+    )
+    counts = deduped.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    got = run_to_memory(counts, output_mode="update", state_partitions=8)
+    # update mode re-emits a source's row only when its count changes;
+    # take the max emitted per source = converged value
+    final = {
+        r["source"]: r["mx"]
+        for r in got.groupBy("source").agg(F.max("n").alias("mx")).collect()
+    }
+    want = {
+        r["source"]: r["n"]
+        for r in docs.filter(
+            (n >= 10) & (n <= 500) & (F.lit(5) * F.size(F.array_distinct(toks)) >= n)
+        )
+        .groupBy("source")
+        .agg(F.countDistinct(F.md5("text")).alias("n"))
+        .collect()
+    }
+    assert final == want
