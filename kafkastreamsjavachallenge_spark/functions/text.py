@@ -158,3 +158,51 @@ def pandas_token_count():
         return s.str.strip().str.split(" ").str.len().astype("int32")
 
     return pandas_udf(_count, "int")
+
+
+BPE_MERGES = (
+    ("a", "r"),
+    ("t", "a"),
+    ("r", "o"),
+    ("o", "w"),
+    ("s", "p"),
+    ("sp", "ar"),
+    ("spar", "k"),
+    ("t", "h"),
+    ("th", "e"),
+    ("k", "e"),
+    ("ke", "y"),
+    ("i", "n"),
+)
+
+
+def bpe_units(tok: Column, merges: tuple = BPE_MERGES) -> Column:
+    """Apply a FIXED, priority-ordered BPE merge table to one token and
+    return its subword units — real byte-pair-encoding application (each
+    rule rewrites adjacent unit pairs left-to-right before the next rule
+    runs), not a regex approximation.  Each rule is one sequential
+    left fold over the unit list, so the result is deterministic and
+    reproducible in any engine with list folds; the merge table is
+    tokenizer CONFIG (fixed constants), exactly like a vocab file —
+    per-row arithmetic only, no shuffle, no state.
+    """
+    units = F.split(tok, "")
+
+    def apply_rule(prev: Column, a: str, b: str) -> Column:
+        return F.aggregate(
+            prev,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    out = units
+    for a, b in merges:
+        out = apply_rule(out, a, b)
+    return out

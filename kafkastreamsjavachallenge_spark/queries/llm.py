@@ -840,6 +840,28 @@ def q_rp_project(spark, sf_dir):
     return S.rp_project(_embs(spark, sf_dir), out_dim=16, dim=64)
 
 
+def q_bpe_tokenize(spark, sf_dir):
+    """Real BPE tokenizer application (functions/text.py bpe_units): the
+    fixed priority-ordered merge table rewrites each token's character
+    units pair-by-pair, and the query reports per-document whitespace
+    token count vs BPE unit count — the token-budget accounting every
+    training pipeline does with its tokenizer config.  All per-row HOF
+    folds, zero shuffles; the oracle unrolls the identical 12 merge
+    folds in DuckDB, so the op is hash-checked end to end."""
+    d = _docs(spark, sf_dir).withColumn("toks", T.tokens("text"))
+    nonempty = F.filter(F.col("toks"), lambda t: t != F.lit(""))
+    n_bpe = F.aggregate(
+        F.transform(nonempty, lambda t: F.size(T.bpe_units(t))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tok"),
+        n_bpe.alias("n_bpe_units"),
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing: assign documents to fixed token-budget training
     bins (budget 512) by contiguous fill in deterministic doc_id order,
@@ -1070,6 +1092,34 @@ def _pca_sql(iters: int = 3) -> str:
 
 
 _PCA_SQL = _pca_sql(3)
+
+
+def _bpe_sql() -> str:
+    """DuckDB oracle for q_bpe_tokenize: the identical 12 merge folds,
+    each one sequential left fold over the unit list (list_prepend of
+    the empty accumulator mirrors Spark's F.aggregate init)."""
+    from kafkastreamsjavachallenge_spark.functions.text import BPE_MERGES
+
+    fold = "string_split(t, '')"
+    for a, b in BPE_MERGES:
+        fold = (
+            "list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
+            f"list_transform({fold}, c -> [c])), "
+            f"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '{a}' "
+            f"AND x[1] = '{b}' THEN acc[1:len(acc)-1] || ['{a + b}'] "
+            "ELSE acc || x END)"
+        )
+    return (
+        f"WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents) "
+        "SELECT doc_id, len(toks) AS n_tok, "
+        "CAST(coalesce(list_sum(list_transform("
+        f"list_filter(toks, t -> t <> ''), t -> len({fold}))), 0) AS BIGINT) "
+        "AS n_bpe_units FROM d"
+    )
+
+
+_BPE_SQL = _bpe_sql()
+
 
 _SHINGLES = (
     "list_distinct([array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)])"
@@ -1733,6 +1783,7 @@ QUERIES = {
         "ORDER BY rrf_score DESC, id LIMIT 10",
     ),
     "q_pca_project": (q_pca_project, _PCA_SQL),
+    "q_bpe_tokenize": (q_bpe_tokenize, _BPE_SQL),
     "q_rp_project": (
         q_rp_project,
         "WITH v AS (SELECT vec_id, list_transform(embedding, "

@@ -799,3 +799,36 @@ def test_rp_project_preserves_distances_jl(spark):
     r = np.array(ratios)
     assert (r > 0.2).all() and (r < 2.5).all(), (r.min(), r.max())
     assert abs(r.mean() - 1) < 0.3, r.mean()
+
+
+def test_bpe_units_match_reference_implementation(spark):
+    """bpe_units: the HOF fold applies the merge table exactly like a
+    plain-Python BPE reference (each rule one left-to-right pass) on
+    every token of the sf0.001 corpus."""
+    from kafkastreamsjavachallenge_spark.catalog import load_table
+    from kafkastreamsjavachallenge_spark.functions.text import BPE_MERGES, bpe_units
+    from kafkastreamsjavachallenge_spark.functions import text as T
+    from tests.conftest import SF_DIR
+
+    def ref_bpe(tok):
+        units = list(tok)
+        for a, b in BPE_MERGES:
+            out = []
+            for u in units:
+                if out and out[-1] == a and u == b:
+                    out[-1] = a + b
+                else:
+                    out.append(u)
+            units = out
+        return units
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = docs.select(
+        "doc_id",
+        F.transform(T.tokens("text"), lambda t: bpe_units(t)).alias("u"),
+        T.tokens("text").alias("toks"),
+    ).collect()
+    assert len(got) > 0
+    for row in got:
+        for tok, units in zip(row["toks"], row["u"]):
+            assert units == ref_bpe(tok), (tok, units, ref_bpe(tok))
