@@ -77,16 +77,17 @@ _PRIORITY = (
     "q_cume_dist",
     "q_percent_rank",
     "q_first_last",
-    # scalar function packs
-    "q_regexp_fns",
-    "q_date_arith",
-    "q_array_fns",
-    "q_map_fns",
-    "q_null_fns",
-    "q_try_cast",
-    "q_hash_fns",
-    "q_url_parse",
-    "q_hof_filter",
+    # round-4 additions (newest code gets driver validation first; the
+    # scalar packs they displaced rotate into the r05 slate)
+    "q_bm25",
+    "q_dsir_weights",
+    "q_domain_cap",
+    "q_remove_dup_spans",
+    "q_hybrid_rrf",
+    "q_pca_project",
+    "q_rp_project",
+    "q_bpe_tokenize",
+    "q_stream_curation",
     # curation / training-data ops
     "q_sample_hash",
     "q_stratified_sample",
