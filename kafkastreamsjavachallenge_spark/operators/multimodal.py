@@ -141,6 +141,11 @@ def decode_media(df: DataFrame, decoder=fake_decode) -> DataFrame:
         for pdf in it:
             w, h, ck = [], [], []
             for payload in pdf["payload"]:
+                if payload is None:  # null media column → null features
+                    w.append(None)
+                    h.append(None)
+                    ck.append(None)
+                    continue
                 b = bytes(payload)
                 ww, hh = decoder(b)
                 w.append(ww)
@@ -151,8 +156,10 @@ def decode_media(df: DataFrame, decoder=fake_decode) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["n_bytes"],
-                    "width": pd.array(w, dtype="int32"),
-                    "height": pd.array(h, dtype="int32"),
+                    # nullable Int32 (capital I): plain int32 cannot carry
+                    # the null features of a null media payload
+                    "width": pd.array(w, dtype="Int32"),
+                    "height": pd.array(h, dtype="Int32"),
                     "checksum": ck,
                 }
             )
