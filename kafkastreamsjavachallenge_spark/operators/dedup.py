@@ -266,10 +266,16 @@ def ngram_jaccard(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return out.select(
-        "id_a",
-        "id_b",
-        F.round(inter / union, 4).alias("jaccard"),
+    # a doc shorter than the shingle width has NO n-grams: such pairs are
+    # not comparable (and 0/0 would raise under ANSI) — drop them, the
+    # same semantics as the oracle's len >= k document gate
+    return (
+        out.filter((F.size("sh_a") > 0) & (F.size("sh_b") > 0))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
     )
 
 

@@ -80,3 +80,73 @@ def test_query_survives_nulled_columns(name, spark, nulled_sf):
     fn, _ = registry()[name]
     df = fn(spark, nulled_sf)
     assert df.count() >= 0
+
+
+_ADVERSARIAL_TEXT = [
+    "café naïve résumé über straße",
+    "日本語 テスト 中文 한국어",
+    "emoji \U0001F600 \U0001F680 mixed ascii",
+    "combining é à ô marks",
+    "double  space and\ttab\tinside",
+    "trailing spaces   ",
+    "   leading spaces",
+    "zero​width and nbsp space",
+    "rtl שלום مرحبا text",
+    "math ∞ ∑ ∫ symbols",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_sf(tmp_path_factory):
+    """sf0.001 with the first 10 documents replaced by adversarial
+    unicode (CJK, emoji, RTL, zero-width, combining marks, tab/space
+    weirdness) — cross-engine hashing and tokenization must agree on
+    the raw UTF-8 bytes, not just ASCII."""
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("sf_unicode"))
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", f"{d}/{t}.parquet")
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    for i, txt in enumerate(_ADVERSARIAL_TEXT):
+        tbl.loc[tbl.index[i], "text"] = txt
+        tbl.loc[tbl.index[i], "n_chars"] = len(txt)
+    pq.write_table(
+        pa.Table.from_pandas(tbl, preserve_index=False), f"{d}/documents.parquet"
+    )
+    return d
+
+
+# the text-heavy ids most exposed to unicode: full oracle value-compare,
+# not just no-crash (the all-202 sweep runs in the driver sim; this keeps
+# the suite's copy fast)
+_UNICODE_CHECK = [
+    "q_doc_dedup", "q_minhash_pairs", "q_ngram_jaccard", "q_simhash",
+    "q_fingerprint", "q_token_count", "q_text_stats", "q_bpe_tokenize",
+    "q_remove_dup_spans", "q_bm25", "q_dsir_weights", "q_chunk_dedup",
+    "q_lang_id", "q_unigram_logprob",
+]
+
+
+@pytest.mark.parametrize("name", _UNICODE_CHECK)
+def test_unicode_parity(name, spark, unicode_sf):
+    """Exact Spark-vs-DuckDB parity on the unicode-contaminated corpus.
+    First run caught a real bug: ngram_jaccard raised on 0/0 for docs
+    shorter than the shingle width (now dropped, matching the oracle)."""
+    import duckdb
+    import pandas as pd
+
+    from tests.test_parity import REG, normalize
+
+    fn, sql = REG[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{unicode_sf}/{t}.parquet')"
+        )
+    got = normalize(fn(spark, unicode_sf).toPandas())
+    want = normalize(con.execute(sql).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
