@@ -37,13 +37,36 @@ def n_tokens(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+def let(col: Column, body) -> Column:
+    """Evaluate ``col`` ONCE per row and bind it as a lambda variable for
+    ``body`` — the missing let-expression of the expression language.
+
+    Catalyst does not share subexpressions into HOF lambdas: a lambda
+    body that references an expensive child expression (e.g. the token
+    split of a megabyte document) re-evaluates that child for EVERY
+    array element, turning a linear per-row transform into a quadratic
+    one (measured: 20k tokens 25 s, 100k tokens unbounded).  Wrapping
+    the child in a 1-element array and binding it through transform's
+    NamedLambdaVariable materializes it once; `element_at(..., 1)`
+    unwraps the result.  Overhead for already-cheap children is one
+    array allocation per row — noise."""
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
 def shingles(toks: Column, k: int = 3) -> Column:
-    """k-token shingles (n-grams) as strings; [] when doc shorter than k."""
-    return F.when(F.size(toks) < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        )
+    """k-token shingles (n-grams) as strings; [] when doc shorter than k.
+
+    The token array is let-bound so each shingle's slice reads a
+    materialized array — linear in document length even when ``toks``
+    is itself an expensive expression (see ``let``)."""
+    return let(
+        toks,
+        lambda t: F.when(F.size(t) < k, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - k),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
+            )
+        ),
     )
 
 
@@ -60,20 +83,24 @@ def minhash_signature(items: Column, n_perm: int) -> Column:
     hot paths (exploded codegen beats interpreted HOF lambdas ~10×); this
     form suits signature-on-ingest projections.
     """
-    hashed = F.transform(items, lambda x: base_hash28(x))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_perm - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                hashed,
-                lambda v: (
-                    F.element_at(
-                        F.array(*[F.lit(a) for a in MINHASH_A]), s + 1
-                    ) * v
-                    + F.element_at(F.array(*[F.lit(b) for b in MINHASH_B]), s + 1)
+    # let-bind the base-hash array: referenced inside the per-permutation
+    # lambda, it would otherwise be re-hashed n_perm times (see ``let``)
+    return let(
+        F.transform(items, lambda x: base_hash28(x)),
+        lambda hashed: F.transform(
+            F.sequence(F.lit(0), F.lit(n_perm - 1)),
+            lambda s: F.array_min(
+                F.transform(
+                    hashed,
+                    lambda v: (
+                        F.element_at(
+                            F.array(*[F.lit(a) for a in MINHASH_A]), s + 1
+                        ) * v
+                        + F.element_at(F.array(*[F.lit(b) for b in MINHASH_B]), s + 1)
+                    )
+                    % F.lit(MINHASH_P),
                 )
-                % F.lit(MINHASH_P),
-            )
+            ),
         ),
     )
 

@@ -386,8 +386,10 @@ def q_merge_upsert(spark, sf_dir):
         F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("bal")
     )
     ev = _t(spark, sf_dir, "events")
+    # try_cast, not cast: a dirty feed's out-of-range value (1e308 in the
+    # robustness sweep) must drop to NULL, not kill the whole CDC batch
     delta = ev.groupBy(F.col("user_id").cast("bigint").alias("key")).agg(
-        F.sum(F.col("value").cast("decimal(18,4)"))
+        F.sum(F.col("value").try_cast("decimal(18,4)"))
         .cast("double")
         .alias("dv")
     )
@@ -528,7 +530,7 @@ QUERIES = {
         "WITH cu AS (SELECT c_custkey AS key, c_acctbal AS bal "
         "FROM customer), "
         "delta AS (SELECT CAST(user_id AS BIGINT) AS key, "
-        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS dv "
+        "CAST(sum(TRY_CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS dv "
         "FROM events GROUP BY 1), "
         "m AS (SELECT coalesce(cu.key, delta.key) AS key, "
         "CASE WHEN bal IS NULL THEN 'insert' "

@@ -150,3 +150,43 @@ def test_unicode_parity(name, spark, unicode_sf):
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+@pytest.fixture(scope="module")
+def extreme_sf(tmp_path_factory):
+    """sf0.001 with (a) NaN / ±Inf / 1e308 injected into events.value,
+    (b) ALL user_ids collapsed to one key (maximal skew), and (c) one
+    100k-token document.  First runs caught two real bugs: the quadratic
+    HOF re-evaluation on long documents (fixed by `let` in
+    functions/text.py) and a decimal-overflow abort in the CDC upsert
+    (fixed with try_cast)."""
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("sf_extreme"))
+    for t in TABLES:
+        if t not in ("events", "documents"):
+            shutil.copy(f"{SF_DIR}/{t}.parquet", f"{d}/{t}.parquet")
+    ev = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    n = len(ev)
+    step = max(n // 50, 1)
+    ev.loc[ev.index[::step], "value"] = float("nan")
+    ev.loc[ev.index[1::step], "value"] = float("inf")
+    ev.loc[ev.index[2::step], "value"] = -float("inf")
+    ev.loc[ev.index[3::step], "value"] = 1e308
+    ev["user_id"] = 1
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), f"{d}/events.parquet")
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    big = " ".join(f"w{i % 997}" for i in range(100_000))
+    docs.loc[docs.index[0], "text"] = big
+    docs.loc[docs.index[0], "n_chars"] = len(big)
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False), f"{d}/documents.parquet"
+    )
+    return d
+
+
+@pytest.mark.parametrize("name", sorted(registry()))
+def test_query_survives_extreme_inputs(name, spark, extreme_sf):
+    fn, _ = registry()[name]
+    df = fn(spark, extreme_sf)
+    assert df.count() >= 0

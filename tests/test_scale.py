@@ -649,3 +649,31 @@ def test_pca_recovers_planted_direction(spark):
     even = out[out.vec_id % 2 == 0]["pc1"]
     odd = out[out.vec_id % 2 == 1]["pc1"]
     assert (even.min() > odd.max()) or (odd.min() > even.max())
+
+
+def test_long_document_text_ops_are_linear(spark):
+    """A single 100k-token document must flow through the shingle-based
+    operators in bounded time.  Regression pin for the HOF let-binding
+    fix (functions/text.py `let`): without it, lambda bodies re-evaluate
+    the token split per element — quadratic, ~minutes for one such doc
+    (measured 25 s at 20k tokens) — and a normal-at-scale long document
+    stalls the whole signature stage."""
+    from kafkastreamsjavachallenge_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard,
+    )
+
+    big = " ".join(f"w{i % 997}" for i in range(100_000))
+    docs = spark.createDataFrame(
+        [(0, big), (1, big), (2, "a short doc entirely different")],
+        "doc_id bigint, text string",
+    )
+    t0 = time.time()
+    sigs = minhash_signatures(docs, n_perm=8)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    scored = ngram_jaccard(docs, pairs).collect()
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"text chain took {elapsed:.1f}s on a 100k-token doc"
+    # the two identical long docs must surface as an exact near-dup pair
+    assert any(r["id_a"] == 0 and r["id_b"] == 1 and r["jaccard"] == 1.0 for r in scored)
