@@ -82,6 +82,11 @@ def _plan_fingerprint(df) -> str:
     hash, a real plan change (new join strategy, lost pushdown) flips it."""
     s = df._jdf.queryExecution().optimizedPlan().toString()
     s = re.sub(r"#\d+", "#", s)
+    # HOF lambda variable names (x_17, y_18, ...) carry a SESSION-GLOBAL
+    # counter: running other lambda-bearing queries first renames every
+    # later plan's variables, which made unrelated additions to the
+    # headline list read as plan changes. Strip the counter suffix.
+    s = re.sub(r"\b([a-z]+)_\d+#", r"\1_#", s)
     s = re.sub(r"plan_id=\d+", "plan_id=", s)
     s = re.sub(r"file:[^\s,\]]+", "file:", s)
     s = re.sub(r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "uuid", s)
