@@ -194,7 +194,128 @@ def q_url_parse(spark, sf_dir):
     )
 
 
+
+
+# --------------------------------------------- motif similarity search
+
+
+_TS_PATTERN = (0.0, 0.0, 1.0, 3.0, 8.0, 3.0, 1.0, 0.0)  # a spike shape
+
+
+def _ts_zq() -> list:
+    """Z-normalized query pattern, computed in plain sequential Python
+    floats so the embedded literals are bit-identical on both engines."""
+    m = 0.0
+    for v in _TS_PATTERN:
+        m = m + v
+    m = m / 8.0
+    s = 0.0
+    for v in _TS_PATTERN:
+        s = s + (v - m) * (v - m)
+    import math
+
+    sd = math.sqrt(s / 8.0)
+    return [(v - m) / sd for v in _TS_PATTERN]
+
+
+def q_ts_motif(spark, sf_dir):
+    """Time-series similarity search (the streaming-similarity shape of
+    Time Series Similarity Search for Streaming Data, EDBT 2019): the 10
+    sliding windows of each user's event-value series closest to a fixed
+    spike pattern under z-normalized squared Euclidean distance.  Window
+    arrays come from one frame-bounded collect_list per row (order pinned
+    by the unique (ts, event_id) sort key, so the array is deterministic
+    on both engines); z-normalization and the distance are sequential
+    8-element folds; constant windows (sd = 0) are not comparable and are
+    dropped.  One shuffle on user_id; the global top-10 is a
+    TakeOrderedAndProject heap over rounded distances."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, 7)
+    )
+    s = ev.select(
+        "user_id", "ts", "event_id", F.collect_list("value").over(w).alias("w8")
+    ).filter(F.size("w8") == 8)
+
+    def fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+    s = s.withColumn("m", fold(F.col("w8")) / F.lit(8.0))
+    s = s.withColumn(
+        "sd",
+        F.sqrt(
+            fold(
+                F.transform(
+                    "w8",
+                    lambda x: (x - F.col("m")) * (x - F.col("m")),
+                )
+            )
+            / F.lit(8.0)
+        ),
+    ).filter(F.col("sd") > 0)
+    zq = F.array(*[F.lit(z) for z in _ts_zq()])
+    diff = F.zip_with(
+        F.col("w8"),
+        zq,
+        lambda x, q: ((x - F.col("m")) / F.col("sd") - q)
+        * ((x - F.col("m")) / F.col("sd") - q),
+    )
+    return (
+        s.select(
+            "user_id",
+            F.col("ts").alias("window_start"),
+            "event_id",
+            F.round(fold(diff), 4).alias("dist"),
+        )
+        .orderBy("dist", "user_id", "window_start", "event_id")
+        .limit(10)
+        .select("user_id", "window_start", "dist")
+    )
+
+
+def _ts_motif_sql() -> str:
+    zq = "[" + ", ".join(repr(z) for z in _ts_zq()) + "]"
+
+    def fold(lst):
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            + lst
+            + "), (a, x) -> a + x)"
+        )
+
+    return (
+        "WITH e AS (SELECT user_id, ts, event_id, value FROM events "
+        "WHERE value IS NOT NULL), "
+        "s AS (SELECT user_id, ts, event_id, list(value) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w FROM e), "
+        "f AS (SELECT * FROM s WHERE len(w) = 8), "
+        f"z1 AS (SELECT *, {fold('w')} / 8.0 AS m FROM f), "
+        "z2 AS (SELECT *, sqrt("
+        + fold("list_transform(w, x -> (x - m) * (x - m))")
+        + " / 8.0) AS sd FROM z1), "
+        "z3 AS (SELECT * FROM z2 WHERE sd > 0) "
+        "SELECT user_id, window_start, dist FROM ("
+        "SELECT user_id, ts AS window_start, event_id, round("
+        + fold(
+            f"list_transform(range(1, 9), i -> "
+            f"((w[i] - m) / sd - {zq}[i]) * ((w[i] - m) / sd - {zq}[i]))"
+        )
+        + ", 4) AS dist FROM z3 "
+        "ORDER BY dist, user_id, window_start, event_id LIMIT 10)"
+    )
+
+
+_TS_MOTIF_SQL = _ts_motif_sql()
+
+
 QUERIES = {
+    "q_ts_motif": (
+        q_ts_motif,
+        _TS_MOTIF_SQL,
+    ),
     "q_gap_fill": (
         q_gap_fill,
         "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "

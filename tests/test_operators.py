@@ -832,3 +832,33 @@ def test_bpe_units_match_reference_implementation(spark):
     for row in got:
         for tok, units in zip(row["toks"], row["u"]):
             assert units == ref_bpe(tok), (tok, units, ref_bpe(tok))
+
+
+def test_ts_motif_finds_planted_pattern(spark, tmp_path):
+    """q_ts_motif: a series containing an exact (affine-scaled) copy of
+    the spike pattern must surface as a zero-distance top hit —
+    z-normalization makes the match scale/offset invariant."""
+    import datetime
+
+    from kafkastreamsjavachallenge_spark.queries.timeseries import (
+        _TS_PATTERN,
+        q_ts_motif,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1: noise, then an affine copy of the pattern (x*10 + 5)
+    vals = [2.0, 7.0, 3.0, 9.0] + [v * 10 + 5 for v in _TS_PATTERN] + [4.0, 6.0]
+    for i, v in enumerate(vals):
+        rows.append((i, base + datetime.timedelta(minutes=i), 1, "view", float(v), "{}"))
+    # user 2: flat noise only
+    for i, v in enumerate([1.0, 2.0] * 8):
+        rows.append((100 + i, base + datetime.timedelta(minutes=i), 2, "view", float(v), "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    hits = q_ts_motif(spark, d).toPandas()
+    top = hits.iloc[0]
+    assert top["user_id"] == 1 and top["dist"] == 0.0
