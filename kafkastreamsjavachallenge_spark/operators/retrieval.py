@@ -40,6 +40,8 @@ def bm25_topk(
     literal fixed-order expression, so any engine evaluating the same
     tree reproduces the score bit-for-bit up to the shared ``ln``.
     """
+    if not terms:
+        raise ValueError("bm25_topk: terms must be a non-empty tuple")
     tf = d.select(
         id_col,
         F.size(toks_col).alias("dl"),
