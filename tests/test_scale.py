@@ -677,3 +677,40 @@ def test_long_document_text_ops_are_linear(spark):
     assert elapsed < 60, f"text chain took {elapsed:.1f}s on a 100k-token doc"
     # the two identical long docs must surface as an exact near-dup pair
     assert any(r["id_a"] == 0 and r["id_b"] == 1 and r["jaccard"] == 1.0 for r in scored)
+
+
+def test_remove_dup_spans_on_1m_docs(spark):
+    """1M docs where every doc shares one planted 8-token boilerplate
+    block and carries 8 unique tokens: span removal keeps the boilerplate
+    only in doc 0 (closed form: total kept blocks = 1 boilerplate +
+    1M unique blocks; exactly one doc retains 2 blocks)."""
+    from kafkastreamsjavachallenge_spark.operators.dedup import remove_dup_spans
+
+    n = 1_000_000
+    boiler = F.concat_ws(
+        " ", F.array(*[F.lit(f"b{i}") for i in range(8)])
+    )
+    uniq = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.concat(F.lit("u"), F.col("id").cast("string"), F.lit("_"), i.cast("string")),
+        ),
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(boiler, F.lit(" "), uniq).alias("text"),
+    )
+    t0 = time.time()
+    out = remove_dup_spans(docs, block=8)
+    agg = out.agg(
+        F.sum("n_blocks_kept").alias("kept"),
+        F.count(F.lit(1)).alias("docs"),
+        F.count_if(F.col("n_blocks_kept") == 2).alias("both"),
+    ).first()
+    elapsed = time.time() - t0
+    assert elapsed < 180, f"span removal took {elapsed:.1f}s on {n} docs"
+    assert agg["docs"] == n
+    # doc 0 keeps boilerplate+unique (2 blocks); every other doc keeps
+    # only its unique block (1) -> kept = n + 1, exactly one doc with 2
+    assert agg["kept"] == n + 1 and agg["both"] == 1
