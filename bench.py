@@ -57,6 +57,8 @@ HEADLINE = [
     # round-4 additions: lexical retrieval + importance-weighted selection
     "q_bm25",
     "q_dsir_weights",
+    # round-4: windowed motif search (frame-bounded collect_list path)
+    "q_ts_motif",
 ]
 
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl")
