@@ -49,6 +49,15 @@ def gen_documents(rng: random.Random, n: int = 500) -> pa.Table:
         elif kind < 0.18 and rows:
             # exact duplicate of an earlier doc (dedup keeps min doc_id)
             words = rows[rng.randrange(len(rows))][1].split()
+        elif kind < 0.20:
+            # adversarial unicode (cross-engine UTF-8 hashing/tokenizing)
+            words = rng.sample(
+                ["café", "日本語", "\U0001F600", "straße", "שלום", "∑"], 3
+            ) + [rng.choice(VOCAB) for _ in range(rng.randint(5, 30))]
+            rng.shuffle(words)
+        elif kind < 0.22:
+            # long document (linear-time guard for the HOF text paths)
+            words = [rng.choice(VOCAB) for _ in range(rng.randint(3000, 8000))]
         else:
             words = [rng.choice(VOCAB) for _ in range(rng.randint(8, 100))]
         text = " ".join(words)
