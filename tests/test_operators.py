@@ -653,11 +653,13 @@ def test_csv_orc_roundtrip(spark, tmp_path):
     df = load_table(spark, SF_DIR, "lineitem").limit(500)
     df.write.option("header", True).mode("overwrite").csv(f"{tmp_path}/li_csv")
     df.write.mode("overwrite").orc(f"{tmp_path}/li_orc")
+    df.write.mode("overwrite").json(f"{tmp_path}/li_jsonl")
 
     want = df.toPandas().sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
     for back in (
         spark.read.schema(df.schema).option("header", True).csv(f"{tmp_path}/li_csv"),
         spark.read.orc(f"{tmp_path}/li_orc"),
+        spark.read.schema(df.schema).json(f"{tmp_path}/li_jsonl"),
     ):
         got = back.toPandas().sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)])
