@@ -141,3 +141,70 @@ def dsir_logweights(
         ).alias("lw")
     )
     return folded.select(id_col, F.round("lw", 4).alias("log_weight"))
+
+
+def cap_domains_scaled(
+    df: DataFrame,
+    domain_col: str = "source",
+    cap: int = 15,
+    id_col: str = "doc_id",
+    margin: int = 4,
+) -> DataFrame:
+    """Exact per-domain cap with the hash-threshold scale path: the
+    semantics of the plain window-rank cap (keep the ``cap`` docs with
+    the smallest md5(id) per domain), but the per-domain window sort
+    only ever sees a bounded candidate set.
+
+    A hot domain's rank sort serializes onto one task in the naive
+    plan.  Because ranks come from a UNIFORM hash, the cap-th smallest
+    hash of an n-row domain concentrates near cap/n, so filtering to
+    hashes below ``margin``·cap/n keeps ~margin·cap candidates per
+    domain — the exact rank sort then touches only those.  Domains
+    where the margin under-selects (possible, vanishingly rare) are
+    detected by a candidate count < min(cap, n) and routed through the
+    full sort, so the result is EXACT for every input, not just with
+    high probability.  Small domains (n ≤ cap) skip both paths.
+
+    Two aggregates + one bounded window; nothing corpus-sized is ever
+    globally sorted.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    hv = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")  # uniform u32
+    d = df.select(
+        F.col(domain_col).alias("__dom"), F.col(id_col), h.alias("__h"), hv.alias("__hv")
+    )
+    sizes = d.groupBy("__dom").agg(F.count(F.lit(1)).alias("__n"))
+    d = d.join(F.broadcast(sizes), "__dom")
+
+    small = d.filter(F.col("__n") <= cap)
+    big = d.filter(F.col("__n") > cap)
+    thresh = (F.lit(float(margin * cap)) / F.col("__n") * F.lit(2.0**32)).cast(
+        "bigint"
+    )
+    cand = big.filter(F.col("__hv") < thresh)
+    # exactness guard: a domain whose candidate set is smaller than cap
+    # cannot prove it holds the true top-cap — route it to the full sort
+    ok = (
+        cand.groupBy("__dom")
+        .agg(F.count(F.lit(1)).alias("__nc"))
+        .filter(F.col("__nc") >= cap)
+        .select("__dom")
+    )
+    fallback = big.join(F.broadcast(ok), "__dom", "left_anti")
+    ranked_input = cand.join(F.broadcast(ok), "__dom", "left_semi").unionByName(
+        fallback
+    )
+    w = Window.partitionBy("__dom").orderBy("__h", id_col)
+    capped = (
+        ranked_input.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .select("__dom", id_col, "__rk")
+    )
+    small_ranked = small.withColumn("__rk", F.row_number().over(w)).select(
+        "__dom", id_col, "__rk"
+    )
+    return capped.unionByName(small_ranked).select(
+        F.col("__dom").alias(domain_col), id_col, F.col("__rk").alias("rk")
+    )

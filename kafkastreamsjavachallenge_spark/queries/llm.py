@@ -862,6 +862,21 @@ def q_bpe_tokenize(spark, sf_dir):
     )
 
 
+def q_domain_cap_scaled(spark, sf_dir):
+    """The hash-threshold scale path of the per-domain cap
+    (operators/retrieval.py cap_domains_scaled): identical semantics to
+    q_domain_cap — same oracle — but the per-domain rank sort only sees
+    a bounded candidate set (uniform-hash threshold + exact fallback
+    guard), so a hot domain can never serialize a corpus-sized window.
+    Exposing both paths under one oracle lets the driver independently
+    certify the equivalence."""
+    from kafkastreamsjavachallenge_spark.operators.retrieval import (
+        cap_domains_scaled,
+    )
+
+    return cap_domains_scaled(_docs(spark, sf_dir), cap=15)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing: assign documents to fixed token-budget training
     bins (budget 512) by contiguous fill in deterministic doc_id order,
@@ -1797,6 +1812,15 @@ QUERIES = {
         "FROM v CROSS JOIN pl",
     ),
 
+    "q_domain_cap_scaled": (
+        q_domain_cap_scaled,
+        # same oracle as q_domain_cap: the scale path must be
+        # indistinguishable from the semantic spec
+        "SELECT source, doc_id, rk FROM (SELECT source, doc_id, "
+        "row_number() OVER (PARTITION BY source "
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk "
+        "FROM documents) WHERE rk <= 15",
+    ),
     "q_domain_cap": (
         q_domain_cap,
         "SELECT source, doc_id, rk FROM (SELECT source, doc_id, "

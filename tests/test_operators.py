@@ -864,3 +864,23 @@ def test_ts_motif_finds_planted_pattern(spark, tmp_path):
     hits = q_ts_motif(spark, d).toPandas()
     top = hits.iloc[0]
     assert top["user_id"] == 1 and top["dist"] == 0.0
+
+
+def test_cap_domains_scaled_fallback_path_is_exact(spark):
+    """cap_domains_scaled with margin=0 routes EVERY over-cap domain
+    through the exactness-guard fallback (empty candidate sets), which
+    must still reproduce the plain window-rank selection bit-for-bit."""
+    from kafkastreamsjavachallenge_spark.catalog import load_table
+    from kafkastreamsjavachallenge_spark.operators.retrieval import (
+        cap_domains_scaled,
+    )
+    from kafkastreamsjavachallenge_spark.queries.llm import q_domain_cap
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = lambda df: sorted(
+        (r["source"], r["doc_id"], r["rk"]) for r in df.collect()
+    )
+    want = rows(q_domain_cap(spark, SF_DIR))
+    assert rows(cap_domains_scaled(docs, cap=15, margin=0)) == want
+    assert rows(cap_domains_scaled(docs, cap=15, margin=4)) == want

@@ -714,3 +714,38 @@ def test_remove_dup_spans_on_1m_docs(spark):
     # doc 0 keeps boilerplate+unique (2 blocks); every other doc keeps
     # only its unique block (1) -> kept = n + 1, exactly one doc with 2
     assert agg["kept"] == n + 1 and agg["both"] == 1
+
+
+def test_cap_domains_scaled_on_hot_domain(spark):
+    """2M docs, one 1.9M-row hot domain + 1000 warm domains: the
+    hash-threshold cap must (a) keep exactly cap docs per over-cap
+    domain, (b) agree with an independent top-k heap on WHICH hot-domain
+    docs survive, and (c) finish in bounded time — the window sort never
+    sees the hot domain's full row set."""
+    from kafkastreamsjavachallenge_spark.operators.retrieval import (
+        cap_domains_scaled,
+    )
+
+    n = 2_000_000
+    dom = F.when(F.col("id") < 1_900_000, F.lit("hot")).otherwise(
+        F.concat(F.lit("d"), (F.col("id") % 1000).cast("string"))
+    )
+    docs = spark.range(n).select(F.col("id").alias("doc_id"), dom.alias("source"))
+    t0 = time.time()
+    out = cap_domains_scaled(docs, cap=15)
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    elapsed = time.time() - t0
+    assert elapsed < 120, f"scaled cap took {elapsed:.1f}s on {n} rows"
+    assert per["hot"] == 15 and len(per) == 1001
+    assert all(v == 15 for v in per.values())
+    got_hot = {
+        r["doc_id"] for r in out.filter(F.col("source") == "hot").collect()
+    }
+    want_hot = {
+        r["doc_id"]
+        for r in docs.filter(F.col("source") == "hot")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(15)
+        .collect()
+    }
+    assert got_hot == want_hot
