@@ -877,6 +877,73 @@ def q_domain_cap_scaled(spark, sf_dir):
     return cap_domains_scaled(_docs(spark, sf_dir), cap=15)
 
 
+def q_bpe_train(spark, sf_dir):
+    """BPE tokenizer TRAINING as one declarative Spark plan: learn the
+    top-4 merge rules from the corpus (Sennrich et al. 2016) with no
+    driver-side loop at all.  The corpus compresses to the word-frequency
+    vocabulary first (classic BPE trains on (word, count), so pair
+    statistics weigh by count and the working set is |vocab|, not corpus
+    tokens); each round counts adjacent unit pairs, takes the argmax
+    (count DESC, then lexicographic — total order), broadcasts the 1-row
+    winner, and re-segments the vocab by folding the DYNAMIC rule (the
+    same sequential fold as bpe_units, comparing against the broadcast
+    rule columns instead of literals).  Four rounds unroll into one lazy
+    plan: 4 × (pair agg + 1-row broadcast + fold), all integer counts —
+    hash-exact.  Returns (round, a, b, pair_count)."""
+    d = _docs(spark, sf_dir)
+    vocab = (
+        d.select(F.explode(T.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("u", F.split("tok", ""))
+    )
+
+    def pair_counts(v):
+        z = F.zip_with(
+            F.slice(F.col("u"), 1, F.size("u") - 1),
+            F.slice(F.col("u"), 2, F.size("u") - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        return (
+            v.select("n", F.explode(z).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("pair_count"))
+        )
+
+    def apply_rule(v):
+        # fold the broadcast (a, b) rule over each word's unit list
+        merged = F.aggregate(
+            F.col("u"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("a"))
+                & (x == F.col("b")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.col("a"), F.col("b"))),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        return v.withColumn("u", merged).drop("a", "b", "pair_count")
+
+    out = None
+    v = vocab
+    for r in range(1, 5):
+        best = (
+            pair_counts(v)
+            .orderBy(F.desc("pair_count"), "a", "b")
+            .limit(1)
+        )
+        step = best.withColumn("round", F.lit(r)).select(
+            "round", "a", "b", "pair_count"
+        )
+        out = step if out is None else out.unionByName(step)
+        v = apply_rule(v.crossJoin(F.broadcast(best)))
+    return out
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing: assign documents to fixed token-budget training
     bins (budget 512) by contiguous fill in deterministic doc_id order,
@@ -1134,6 +1201,44 @@ def _bpe_sql() -> str:
 
 
 _BPE_SQL = _bpe_sql()
+
+
+def _bpe_train_sql(rounds: int = 4) -> str:
+    """DuckDB oracle for q_bpe_train: the same vocabulary compression,
+    weighted pair counts, (count DESC, a, b) argmax, and dynamic-rule
+    fold, unrolled per round as chained CTEs."""
+    fold = (
+        "list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
+        "list_transform(u, c -> [c])), "
+        "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m{r}.a "
+        "AND x[1] = m{r}.b THEN acc[1:len(acc)-1] || [m{r}.a || m{r}.b] "
+        "ELSE acc || x END)"
+    )
+    sql = (
+        "WITH v AS (SELECT tok, count(*) AS n FROM "
+        f"(SELECT unnest({_TOKS}) AS tok FROM documents) "
+        "WHERE tok <> '' GROUP BY tok), "
+        "s0 AS (SELECT tok, n, string_split(tok, '') AS u FROM v)"
+    )
+    for r in range(1, rounds + 1):
+        sql += (
+            f", p{r} AS (SELECT pr[1] AS a, pr[2] AS b, sum(n) AS pair_count "
+            f"FROM (SELECT n, unnest(list_zip(u[1:len(u)-1], u[2:len(u)])) "
+            f"AS pr FROM s{r - 1}) WHERE pr[2] IS NOT NULL GROUP BY 1, 2), "
+            f"m{r} AS (SELECT a, b, pair_count FROM p{r} "
+            "ORDER BY pair_count DESC, a, b LIMIT 1), "
+            f"s{r} AS (SELECT tok, n, " + fold.format(r=r)
+            + f" AS u FROM s{r - 1} CROSS JOIN m{r})"
+        )
+    sql += " " + " UNION ALL ".join(
+        f"SELECT {r} AS round, a, b, pair_count FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return sql
+
+
+_BPE_TRAIN_SQL = _bpe_train_sql(4)
+
 
 
 _SHINGLES = (
@@ -1799,6 +1904,7 @@ QUERIES = {
     ),
     "q_pca_project": (q_pca_project, _PCA_SQL),
     "q_bpe_tokenize": (q_bpe_tokenize, _BPE_SQL),
+    "q_bpe_train": (q_bpe_train, _BPE_TRAIN_SQL),
     "q_rp_project": (
         q_rp_project,
         "WITH v AS (SELECT vec_id, list_transform(embedding, "

@@ -904,3 +904,44 @@ def test_readme_coverage_table_matches_registry():
     assert not ghost, f"README lists unregistered ids: {sorted(ghost)}"
     m = re.search(r"## Query coverage \((\d+) ids", text)
     assert m and int(m.group(1)) == len(reg), (m.group(1), len(reg))
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    """q_bpe_train: the four declaratively-learned merges equal a plain
+    Python BPE trainer (weighted vocab, count-then-lexicographic argmax,
+    full re-segmentation between rounds) run on the same corpus."""
+    from collections import Counter
+
+    from kafkastreamsjavachallenge_spark.catalog import load_table
+    from kafkastreamsjavachallenge_spark.queries.llm import q_bpe_train
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").toPandas()
+    vocab = Counter()
+    for t in docs["text"]:
+        for tok in t.strip().split(" "):
+            if tok:
+                vocab[tok] += 1
+    seg = {w: list(w) for w in vocab}
+    want = []
+    for _ in range(4):
+        pairs = Counter()
+        for w, n in vocab.items():
+            u = seg[w]
+            for i in range(len(u) - 1):
+                pairs[(u[i], u[i + 1])] += n
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((a, b, cnt))
+        for w in seg:
+            u, out = seg[w], []
+            for x in u:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            seg[w] = out
+    got = [
+        (r["a"], r["b"], r["pair_count"])
+        for r in q_bpe_train(spark, SF_DIR).orderBy("round").collect()
+    ]
+    assert got == want, (got, want)

@@ -251,6 +251,8 @@ def test_registry_plans_lint_clean(spark):
         "q_hybrid_rrf",
         # PCA projection: broadcast 1-row (mu, pc) model
         "q_pca_project",
+        # BPE training: 4 broadcast 1-row merge-rule winners
+        "q_bpe_train",
         # PQ scoring: m×k codebook / query distance-table broadcasts
         "q_ann_pq",
         # SemDeDup assignment: 16 centroids broadcast (ivf_assign shape)
