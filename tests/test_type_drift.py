@@ -63,3 +63,52 @@ def test_headline_queries_survive_events_ts_drift(spark, ts_unit):
     finally:
         shutil.rmtree(sf_dir, ignore_errors=True)
     assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def text_drifted_dir(tmp_path_factory):
+    """documents as large_string / n_chars int32, embeddings as
+    large_list<double> — the remaining plausible physical drifts of the
+    text/vector tables under a regenerated writer."""
+    d = str(tmp_path_factory.mktemp("drift_text"))
+    for t in TABLES:
+        src = f"{SF_DIR}/{t}.parquet"
+        if t == "documents":
+            tbl = pq.read_table(src)
+            tbl = pa.table(
+                {
+                    "doc_id": tbl["doc_id"],
+                    "text": tbl["text"].cast(pa.large_string()),
+                    "lang": tbl["lang"],
+                    "source": tbl["source"],
+                    "n_chars": tbl["n_chars"].cast(pa.int32()),
+                }
+            )
+            pq.write_table(tbl, f"{d}/{t}.parquet")
+        elif t == "embeddings":
+            tbl = pq.read_table(src)
+            emb = tbl["embedding"].cast(pa.large_list(pa.float64()))
+            pq.write_table(
+                pa.table(
+                    {"vec_id": tbl["vec_id"], "embedding": emb, "label": tbl["label"]}
+                ),
+                f"{d}/{t}.parquet",
+            )
+        else:
+            shutil.copy(src, f"{d}/{t}.parquet")
+    return d
+
+
+def test_text_and_vector_queries_survive_physical_drift(spark, text_drifted_dir):
+    """Representative text/vector queries execute under large_string /
+    int32 / large_list<double> physical types without exception."""
+    from kafkastreamsjavachallenge_spark.queries import registry
+
+    reg = registry()
+    for name in [
+        "q_doc_dedup", "q_minhash_pairs", "q_bm25", "q_bpe_train",
+        "q_cosine_topk", "q_ann_ivf", "q_pca_project", "q_semdedup",
+        "q_curation_pipeline", "q_text_stats",
+    ]:
+        fn, _ = reg[name]
+        assert fn(spark, text_drifted_dir).count() >= 0, name
