@@ -944,6 +944,69 @@ def q_bpe_train(spark, sf_dir):
     return out
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality score — the declarative analog of the
+    KenLM/CCNet perplexity filter: train an add-one-smoothed bigram
+    model ON the corpus (context counts + bigram counts + vocabulary
+    size) and score every multi-token document by its mean conditional
+    negative log-likelihood  avg_i −ln (c(a_i b_i)+1)/(c_ctx(a_i)+V).
+    Bigrams come from zip_with over shifted slices (no self-join); the
+    model joins are plain shuffle joins (the bigram table is
+    vocabulary-sized, too big to assume broadcastable at web scale);
+    only the 1-row vocabulary count broadcasts.  The per-document sum
+    folds the position-sorted contribution list sequentially on both
+    engines — the order-unspecified float-agg drift class cannot
+    occur."""
+    d = _docs(spark, sf_dir).select("doc_id", T.tokens("text").alias("t"))
+    n1 = F.greatest(F.size("t") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("t", 1, n1),
+        F.slice("t", 2, n1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    # posexplode_outer + null filter: plain posexplode makes
+    # InferFiltersFromGenerate re-evaluate the pairs expression in an
+    # unpushable pre-explode filter (DESIGN.md footgun (a))
+    bg = (
+        d.select("doc_id", F.posexplode_outer(pairs).alias("i", "p"))
+        .filter(F.col("p").isNotNull())
+        .select(
+            "doc_id",
+            (F.col("i") + 1).alias("i"),
+            F.col("p.a").alias("a"),
+            F.col("p.b").alias("b"),
+        )
+    )
+    cab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ctx = bg.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    vv = d.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    contrib = -F.log(
+        (F.col("c_ab") + F.lit(1)).cast("double")
+        / (F.col("c_a") + F.col("v")).cast("double")
+    )
+    per = (
+        bg.join(cab, ["a", "b"])
+        .join(ctx, ["a"])
+        .crossJoin(F.broadcast(vv))
+        .select("doc_id", "i", contrib.alias("contrib"))
+    )
+    folded = per.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("i", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+    return folded.select(
+        "doc_id",
+        F.round(F.col("s") / F.col("n_bigrams"), 4).alias("avg_nll"),
+        "n_bigrams",
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing: assign documents to fixed token-budget training
     bins (budget 512) by contiguous fill in deterministic doc_id order,
@@ -1905,6 +1968,24 @@ QUERIES = {
     "q_pca_project": (q_pca_project, _PCA_SQL),
     "q_bpe_tokenize": (q_bpe_tokenize, _BPE_SQL),
     "q_bpe_train": (q_bpe_train, _BPE_TRAIN_SQL),
+    "q_bigram_logprob": (
+        q_bigram_logprob,
+        f"WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        "bg AS (SELECT doc_id, i, t[i] AS a, t[i + 1] AS b FROM "
+        "(SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d "
+        "WHERE len(t) >= 2)), "
+        "cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2), "
+        "ctx AS (SELECT a, count(*) AS c_a FROM bg GROUP BY 1), "
+        "vv AS (SELECT count(DISTINCT tok) AS v FROM "
+        "(SELECT unnest(t) AS tok FROM d)), "
+        "per AS (SELECT doc_id, i, -ln(CAST(c_ab + 1 AS DOUBLE) / "
+        "CAST(c_a + v AS DOUBLE)) AS contrib FROM bg "
+        "JOIN cab USING (a, b) JOIN ctx USING (a) CROSS JOIN vv) "
+        "SELECT doc_id, round(list_reduce(list_prepend("
+        "CAST(0.0 AS DOUBLE), list(contrib ORDER BY i)), "
+        "(x, y) -> x + y) / count(*), 4) AS avg_nll, "
+        "count(*) AS n_bigrams FROM per GROUP BY doc_id",
+    ),
     "q_rp_project": (
         q_rp_project,
         "WITH v AS (SELECT vec_id, list_transform(embedding, "

