@@ -99,14 +99,19 @@ _PRIORITY = (
     "q_mix_weights",
     "q_pack_sequences",
     "q_gopher_repetition",
+    # round-4 brand-new ids (explicit-register HLL, priority sampling,
+    # release diff, curriculum phases) — newest code gets driver
+    # validation first; the displaced ids (q_ngram_jaccard, q_minhash_sig,
+    # q_fingerprint, q_graph_degree — each subsumed by an already-checked
+    # composite) rotate into the r05 slate
+    "q_hll_explicit",
+    "q_priority_sample",
+    "q_dataset_diff",
+    "q_curriculum",
     # ANN / similarity / graph tail
     "q_ann_lsh",
     "q_ann_pq",
     "q_fuzzy_join",
-    "q_ngram_jaccard",
-    "q_minhash_sig",
-    "q_fingerprint",
-    "q_graph_degree",
     "q_stream_session",
 )
 

@@ -1536,6 +1536,100 @@ _KMEANS_SQL = (
     "GROUP BY cid ORDER BY cid"
 )
 
+
+# --------------------------------------- weighted selection / release ops
+
+def q_priority_sample(spark, sf_dir):
+    """Priority sampling (Duffield-Lund-Thorup): weight-proportional
+    top-k without replacement — priority q_i = w_i / u_i with a
+    hash-derived uniform u_i, keep the k highest, and the (k+1)-th
+    priority tau yields the unbiased per-item estimator max(w_i, tau).
+    The production use: pick a token-budget-weighted subset of a corpus
+    deterministically (re-runs and engines agree on the exact sample).
+
+    Scale shape: priority is a scan-side projection (two IEEE ops:
+    w * 2^28 then / (h+1), identically ordered in the oracle so the
+    doubles are bit-equal), and top-(k+1) is TakeOrderedAndProject — a
+    per-partition heap + driver merge of k+1 rows, never a global sort.
+    The rank window runs over the 51 surviving rows only."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    h = T.base_hash28(F.col("doc_id").cast("string"))
+    prio = (F.col("n_chars").cast("double") * F.lit(268435456.0)) / (
+        h + F.lit(1)
+    ).cast("double")
+    top = (
+        d.select("doc_id", F.col("n_chars").alias("weight"), prio.alias("prio"))
+        .orderBy(F.col("prio").desc(), "doc_id")
+        .limit(51)
+    )
+    w = Window.orderBy(F.col("prio").desc(), "doc_id")
+    ranked = top.withColumn("rn", F.row_number().over(w))
+    tau = ranked.filter(F.col("rn") == 51).select(F.col("prio").alias("tau"))
+    return (
+        ranked.filter(F.col("rn") <= 50)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "weight",
+            F.round("prio", 4).alias("priority"),
+            F.round(F.greatest(F.col("weight").cast("double"), F.col("tau")), 4).alias(
+                "est_weight"
+            ),
+        )
+    )
+
+
+def q_dataset_diff(spark, sf_dir):
+    """Release diff audit: compare two dataset versions by content digest
+    and classify every document as removed / changed / unchanged (the
+    general full-outer shape also yields `added`).  v2 here is the
+    curated release derived from v1: short docs dropped, digit runs
+    redacted.  At 100 TB the compare joins 16-byte md5 digests, never
+    the bodies — one equi-join on doc_id, counts rolled up per source."""
+    d = _docs(spark, sf_dir)
+    v1 = d.select("doc_id", "source", F.md5("text").alias("h1"))
+    v2 = d.filter(F.col("n_chars") >= 100).select(
+        "doc_id",
+        F.md5(F.regexp_replace("text", "[0-9]+", "<NUM>")).alias("h2"),
+    )
+    status = (
+        F.when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1") == F.col("h2"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        v1.join(v2, "doc_id", "left")
+        .groupBy("source", status.alias("status"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_curriculum(spark, sf_dir):
+    """Curriculum phase assignment: per-language quality quartiles
+    (ntile over the integer quality score) -> per-phase token budget.
+    Partitioning the window BY LANGUAGE keeps the sort per-group (no
+    global single-partition sort); at corpus scale the same result comes
+    from broadcast quantile cutpoints, but the windowed form is the
+    exact-deterministic one (total order pinned by (score, doc_id))."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).withColumn("toks", T.tokens("text"))
+    scored = d.select(
+        "doc_id", "lang", F.size("toks").alias("n_tok"),
+        T.quality_score(F.col("toks")).alias("score_e4"),
+    )
+    w = Window.partitionBy("lang").orderBy("score_e4", "doc_id")
+    phased = scored.withColumn("phase", F.ntile(4).over(w))
+    return phased.groupBy("lang", "phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("score_e4").alias("min_score"),
+        F.max("score_e4").alias("max_score"),
+    )
+
+
 QUERIES = {
     "q_doc_dedup": (
         q_doc_dedup,
@@ -2055,5 +2149,44 @@ QUERIES = {
         "AS BIGINT) AS bin FROM d) "
         "SELECT source, bin, count(*) AS n_docs, sum(n_tok) AS total_tokens "
         "FROM b GROUP BY source, bin",
+    ),
+    "q_priority_sample": (
+        q_priority_sample,
+        "WITH t AS (SELECT doc_id, n_chars AS weight, "
+        "(CAST(n_chars AS DOUBLE) * 268435456.0) / "
+        f"CAST({_H28_SQL.format(x='CAST(doc_id AS VARCHAR)')} + 1 AS DOUBLE) "
+        "AS prio FROM documents), "
+        "r AS (SELECT doc_id, weight, prio, "
+        "row_number() OVER (ORDER BY prio DESC, doc_id) AS rn FROM t), "
+        "tau AS (SELECT prio AS tau FROM r WHERE rn = 51) "
+        "SELECT doc_id, weight, round(prio, 4) AS priority, "
+        "round(greatest(CAST(weight AS DOUBLE), tau), 4) AS est_weight "
+        "FROM r CROSS JOIN tau WHERE rn <= 50",
+    ),
+    "q_dataset_diff": (
+        q_dataset_diff,
+        "WITH v1 AS (SELECT doc_id, source, md5(text) AS h1 FROM documents), "
+        "v2 AS (SELECT doc_id, "
+        "md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS h2 "
+        "FROM documents WHERE n_chars >= 100) "
+        "SELECT source, CASE WHEN h2 IS NULL THEN 'removed' "
+        "WHEN h1 = h2 THEN 'unchanged' ELSE 'changed' END AS status, "
+        "count(*) AS n_docs FROM v1 LEFT JOIN v2 USING (doc_id) "
+        "GROUP BY source, status",
+    ),
+    "q_curriculum": (
+        q_curriculum,
+        f"WITH t AS (SELECT doc_id, lang, {_TOKS} AS l FROM documents), "
+        "s AS (SELECT doc_id, lang, len(l) AS n_tok, "
+        "CAST(floor(((len(list_distinct(l)) / len(l)) * 0.5 + "
+        "least((list_sum(list_transform(l, x -> length(x))) / len(l)) / 10.0, 1.0) "
+        "* 0.5) * 10000) AS BIGINT) AS score_e4 FROM t), "
+        "p AS (SELECT lang, n_tok, score_e4, "
+        "ntile(4) OVER (PARTITION BY lang ORDER BY score_e4, doc_id) AS phase "
+        "FROM s) "
+        "SELECT lang, phase, count(*) AS n_docs, "
+        "CAST(sum(n_tok) AS BIGINT) AS total_tokens, "
+        "min(score_e4) AS min_score, max(score_e4) AS max_score "
+        "FROM p GROUP BY lang, phase",
     ),
 }

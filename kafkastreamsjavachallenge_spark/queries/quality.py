@@ -204,6 +204,80 @@ def q_bloom_fpr(spark, sf_dir):
     )
 
 
+# --------------------------------------------- explicit-register HLL
+
+# b = 8 address bits -> m = 256 registers; the remaining 24 hash bits
+# feed the leading-zero rank, so ranks lie in [1, 25] and the indicator
+# sum S = sum_j 2^(25 - M_j) is an exact BIGINT (<= 256 * 2^25 = 2^33).
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+# alpha * m^2 * 2^25: the whole float numerator as ONE literal so both
+# engines perform exactly one correctly-rounded division by the exact
+# integer S — no cross-engine ulp drift is possible.
+_HLL_NUM = repr(_HLL_ALPHA * _HLL_M * _HLL_M * (1 << 25))
+
+
+def q_hll_explicit(spark, sf_dir):
+    """HyperLogLog with EXPLICIT registers (md5-derived 32-bit hash,
+    m = 256) — unlike ``q_hll_union`` (Spark's built-in DataSketches,
+    engine-internal, rows-only check) this sketch is reproducible in any
+    engine, so the DuckDB oracle builds the IDENTICAL register file and
+    the estimate is hash-checked, not rows-only.
+
+    Shape is the mergeable-rollup pattern for 100 TB distinct counts:
+    per-day register files (groupBy day,reg -> max rank), merged upward
+    by another max — associative, idempotent, no rescan of the fact.
+    All register arithmetic is exact integers; the only float op is the
+    single final division (correctly rounded, cross-engine identical).
+    Raw HLL estimate — the small-range linear-counting correction needs
+    ln(), which is libm and engine-dependent, so it is reported as the
+    zero-register count instead of folded into the estimate."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    h32 = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    reg = F.shiftright(h32, 24)
+    w = h32.bitwiseAND(F.lit(16777215))
+    # rank = leading zeros of the 24-bit suffix + 1 = 25 - bitlength(w);
+    # bitlength via base-2 string length (exact in both engines)
+    rank = F.when(w == 0, F.lit(25)).otherwise(
+        F.lit(25) - F.length(F.conv(w, 10, 2))
+    )
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), reg.alias("reg"), rank.alias("rank"))
+        .groupBy("day", "reg")
+        .agg(F.max("rank").alias("m_j"))
+    )
+    merged = daily.groupBy("reg").agg(F.max("m_j").alias("m_j"))
+    sketch = merged.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 25 - m_j)")).alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    denom = F.col("s_present") + (F.lit(_HLL_M) - F.col("n_present")) * F.lit(1 << 25)
+    return sketch.crossJoin(F.broadcast(exact)).select(
+        F.round(F.lit(float(_HLL_NUM)) / denom, 4).alias("approx_users"),
+        (F.lit(_HLL_M) - F.col("n_present")).alias("zero_registers"),
+        "exact_users",
+    )
+
+
+_HLL_SQL = (
+    "WITH h AS (SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT "
+    "AS h32, CAST(ts AS DATE) AS day FROM events WHERE user_id IS NOT NULL), "
+    "daily AS (SELECT day, h32 >> 24 AS reg, "
+    "max(CASE WHEN (h32 & 16777215) = 0 THEN 25 "
+    "ELSE 25 - length(bin(h32 & 16777215)) END) AS m_j FROM h GROUP BY 1, 2), "
+    "m AS (SELECT reg, max(m_j) AS m_j FROM daily GROUP BY 1), "
+    "s AS (SELECT CAST(sum(1::BIGINT << (25 - m_j)) AS BIGINT) AS s_present, "
+    "count(*) AS n_present FROM m), "
+    "x AS (SELECT count(DISTINCT user_id) AS exact_users FROM events) "
+    f"SELECT round({_HLL_NUM} / (s_present + (256 - n_present) * 33554432), 4) "
+    "AS approx_users, 256 - n_present AS zero_registers, exact_users "
+    "FROM s CROSS JOIN x"
+)
+
+
 QUERIES = {
     "q_dq_audit": (
         q_dq_audit,
@@ -267,4 +341,5 @@ QUERIES = {
         "SELECT n_set_bits, 1000 AS n_probes, n_false_pos, "
         "round(n_false_pos / 1000.0, 6) AS fpr FROM fp CROSS JOIN nb",
     ),
+    "q_hll_explicit": (q_hll_explicit, _HLL_SQL),
 }
