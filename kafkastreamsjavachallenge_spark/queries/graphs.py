@@ -237,6 +237,85 @@ def q_hist_quantile(spark, sf_dir):
     )
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton-curve) layout audit — the data-layout move behind
+    Delta/Iceberg OPTIMIZE ZORDER BY: interleave the bits of two
+    predicate columns so one sort key clusters BOTH dimensions, letting
+    min/max file statistics prune scans on either column.  Here events
+    are z-coded on (user_id low byte, day-of-month), bucketed by z-prefix
+    (the \"file\" boundary at 100 TB), and each bucket reports its
+    per-dimension min/max envelope + row count — narrow envelopes in both
+    dimensions are exactly what makes stats-based pruning fire.  Pure
+    integer bit arithmetic end-to-end; one shuffle (the groupBy)."""
+    ev = _t(spark, sf_dir, "events")
+    qx = F.col("user_id").cast("bigint") % 256
+    # stretch day-of-month onto the full 8-bit range (exact integer DIV)
+    # so both dimensions contribute equally many significant bits to the
+    # interleave — unbalanced widths would let one dim dominate buckets
+    qy = F.expr("((day(ts) - 1) * 255) DIV 30").cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(8):
+        z = z + F.shiftleft(F.shiftright(qx, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(qy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    coded = ev.select(qx.alias("qx"), qy.alias("qy"), (F.shiftright(z, 10)).alias("zbucket"))
+    return coded.groupBy("zbucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("qx").alias("min_user"),
+        F.max("qx").alias("max_user"),
+        F.min("qy").alias("min_qday"),
+        F.max("qy").alias("max_qday"),
+    )
+
+
+def q_skew_advisor(spark, sf_dir):
+    """Shuffle-skew diagnosis: per-key load share of the would-be join /
+    aggregation key, plus the integer salt factor that would level it
+    across 32 shuffle partitions (salt = ceil(share * 32), floor 1) —
+    the report an engineer reads before keying a 100 TB shuffle.  Two
+    hash aggregates + a broadcast scalar; shares in exact basis points
+    (integer DIV), so the oracle is bit-identical."""
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    total = per_key.agg(F.sum("cnt").alias("total"))
+    top = (
+        per_key.crossJoin(F.broadcast(total))
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .limit(10)
+    )
+    return top.select(
+        "user_id",
+        "cnt",
+        F.expr("(cnt * 10000) DIV total").alias("share_bp"),
+        F.greatest(
+            F.lit(1).cast("bigint"), F.expr("(cnt * 32 + total - 1) DIV total")
+        ).alias("salt_factor"),
+    )
+
+
+_ZORDER_SQL = (
+    "WITH c AS (SELECT user_id % 256 AS qx, "
+    "((day(ts) - 1) * 255) // 30 AS qy FROM events), "
+    "z AS (SELECT qx, qy, ("
+    + " + ".join(
+        f"(((qx >> {i}) & 1) << {2 * i}) + (((qy >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    + ") >> 10 AS zbucket FROM c) "
+    "SELECT zbucket, count(*) AS n_events, "
+    "min(qx) AS min_user, max(qx) AS max_user, "
+    "min(qy) AS min_qday, max(qy) AS max_qday FROM z GROUP BY zbucket"
+)
+
+_SKEW_SQL = (
+    "WITH k AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id), "
+    "t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM k), "
+    "top AS (SELECT user_id, cnt, total FROM k CROSS JOIN t "
+    "ORDER BY cnt DESC, user_id LIMIT 10) "
+    "SELECT user_id, cnt, (cnt * 10000) // total AS share_bp, "
+    "greatest(1, (cnt * 32 + total - 1) // total) AS salt_factor FROM top"
+)
+
+
 QUERIES = {
     "q_triangle_count": (
         q_triangle_count,
@@ -323,4 +402,6 @@ QUERIES = {
         "AS approx_median FROM cum WHERE cum * 2 >= n "
         "ORDER BY bin LIMIT 1",
     ),
+    "q_zorder_layout": (q_zorder_layout, _ZORDER_SQL),
+    "q_skew_advisor": (q_skew_advisor, _SKEW_SQL),
 }
