@@ -274,3 +274,84 @@ def test_kmeans_recovers_planted_clusters(spark):
         labels.append(ids.pop())
     assert len(set(labels)) == 4, f"clusters merged: {labels}"
     assert centroids.count() == 4
+
+
+# ------------------------------------------------- explicit-register HLL
+
+
+def test_hll_explicit_error_and_register_math(spark):
+    """q_hll_explicit (m = 256 explicit registers): the estimate must sit
+    within the standard HLL error envelope of the exact count on the
+    frozen testdata (rsd = 1.04/sqrt(256) = 6.5%; assert 4·rsd = 26%),
+    and the register file must be non-degenerate (not all registers
+    zero, not all saturated)."""
+    from kafkastreamsjavachallenge_spark.queries.quality import q_hll_explicit
+
+    import math
+
+    row = q_hll_explicit(spark, SF_DIR).collect()[0]
+    exact, approx, v = row["exact_users"], row["approx_users"], row["zero_registers"]
+    assert exact > 0
+    assert 0 <= v < 256
+    # the query exports the RAW estimate + zero-register count; the
+    # small-range linear-counting correction is the caller's (ln is libm,
+    # so folding it in would break the cross-engine oracle) — apply it
+    # here exactly as Flajolet et al. prescribe
+    est = 256 * math.log(256 / v) if (v > 0 and approx <= 2.5 * 256) else approx
+    assert abs(est - exact) <= max(3.0, 4 * (1.04 / 16) * exact), (est, exact)
+
+
+def test_priority_sample_estimator_total(spark):
+    """Duffield priority sampling is unbiased: sum over the sample of
+    max(w_i, tau) estimates the population total weight.  On a fixed
+    synthetic population (deterministic hash uniforms) with k = 50 of
+    500, the single-draw estimate must land within 35% of the true
+    total — loose enough to be seed-robust, tight enough to catch a
+    broken tau or weight path (which is off by orders of magnitude)."""
+    from kafkastreamsjavachallenge_spark.queries.llm import q_priority_sample
+
+    got = q_priority_sample(spark, SF_DIR).collect()
+    assert len(got) == 50
+    docs = load_table(spark, SF_DIR, "documents")
+    true_total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    est_total = sum(r["est_weight"] for r in got)
+    assert abs(est_total - true_total) / true_total < 0.35, (est_total, true_total)
+    # every sampled item's estimator is >= its raw weight (tau clamps up)
+    assert all(r["est_weight"] >= r["weight"] for r in got)
+
+
+def test_zorder_buckets_are_tighter_than_scan_order(spark):
+    """The point of the z-order layout: per-bucket min/max envelopes must
+    cover a small slice of BOTH dimensions, where row-order bucketing of
+    the same data covers nearly the full user range in every bucket
+    (time-ordered events interleave all users).  Compare total envelope
+    area: z-buckets must prune at least 4x better."""
+    from kafkastreamsjavachallenge_spark.queries.graphs import q_zorder_layout
+
+    z = q_zorder_layout(spark, SF_DIR).collect()
+    assert len(z) > 1
+    z_area = sum(
+        (r["max_user"] - r["min_user"] + 1) * (r["max_qday"] - r["min_qday"] + 1) * r["n_events"]
+        for r in z
+    ) / sum(r["n_events"] for r in z)
+    ev = load_table(spark, SF_DIR, "events")
+    n_b = len(z)
+    row_buckets = (
+        ev.select(
+            (F.col("event_id") % n_b).alias("b"),
+            (F.col("user_id") % 256).alias("qx"),
+            F.expr("((day(ts) - 1) * 255) DIV 30").alias("qy"),
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("qx").alias("mnx"), F.max("qx").alias("mxx"),
+            F.min("qy").alias("mny"), F.max("qy").alias("mxy"),
+        )
+        .collect()
+    )
+    naive_area = sum(
+        (r["mxx"] - r["mnx"] + 1) * (r["mxy"] - r["mny"] + 1) * r["n"]
+        for r in row_buckets
+    ) / sum(r["n"] for r in row_buckets)
+    assert z_area * 4 <= naive_area, (z_area, naive_area)
