@@ -122,6 +122,80 @@ def real_decode(payload: bytes) -> tuple[int, int]:
     )
 
 
+def real_decode_audio(payload: bytes) -> tuple[int, int, int, int]:
+    """Header-only audio geometry for RIFF/WAVE: (sample_rate, channels,
+    bits_per_sample, n_samples) from the fmt and data chunks — pure byte
+    arithmetic (RIFF spec: little-endian [id u32][size u32] chunk stream
+    after the 12-byte RIFF/WAVE preamble; fmt carries channels at +2,
+    sample rate at +4, bits/sample at +14).  Compressed codecs (mp3/aac)
+    need a real decoder and raise NotImplementedError, mirroring
+    ``real_decode``'s honest-stub contract."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "real_decode_audio parses RIFF/WAVE headers only; compressed "
+            "audio codecs are not available in this environment"
+        )
+    i, n = 12, len(payload)
+    rate = ch = bits = None
+    n_samples = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            ch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data" and ch and bits:
+            n_samples = size // max(1, ch * (bits // 8))
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not (rate and ch and bits and n_samples is not None):
+        raise ValueError("corrupt WAV: missing fmt or data chunk")
+    return rate, ch, bits, n_samples
+
+
+#: Decoded-audio output schema (what decode_audio emits per media row).
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits", IntegerType()),
+        StructField("n_samples", LongType()),
+    ]
+)
+
+
+def decode_audio(df: DataFrame, decoder=real_decode_audio) -> DataFrame:
+    """mapInPandas audio-metadata decode over the same size-bucketed
+    partitioning as decode_media; null payloads yield null features."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rate, ch, bits, ns = [], [], [], []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    rate.append(None), ch.append(None)
+                    bits.append(None), ns.append(None)
+                    continue
+                r, c, b, s = decoder(bytes(payload))
+                rate.append(r), ch.append(c), bits.append(b), ns.append(s)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "sample_rate": pd.array(rate, dtype="Int32"),
+                    "channels": pd.array(ch, dtype="Int32"),
+                    "bits": pd.array(bits, dtype="Int32"),
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                }
+            )
+
+    return df.repartitionByRange("n_bytes").mapInPandas(batches, AUDIO_SCHEMA)
+
+
 def fake_decode(payload: bytes) -> tuple[int, int]:
     """Deterministic fake decoder: derives (width, height) from content."""
     n = len(payload)

@@ -15,6 +15,7 @@ from kafkastreamsjavachallenge_spark.functions.vector import cosine
 from kafkastreamsjavachallenge_spark.operators.dedup import exact_dedup
 from kafkastreamsjavachallenge_spark.operators.multimodal import (
     DECODED_SCHEMA,
+    MEDIA_SCHEMA,
     decode_media,
     fake_decode,
     real_decode,
@@ -965,3 +966,58 @@ def test_bigram_logprob_scores_all_docs_and_orders_repetition(spark):
     import numpy as np
 
     assert np.isfinite(got["avg_nll"]).all()
+
+
+def _wav(rate: int, ch: int, bits: int, n_samples: int) -> bytes:
+    """Minimal RIFF/WAVE: fmt chunk + data chunk sized for n_samples."""
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * ch * bits // 8).to_bytes(4, "little")
+        + (ch * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    data_size = n_samples * ch * (bits // 8)
+    data = b"data" + data_size.to_bytes(4, "little") + b"\x00" * data_size
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_real_decode_audio_parses_wav_headers():
+    from kafkastreamsjavachallenge_spark.operators.multimodal import (
+        real_decode_audio,
+    )
+
+    assert real_decode_audio(_wav(44100, 2, 16, 1000)) == (44100, 2, 16, 1000)
+    assert real_decode_audio(_wav(16000, 1, 8, 7)) == (16000, 1, 8, 7)
+    with pytest.raises(NotImplementedError):
+        real_decode_audio(b"ID3\x04mp3-ish")  # compressed codec -> honest stub
+    with pytest.raises(ValueError):
+        real_decode_audio(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data chunks
+
+
+def test_decode_audio_through_spark_plumbing(spark):
+    """decode_audio over planted WAV payloads (one null): metadata comes
+    back typed through the Arrow batch path, null payload -> null row."""
+    from kafkastreamsjavachallenge_spark.operators.multimodal import (
+        AUDIO_SCHEMA,
+        decode_audio,
+    )
+
+    rows = [
+        Row(media_id=1, kind="audio", payload=bytearray(_wav(44100, 2, 16, 50)),
+            n_bytes=0, mime="audio/wav"),
+        Row(media_id=2, kind="audio", payload=bytearray(_wav(8000, 1, 8, 3)),
+            n_bytes=0, mime="audio/wav"),
+        Row(media_id=3, kind="audio", payload=None, n_bytes=0, mime="audio/wav"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = decode_audio(df)
+    assert out.schema == AUDIO_SCHEMA
+    got = {r["media_id"]: r for r in out.collect()}
+    assert (got[1]["sample_rate"], got[1]["channels"], got[1]["bits"],
+            got[1]["n_samples"]) == (44100, 2, 16, 50)
+    assert got[2]["sample_rate"] == 8000 and got[2]["n_samples"] == 3
+    assert got[3]["sample_rate"] is None and got[3]["n_samples"] is None
