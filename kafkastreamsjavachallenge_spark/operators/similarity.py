@@ -137,20 +137,34 @@ def semdedup(
     their ``centroid_id``.
     """
     assigned = ivf_assign(df, centroids, id_col, vec_col, centroid_id)
+    # precompute each vector's norm BEFORE the pair join: inline
+    # cosine(va, vb) re-folds norm(va) once per partner (3 64-element
+    # folds per pair); hoisting the norms leaves one dot per pair — same
+    # IEEE values (identical fold, just computed once), ~3x less float
+    # work in the |c|^2 stage that dominates this operator
+    from kafkastreamsjavachallenge_spark.functions.vector import norm
+
     a = assigned.select(
         F.col(centroid_id).alias("__cid"),
         F.col(id_col).alias("__ida"),
         F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
     )
     b = assigned.select(
         F.col(centroid_id).alias("__cid"),
         F.col(id_col).alias("__idb"),
         F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
     )
+    from kafkastreamsjavachallenge_spark.functions.vector import dot
+
     dup = (
         a.join(b, "__cid")
         .filter(F.col("__ida") < F.col("__idb"))
-        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .filter(
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+            >= threshold
+        )
         .select(F.col("__idb").alias(id_col))
         .distinct()
     )
