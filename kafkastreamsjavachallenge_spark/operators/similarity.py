@@ -88,13 +88,26 @@ def ivf_assign(
     source works (k-means output, a deterministic sample); the operator
     only requires (centroid_id, vec) rows.
     """
+    from kafkastreamsjavachallenge_spark.functions.vector import dot, norm
+
+    # norms hoisted out of the k-way score: inline cosine would re-fold
+    # the row norm once per centroid and each centroid norm once per row;
+    # precomputing both leaves one dot per (row, centroid).  Bit-identical
+    # values (same fold, computed once), so argmax ties cannot move.
     c = F.broadcast(
         centroids.select(
-            F.col(centroid_id).alias("__cid"), F.col(vec_col).alias("__cvec")
+            F.col(centroid_id).alias("__cid"),
+            F.col(vec_col).alias("__cvec"),
+            norm(F.col(vec_col)).alias("__cn"),
         )
     )
-    scored = df.crossJoin(c).withColumn(
-        "__sim", cosine(F.col(vec_col), F.col("__cvec"))
+    scored = (
+        df.withColumn("__dn", norm(F.col(vec_col)))
+        .crossJoin(c)
+        .withColumn(
+            "__sim",
+            dot(F.col(vec_col), F.col("__cvec")) / (F.col("__dn") * F.col("__cn")),
+        )
     )
     # argmax via max_by, not a ranking window: partial aggregation applies
     # (each task reduces its k candidate rows per id before the shuffle),
