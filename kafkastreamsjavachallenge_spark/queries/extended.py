@@ -255,12 +255,28 @@ def q_embed_neardup(spark, sf_dir):
     first, exact cosine only within buckets.  Bounded here so the oracle
     is exact and cost is flat across scale factors.
     """
+    from kafkastreamsjavachallenge_spark.functions.vector import dot, norm
+
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # norms hoisted to the join branches (see operators/similarity.py):
+    # one fold per vector instead of one per pair, bit-identical values
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        norm(F.col("embedding")).alias("__na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        norm(F.col("embedding")).alias("__nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
-        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
+        "id_a",
+        "id_b",
+        F.round(
+            dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")), 4
+        ).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= 0.35)
 

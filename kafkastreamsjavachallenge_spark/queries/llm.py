@@ -269,17 +269,29 @@ def q_knn_join(spark, sf_dir):
     query block, vec_id < 20) via broadcast nested-loop + ranked window —
     the exact-scoring building block that IVF/LSH (q_ann_*) route through
     after candidate pruning at scale."""
+    from kafkastreamsjavachallenge_spark.functions.vector import dot, norm
+
     e = _embs(spark, sf_dir)
+    # norms hoisted to the join branches (see operators/similarity.py):
+    # one fold per vector instead of one per scored pair, bit-identical
     q = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("__qn"),
     )
     base = e.filter(F.col("vec_id") >= 20).select(
-        F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv")
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("nv"),
+        norm(F.col("embedding")).alias("__nn"),
     )
     from pyspark.sql import Window
 
     scored = base.crossJoin(F.broadcast(q)).select(
-        "q_id", "n_id", F.round(cosine(F.col("nv"), F.col("qv")), 4).alias("cos_sim")
+        "q_id",
+        "n_id",
+        F.round(
+            dot(F.col("nv"), F.col("qv")) / (F.col("__nn") * F.col("__qn")), 4
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "n_id")
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
