@@ -655,9 +655,13 @@ def q_tpch_q2(spark, sf_dir):
     """TPC-H Q2 shape (min-cost supplier per part): the synthetic schema has
     no partsupp, so the supply relation is derived from lineitem as
     min(l_extendedprice) per (partkey, suppkey) — docstring substitution per
-    SURVEY.md §2.3. The correlated min-cost subquery is decorrelated into a
-    per-part min over region-local suppliers joined back; nation/region dims
-    broadcast, so the only shuffles are the two part-keyed aggregates."""
+    SURVEY.md §2.3. The correlated min-cost subquery is decorrelated as a
+    window min per part (one shuffle on partkey — the former
+    aggregate-plus-self-join formulation built the whole supply subtree
+    twice), and the LARGE-part predicate semi-join-prunes the FACT before
+    its aggregate (per-part mins are independent, so pruning parts early
+    cannot change any surviving row — a pushdown Catalyst cannot infer
+    across the aggregate).  Nation/region dims broadcast."""
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
@@ -668,21 +672,22 @@ def q_tpch_q2(spark, sf_dir):
         supp.s_nationkey == F.col("n_nationkey"),
     )
     supply = (
-        li.groupBy("l_partkey", "l_suppkey")
+        li.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("__pk"))),
+            li.l_partkey == F.col("__pk"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("l_extendedprice").alias("cost"))
         .join(
             region_supp.select("s_suppkey", "s_name", "s_acctbal", "n_name"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
     )
-    min_cost = supply.groupBy(F.col("l_partkey").alias("mk")).agg(
-        F.min("cost").alias("min_cost")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        supply.join(
-            min_cost,
-            (supply.l_partkey == min_cost.mk) & (supply.cost == min_cost.min_cost),
-        )
+        supply.withColumn("__min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("__min_cost"))
         .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
