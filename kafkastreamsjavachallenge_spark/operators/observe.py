@@ -31,3 +31,16 @@ def with_metrics(
     """
     obs = Observation(name)
     return df.observe(obs, *metrics), obs
+
+
+def with_stream_metrics(df: DataFrame, name: str, *metrics: Column) -> DataFrame:
+    """Streaming form of ``with_metrics``: attach named aggregate metrics
+    to a STREAMING plan node.  ``Observation`` is batch-only; the
+    string-name overload registers the metrics with the streaming engine,
+    which reports them per micro-batch in
+    ``StreamingQueryProgress.observedMetrics[name]`` — the zero-cost
+    replacement for the reference's per-record println
+    (UniqueUsersApp.java:124,225-238) that also works mid-stream on a
+    cluster.  Collect them with ``streaming/pipeline.py
+    run_with_observed``."""
+    return df.observe(name, *metrics)

@@ -18,6 +18,7 @@ WindowStore probe at DeduplicateValueTransformer.java:40-44.
 
 from __future__ import annotations
 
+import json
 import tempfile
 import uuid
 
@@ -215,3 +216,46 @@ def run_to_memory(
         if state_partitions is not None:
             spark.conf.set(conf_key, saved)
     return spark.table(name)
+
+
+def run_with_observed(
+    result: DataFrame,
+    metric_name: str,
+    output_mode: str = "update",
+    state_partitions: int | str | None = "auto",
+) -> tuple[DataFrame, list[dict]]:
+    """run_to_memory plus the per-micro-batch observed metrics attached
+    upstream with ``operators/observe.py with_stream_metrics``.
+
+    Returns (sink contents, one dict per micro-batch that carried the
+    named metrics).  The metrics ride the job — no extra pass over the
+    stream, and on a cluster they aggregate across executors exactly like
+    any other agg."""
+    spark = result.sparkSession
+    name = f"q_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    conf_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(conf_key)
+    if state_partitions == "auto":
+        state_partitions = max(8, spark.sparkContext.defaultParallelism)
+    if state_partitions is not None:
+        spark.conf.set(conf_key, str(state_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        observed = [
+            p["observedMetrics"][metric_name]
+            for p in (json.loads(pj) for pj in (pr.json for pr in q.recentProgress))
+            if p.get("observedMetrics", {}).get(metric_name) is not None
+        ]
+    finally:
+        if state_partitions is not None:
+            spark.conf.set(conf_key, saved)
+    return spark.table(name), observed

@@ -422,3 +422,34 @@ def test_stream_curation_dedup_state_spans_batches(spark, tmp_path):
         .collect()
     }
     assert final == want
+
+
+def test_streaming_observed_metrics(spark, event_files):
+    """X2 in streaming form: ingest metrics attached with
+    with_stream_metrics ride each micro-batch and surface in
+    StreamingQueryProgress.observedMetrics — their per-batch row counts
+    must sum to the full fixture, with zero extra passes over the
+    stream."""
+    from kafkastreamsjavachallenge_spark.operators.observe import (
+        with_stream_metrics,
+    )
+    from kafkastreamsjavachallenge_spark.streaming.pipeline import (
+        run_with_observed,
+    )
+
+    d, ev = event_files
+    n_total = ev.count()
+    stream = file_stream(spark, d, ev.schema, max_files_per_trigger=1)
+    observed_stream = with_stream_metrics(
+        stream,
+        "ingest",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("user_id").isNull().cast("int")).alias("null_uids"),
+    )
+    result = streaming_unique_users(observed_stream)
+    sink, metrics = run_with_observed(result, "ingest")
+    assert metrics, "no observedMetrics reported"
+    assert sum(m["rows"] for m in metrics) == n_total
+    # an empty trailing micro-batch reports sum(NULL) -> null, not 0
+    assert all((m["null_uids"] or 0) == 0 for m in metrics)
+    assert sink.count() > 0
