@@ -59,6 +59,11 @@ HEADLINE = [
     "q_dsir_weights",
     # round-4: windowed motif search (frame-bounded collect_list path)
     "q_ts_motif",
+    # round-4: the two sweep-found heavy queries after their rewrites
+    # (type-level BPE folds; window-min TPC-H Q2) — pinned so the plans
+    # cannot silently regress to the per-occurrence / self-join shapes
+    "q_bpe_tokenize",
+    "q_tpch_q2",
 ]
 
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl")
