@@ -1575,6 +1575,44 @@ _KMEANS_SQL = (
 
 # --------------------------------------- weighted selection / release ops
 
+def q_fasttext_score(spark, sf_dir):
+    """Linear text-classifier inference — the fastText-style quality
+    filter every web-scale curation pipeline runs (CCNet, RefinedWeb):
+    hashed bigram features, a sparse dot with a fixed weight table, keep
+    iff the margin is non-negative.  The weight table here is derived
+    deterministically from the feature hash (model weights are CONFIG,
+    exactly like the BPE merge table — a trained model ships the same
+    shape), so the DuckDB oracle computes the identical integer margins.
+
+    Scale shape: pure scan-side inference — one md5 per bigram occurrence
+    inside a per-row fold, zero shuffles, embarrassingly parallel; the
+    expensive part of a real deployment (training) never touches the
+    corpus scan."""
+    d = _docs(spark, sf_dir)
+    toks = T.tokens("text")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bgs = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    weight = lambda g: (T.base_hash28(g) % 1024) % 21 - 10
+    margin = F.aggregate(
+        F.transform(F.col("bgs"), weight),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        d.withColumn("bgs", bgs)
+        .select(
+            "doc_id",
+            F.size("bgs").alias("n_feat"),
+            margin.alias("margin"),
+            (margin >= 0).cast("int").alias("keep"),
+        )
+    )
+
+
 def q_priority_sample(spark, sf_dir):
     """Priority sampling (Duffield-Lund-Thorup): weight-proportional
     top-k without replacement — priority q_i = w_i / u_i with a
@@ -2185,6 +2223,19 @@ QUERIES = {
         "AS BIGINT) AS bin FROM d) "
         "SELECT source, bin, count(*) AS n_docs, sum(n_tok) AS total_tokens "
         "FROM b GROUP BY source, bin",
+    ),
+    "q_fasttext_score": (
+        q_fasttext_score,
+        f"WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents), "
+        "b AS (SELECT doc_id, list_transform("
+        "range(1, greatest(len(l) - 1, 0) + 1), "
+        "i -> l[i] || ' ' || l[i + 1]) AS bgs FROM t), "
+        "f AS (SELECT doc_id, len(bgs) AS n_feat, "
+        "list_sum(list_transform(bgs, "
+        f"g -> ({_H28_SQL.format(x='g')} % 1024) % 21 - 10)) AS margin FROM b) "
+        "SELECT doc_id, n_feat, "
+        "CAST(coalesce(margin, 0) AS BIGINT) AS margin, "
+        "CASE WHEN coalesce(margin, 0) >= 0 THEN 1 ELSE 0 END AS keep FROM f",
     ),
     "q_priority_sample": (
         q_priority_sample,
