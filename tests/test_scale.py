@@ -749,3 +749,66 @@ def test_cap_domains_scaled_on_hot_domain(spark):
         .collect()
     }
     assert got_hot == want_hot
+
+
+def test_fasttext_margin_on_1m_docs(spark):
+    """1M synthetic two-bigram docs: classifier inference must stay
+    scan-linear (< 60 s wall) and the margins admit a closed form — every
+    doc is 'a b c', so each doc's margin is the same two-bigram sum, and
+    the keep flag is constant corpus-wide."""
+    import pandas as pd
+
+    from kafkastreamsjavachallenge_spark.queries.llm import q_fasttext_score
+
+    n = 1_000_000
+    docs = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit("a b c").alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("s").alias("source"),
+            F.lit(5).alias("n_chars"),
+        )
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="ft_scale_")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    t0 = time.time()
+    got = q_fasttext_score(spark, d)
+    agg = got.groupBy("margin", "keep", "n_feat").count().collect()
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"fasttext inference took {elapsed:.1f}s on 1M docs"
+    # all docs identical -> exactly one (margin, keep, n_feat) class
+    assert len(agg) == 1 and agg[0]["count"] == n and agg[0]["n_feat"] == 2
+
+
+def test_zorder_envelopes_on_5m_events(spark):
+    """5M uniform (user, day) events: every z-bucket's envelope must stay
+    a narrow slice of BOTH dimensions (the pruning guarantee) — with a
+    uniform grid and the 6-bit z-prefix, each bucket covers at most 1/4
+    of either quantized axis."""
+    import os, tempfile
+
+    from kafkastreamsjavachallenge_spark.queries.graphs import q_zorder_layout
+
+    n = 5_000_000
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(days=(F.col("id") % 30).cast("int"))).alias("ts"),
+        (F.col("id") % 256).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    d = tempfile.mkdtemp(prefix="zorder_scale_")
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    t0 = time.time()
+    rows = q_zorder_layout(spark, d).collect()
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"z-order audit took {elapsed:.1f}s on 5M events"
+    assert sum(r["n_events"] for r in rows) == n
+    for r in rows:
+        assert r["max_user"] - r["min_user"] < 64, r
+        assert r["max_qday"] - r["min_qday"] < 64, r
