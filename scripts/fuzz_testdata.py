@@ -133,11 +133,21 @@ def gen_events(rng: random.Random, n: int = 10_000) -> pa.Table:
 
 def main() -> None:
     out, seed = sys.argv[1], int(sys.argv[2])
+    # optional size multiplier: catches hidden size assumptions (fixed
+    # top-k constants, bounded-block filters) under a differently-sized
+    # regeneration, not just a differently-seeded one
+    mult = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     os.makedirs(out, exist_ok=True)
     rng = random.Random(seed)
-    pq.write_table(gen_documents(rng), os.path.join(out, "documents.parquet"))
-    pq.write_table(gen_embeddings(seed), os.path.join(out, "embeddings.parquet"))
-    pq.write_table(gen_events(rng), os.path.join(out, "events.parquet"))
+    pq.write_table(
+        gen_documents(rng, n=500 * mult), os.path.join(out, "documents.parquet")
+    )
+    pq.write_table(
+        gen_embeddings(seed, n=500 * mult), os.path.join(out, "embeddings.parquet")
+    )
+    pq.write_table(
+        gen_events(rng, n=10_000 * mult), os.path.join(out, "events.parquet")
+    )
     for t in "region nation customer supplier part orders lineitem".split():
         dst = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(dst):

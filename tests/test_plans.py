@@ -259,6 +259,14 @@ def test_registry_plans_lint_clean(spark):
         "q_ann_pq",
         # SemDeDup assignment: 16 centroids broadcast (ivf_assign shape)
         "q_semdedup",
+        # explicit HLL: 1-row exact-count broadcast joined to the 1-row
+        # sketch aggregate
+        "q_hll_explicit",
+        # priority sampling: 1-row tau (the (k+1)-th priority) broadcast
+        # onto the k sampled rows
+        "q_priority_sample",
+        # skew advisor: 1-row total-count broadcast into the top-10 keys
+        "q_skew_advisor",
     }
     # every comparison in the filter is over a COMPUTED expression
     # (token counts / ratios derived from split(text)) — unpushable by
