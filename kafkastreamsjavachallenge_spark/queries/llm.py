@@ -1575,6 +1575,46 @@ _KMEANS_SQL = (
 
 # --------------------------------------- weighted selection / release ops
 
+def q_maxsim(spark, sf_dir):
+    """MaxSim late-interaction scoring (ColBERT, Khattab & Zaharia 2020):
+    a multi-vector query Q scores a multi-vector document G as
+    sum over q in Q of max over d in G of cos(q, d) — token-level
+    matching that single-vector cosine cannot express.  Query set =
+    label-0 vectors; every other label plays a document's token bag.
+
+    Scale shape: the query block broadcasts (|Q| vectors), per-vector
+    norms are hoisted into the join branches, the per-(doc, q) max is a
+    map-side-combinable hash aggregate and the doc score one more —
+    nothing corpus-sized shuffles, and at 100 TB the doc side would
+    carry an ANN pre-filter so MaxSim reranks candidates only.  Each max
+    is floored to e6 fixed-point BEFORE the sum so the cross-engine
+    comparison is integer-exact (float-sum order never enters the
+    hash)."""
+    from kafkastreamsjavachallenge_spark.functions.vector import dot, norm
+
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("__qn"),
+    )
+    d = e.filter(F.col("label") > 0).select(
+        F.col("label").alias("doc_label"),
+        F.col("embedding").alias("dv"),
+        norm(F.col("embedding")).alias("__dn"),
+    )
+    cos = dot(F.col("dv"), F.col("qv")) / (F.col("__dn") * F.col("__qn"))
+    per_q = (
+        d.crossJoin(F.broadcast(q))
+        .groupBy("doc_label", "q_id")
+        .agg(F.max(cos).alias("best"))
+    )
+    return per_q.groupBy("doc_label").agg(
+        F.sum(F.floor(F.col("best") * 1000000).cast("bigint")).alias("maxsim_e6"),
+        F.count(F.lit(1)).alias("n_query_vecs"),
+    )
+
+
 def q_fasttext_score(spark, sf_dir):
     """Linear text-classifier inference — the fastText-style quality
     filter every web-scale curation pipeline runs (CCNet, RefinedWeb):
@@ -2223,6 +2263,24 @@ QUERIES = {
         "AS BIGINT) AS bin FROM d) "
         "SELECT source, bin, count(*) AS n_docs, sum(n_tok) AS total_tokens "
         "FROM b GROUP BY source, bin",
+    ),
+    "q_maxsim": (
+        q_maxsim,
+        "WITH q AS (SELECT vec_id AS q_id, embedding AS qv, "
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS qn "
+        "FROM embeddings WHERE label = 0), "
+        "d AS (SELECT label AS doc_label, embedding AS dv, "
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS dn "
+        "FROM embeddings WHERE label > 0), "
+        "s AS (SELECT doc_label, q_id, "
+        "max(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(dv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) / (dn * qn)) AS best "
+        "FROM d CROSS JOIN q GROUP BY doc_label, q_id) "
+        "SELECT doc_label, "
+        "CAST(sum(CAST(floor(best * 1000000) AS BIGINT)) AS BIGINT) AS maxsim_e6, "
+        "count(*) AS n_query_vecs FROM s GROUP BY doc_label",
     ),
     "q_fasttext_score": (
         q_fasttext_score,

@@ -267,6 +267,8 @@ def test_registry_plans_lint_clean(spark):
         "q_priority_sample",
         # skew advisor: 1-row total-count broadcast into the top-10 keys
         "q_skew_advisor",
+        # MaxSim: the multi-vector query block broadcasts (|Q| vectors)
+        "q_maxsim",
     }
     # every comparison in the filter is over a COMPUTED expression
     # (token counts / ratios derived from split(text)) — unpushable by
