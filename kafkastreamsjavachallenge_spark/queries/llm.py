@@ -1275,10 +1275,10 @@ def _pca_sql(iters: int = 3) -> str:
 _PCA_SQL = _pca_sql(3)
 
 
-def _bpe_sql() -> str:
-    """DuckDB oracle for q_bpe_tokenize: the identical 12 merge folds,
-    each one sequential left fold over the unit list (list_prepend of
-    the empty accumulator mirrors Spark's F.aggregate init)."""
+def _bpe_fold_expr() -> str:
+    """The 12 merge folds as one DuckDB expression over a token `t` —
+    each rule one sequential left fold over the unit list (list_prepend
+    of the empty accumulator mirrors Spark's F.aggregate init)."""
     from kafkastreamsjavachallenge_spark.functions.text import BPE_MERGES
 
     fold = "string_split(t, '')"
@@ -1290,6 +1290,12 @@ def _bpe_sql() -> str:
             f"AND x[1] = '{b}' THEN acc[1:len(acc)-1] || ['{a + b}'] "
             "ELSE acc || x END)"
         )
+    return fold
+
+
+def _bpe_sql() -> str:
+    """DuckDB oracle for q_bpe_tokenize (identical 12 merge folds)."""
+    fold = _bpe_fold_expr()
     return (
         f"WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents) "
         "SELECT doc_id, len(toks) AS n_tok, "
@@ -1574,6 +1580,40 @@ _KMEANS_SQL = (
 
 
 # --------------------------------------- weighted selection / release ops
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility audit: BPE units per whitespace word, by
+    language — THE metric for judging how a tokenizer treats each
+    language in a multilingual corpus (high fertility = more compute per
+    word = under-served language).  Reuses the type-level BPE trick
+    (fold once per distinct token, broadcast counts back); the ratio is
+    emitted in exact integer basis points (DIV), so the oracle compares
+    integers."""
+    d = _docs(spark, sf_dir).withColumn("toks", T.tokens("text"))
+    tok = d.select(
+        "lang",
+        F.explode(F.filter(F.col("toks"), lambda t: t != F.lit(""))).alias("tok"),
+    )
+    types = (
+        tok.select("tok")
+        .distinct()
+        .withColumn("n_units", F.size(T.bpe_units(F.col("tok"))))
+    )
+    return (
+        tok.join(F.broadcast(types), "tok")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_units").cast("bigint").alias("n_units"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_units",
+            F.expr("(n_units * 10000) DIV n_tokens").alias("fertility_e4"),
+        )
+    )
+
 
 def q_maxsim(spark, sf_dir):
     """MaxSim late-interaction scoring (ColBERT, Khattab & Zaharia 2020):
@@ -2263,6 +2303,16 @@ QUERIES = {
         "AS BIGINT) AS bin FROM d) "
         "SELECT source, bin, count(*) AS n_docs, sum(n_tok) AS total_tokens "
         "FROM b GROUP BY source, bin",
+    ),
+    "q_tokenizer_fertility": (
+        q_tokenizer_fertility,
+        f"WITH d AS (SELECT lang, list_filter({_TOKS}, t -> t <> '') AS toks "
+        "FROM documents), "
+        "tok AS (SELECT lang, unnest(toks) AS t FROM d), "
+        f"u AS (SELECT lang, len({_bpe_fold_expr()}) AS nu FROM tok) "
+        "SELECT lang, count(*) AS n_tokens, CAST(sum(nu) AS BIGINT) AS n_units, "
+        "(CAST(sum(nu) AS BIGINT) * 10000) // count(*) AS fertility_e4 "
+        "FROM u GROUP BY lang",
     ),
     "q_maxsim": (
         q_maxsim,
