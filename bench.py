@@ -64,6 +64,9 @@ HEADLINE = [
     # cannot silently regress to the per-occurrence / self-join shapes
     "q_bpe_tokenize",
     "q_tpch_q2",
+    # round-4: multi-vector late-interaction scoring (broadcast query
+    # block + two map-side-combinable aggregates)
+    "q_maxsim",
 ]
 
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl")
