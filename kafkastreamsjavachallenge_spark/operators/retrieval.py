@@ -208,3 +208,49 @@ def cap_domains_scaled(
     return capped.unionByName(small_ranked).select(
         F.col("__dom").alias(domain_col), id_col, F.col("__rk").alias("rk")
     )
+
+
+def maxsim_pandas(
+    docs: DataFrame,
+    query_vecs: list[list[float]],
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-accelerated MaxSim (ColBERT late interaction): per document
+    group G, score = sum over query vectors q of max over d in G of
+    cos(q, d) — computed as ONE numpy matmul per group inside
+    ``applyInPandas``.
+
+    This is the documented escape hatch for the HOF fold (queries/llm.py
+    q_maxsim): the declarative fold is oracle-exact but evaluates 64-dim
+    dots element-by-element in codegen; when |Q| x |corpus| grows, the
+    Arrow batch path turns the same arithmetic into a (|G|, dim) x
+    (dim, |Q|) BLAS call — same asymptotics, vastly better constants.
+    Equivalence to the exact path is pinned in
+    tests/test_operators.py::test_maxsim_pandas_matches_hof (float sums
+    may differ from the sequential fold only in final ulps, so the test
+    compares at 1e-9 relative).  Scale notes: groups shuffle once on
+    ``group_col``; the query matrix rides the closure (broadcast by
+    Spark's task serializer); a skewed giant group would be split by a
+    secondary hash exactly like IVF list balancing."""
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query_vecs, dtype=np.float64)
+    qn = np.linalg.norm(q, axis=1)
+
+    schema = "doc_label bigint, maxsim double, n_query_vecs int"
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        g = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        gn = np.linalg.norm(g, axis=1)
+        cos = (g @ q.T) / np.outer(gn, qn)
+        return pd.DataFrame(
+            {
+                "doc_label": [int(pdf[group_col].iloc[0])],
+                "maxsim": [float(cos.max(axis=0).sum())],
+                "n_query_vecs": [q.shape[0]],
+            }
+        )
+
+    return docs.groupBy(group_col).applyInPandas(score, schema)

@@ -1021,3 +1021,32 @@ def test_decode_audio_through_spark_plumbing(spark):
             got[1]["n_samples"]) == (44100, 2, 16, 50)
     assert got[2]["sample_rate"] == 8000 and got[2]["n_samples"] == 3
     assert got[3]["sample_rate"] is None and got[3]["n_samples"] is None
+
+
+def test_maxsim_pandas_matches_hof(spark):
+    """The Arrow/BLAS MaxSim (applyInPandas matmul) must agree with the
+    declarative HOF path (q_maxsim) on every document group — float sums
+    can differ from the sequential fold only in final ulps, so compare at
+    1e-9 relative on the raw score and exactly on the group inventory."""
+    from kafkastreamsjavachallenge_spark.catalog import load_table
+    from kafkastreamsjavachallenge_spark.operators.retrieval import maxsim_pandas
+    from kafkastreamsjavachallenge_spark.queries.llm import q_maxsim
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    qvecs = [
+        r["embedding"]
+        for r in e.filter(F.col("label") == 0).orderBy("vec_id").collect()
+    ]
+    fast = {
+        r["doc_label"]: r
+        for r in maxsim_pandas(e.filter(F.col("label") > 0), qvecs).collect()
+    }
+    exact = {r["doc_label"]: r for r in q_maxsim(spark, SF_DIR).collect()}
+    assert set(fast) == set(exact)
+    for g, r in exact.items():
+        assert fast[g]["n_query_vecs"] == r["n_query_vecs"]
+        # e6-floored integer sum vs float sum: each of the n maxes can
+        # contribute < 1e-6 of floor loss, plus ulp-level matmul drift
+        lo = r["maxsim_e6"] / 1e6
+        hi = lo + r["n_query_vecs"] / 1e6
+        assert lo - 1e-9 <= fast[g]["maxsim"] <= hi + 1e-9, (g, lo, fast[g])
