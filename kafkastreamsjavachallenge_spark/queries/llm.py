@@ -1379,6 +1379,17 @@ FROM hv)
 # Spark's HOF fold), bucket = sign bits, probes = bucket ∪ Hamming-1
 # flips, exact cosine top-10 over the probed candidates.
 _LSH_PLANES, _LSH_DIM = 8, 64
+_COSINE_TOPK_SQL = (
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+    "n AS (SELECT sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS qnorm FROM q) "
+    f"SELECT a.vec_id, round({_DOT} / "
+    "(sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) * n.qnorm), 4) AS cos_sim "
+    "FROM embeddings a, q, n WHERE a.vec_id <> 0 "
+    "ORDER BY cos_sim DESC, a.vec_id LIMIT 10"
+)
+
 _ANN_LSH_SQL = (
     "WITH v AS (SELECT vec_id, "
     "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
@@ -1580,6 +1591,32 @@ _KMEANS_SQL = (
 
 
 # --------------------------------------- weighted selection / release ops
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@10 audit of the ANN indexes against the exact scan — the
+    eval a retrieval deployment runs before trusting an index (and after
+    every index rebuild).  Because every retriever here is
+    deterministic (md5 hyperplanes / lowest-id centroids), recall is an
+    exact integer, so even the EVALUATION is oracle-checked.  Cost: the
+    three retrievals plus two semi-joins on 10-row sets."""
+    exact = q_cosine_topk(spark, sf_dir).select("vec_id")
+
+    def hits(df, name):
+        return (
+            df.select("vec_id")
+            .join(exact, "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(
+                F.lit(name).alias("method"),
+                "hits",
+                (F.col("hits") * 1000).alias("recall_bp"),
+            )
+        )
+
+    return hits(q_ann_lsh(spark, sf_dir), "lsh").unionByName(
+        hits(q_ann_ivf(spark, sf_dir), "ivf")
+    )
+
 
 def q_tokenizer_fertility(spark, sf_dir):
     """Tokenizer fertility audit: BPE units per whitespace word, by
@@ -1891,17 +1928,7 @@ QUERIES = {
         "SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash "
         "FROM bits GROUP BY doc_id",
     ),
-    "q_cosine_topk": (
-        q_cosine_topk,
-        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
-        "n AS (SELECT sqrt(list_sum(list_transform(range(1, 65), "
-        "i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS qnorm FROM q) "
-        f"SELECT a.vec_id, round({_DOT} / "
-        "(sqrt(list_sum(list_transform(range(1, 65), "
-        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) * n.qnorm), 4) AS cos_sim "
-        "FROM embeddings a, q, n WHERE a.vec_id <> 0 "
-        "ORDER BY cos_sim DESC, a.vec_id LIMIT 10",
-    ),
+    "q_cosine_topk": (q_cosine_topk, _COSINE_TOPK_SQL),
     "q_ann_lsh": (q_ann_lsh, _ANN_LSH_SQL),
     "q_ann_ivf": (q_ann_ivf, _ANN_IVF_SQL),
     "q_ann_pq": (q_ann_pq, _ANN_PQ_SQL),
@@ -2303,6 +2330,18 @@ QUERIES = {
         "AS BIGINT) AS bin FROM d) "
         "SELECT source, bin, count(*) AS n_docs, sum(n_tok) AS total_tokens "
         "FROM b GROUP BY source, bin",
+    ),
+    "q_ann_recall": (
+        q_ann_recall,
+        # each retriever's full oracle nests as a FROM-subquery (DuckDB
+        # scopes WITH clauses per subquery, so their CTE names cannot
+        # collide); recall is hits * 1000 basis points at k = 10
+        f"SELECT method, hits, hits * 1000 AS recall_bp FROM ("
+        f"SELECT 'lsh' AS method, count(*) AS hits FROM ({_ANN_LSH_SQL}) l "
+        f"WHERE l.vec_id IN (SELECT vec_id FROM ({_COSINE_TOPK_SQL}) x1) "
+        f"UNION ALL "
+        f"SELECT 'ivf', count(*) FROM ({_ANN_IVF_SQL}) v "
+        f"WHERE v.vec_id IN (SELECT vec_id FROM ({_COSINE_TOPK_SQL}) x2))",
     ),
     "q_tokenizer_fertility": (
         q_tokenizer_fertility,

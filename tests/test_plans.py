@@ -269,6 +269,8 @@ def test_registry_plans_lint_clean(spark):
         "q_skew_advisor",
         # MaxSim: the multi-vector query block broadcasts (|Q| vectors)
         "q_maxsim",
+        # recall audit: inherits the retrievers' bounded query broadcasts
+        "q_ann_recall",
     }
     # every comparison in the filter is over a COMPUTED expression
     # (token counts / ratios derived from split(text)) — unpushable by
