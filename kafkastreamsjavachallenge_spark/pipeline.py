@@ -268,6 +268,47 @@ class CorpusPipeline:
             out,
         )
 
+    def classifier_filter(self, min_margin: int = 0) -> "CorpusPipeline":
+        """Keep docs the hashed-bigram linear classifier scores at or
+        above ``min_margin`` (q_fasttext_score's integer margin) — the
+        fastText-style quality gate; pure scan-side inference, fuses
+        into the scan like quality_filter."""
+        toks = T.tokens(self._text)
+        n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+        bgs = F.zip_with(
+            F.slice(toks, 1, n1),
+            F.slice(toks, 2, n1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        margin = F.aggregate(
+            F.transform(bgs, lambda g: (T.base_hash28(g) % 1024) % 21 - 10),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        out = self._df.filter(margin >= min_margin)
+        return self._push("classifier_filter", {"min_margin": min_margin}, out)
+
+    def priority_sample(
+        self, k: int = 50, weight_col: str = "n_chars"
+    ) -> "CorpusPipeline":
+        """Keep the ``k`` docs with highest Duffield priority
+        weight/uniform (q_priority_sample's scheme): a deterministic
+        weight-proportional sample — top-(k) is a TakeOrdered heap, so
+        no global sort at any corpus size."""
+        h = _h28(F.col(self._id))
+        prio = (F.col(weight_col).cast("double") * F.lit(268435456.0)) / (
+            h + F.lit(1)
+        ).cast("double")
+        out = (
+            self._df.withColumn("__prio", prio)
+            .orderBy(F.col("__prio").desc(), self._id)
+            .limit(k)
+            .drop("__prio")
+        )
+        return self._push(
+            "priority_sample", {"k": k, "weight_col": weight_col}, out
+        )
+
     def sample(self, rate_pct: int = 10) -> "CorpusPipeline":
         """Deterministic hash sampling (md5-derived — stable across runs
         and engines, q_sample_hash's predicate)."""

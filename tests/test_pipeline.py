@@ -160,3 +160,39 @@ def test_pipeline_dsir_filter_keeps_target_like_docs(spark):
     want = set(w[w["log_weight"] >= 0.0]["doc_id"])
     got = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert got == want
+
+
+def test_classifier_filter_matches_query(spark):
+    """Pipeline classifier_filter == q_fasttext_score's keep set."""
+    from kafkastreamsjavachallenge_spark.queries.llm import q_fasttext_score
+
+    docs = load_table(spark, SF_DIR, "documents")
+    kept = {
+        r["doc_id"]
+        for r in CorpusPipeline(docs).classifier_filter(min_margin=0).df().collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in q_fasttext_score(spark, SF_DIR).filter("keep = 1").collect()
+    }
+    assert kept == want
+
+
+def test_priority_sample_matches_query(spark):
+    """Pipeline priority_sample(k=50, n_chars) == q_priority_sample's
+    sampled ids (same priorities, same tie-break)."""
+    from kafkastreamsjavachallenge_spark.queries.llm import q_priority_sample
+
+    docs = load_table(spark, SF_DIR, "documents")
+    kept = {
+        r["doc_id"]
+        for r in CorpusPipeline(docs).priority_sample(k=50).df().collect()
+    }
+    want = {r["doc_id"] for r in q_priority_sample(spark, SF_DIR).collect()}
+    assert kept == want
+    # manifest records the step with its parameters
+    pipe = CorpusPipeline(docs).classifier_filter().priority_sample(k=10)
+    assert pipe.manifest() == [
+        ("classifier_filter", {"min_margin": 0}),
+        ("priority_sample", {"k": 10, "weight_col": "n_chars"}),
+    ]
