@@ -569,6 +569,27 @@ def q_shard_assign(spark, sf_dir):
     )
 
 
+def q_export_manifest(spark, sf_dir):
+    """Dataset-release manifest: one row per output shard with doc count,
+    byte budget, id range, and an ORDER-INDEPENDENT integer content
+    checksum (sum of per-doc text hashes mod 2^40) — what a consumer
+    verifies after copying a release, and what an incremental publisher
+    diffs to find changed shards.  Commutative integer sum means the
+    checksum is partitioning- and order-agnostic, so any engine/cluster
+    layout reproduces it; one hash aggregate total."""
+    d = _docs(spark, sf_dir)
+    shard = (_h28(F.col("doc_id")) % 8).alias("shard")
+    return d.groupBy(shard).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        (F.sum(T.base_hash28(F.col("text"))) % F.lit(1099511627776)).alias(
+            "content_checksum"
+        ),
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: drop corpus docs sharing any 5-token
     n-gram with the benchmark set (source='src0' stands in for the eval
@@ -2330,6 +2351,14 @@ QUERIES = {
         "AS BIGINT) AS bin FROM d) "
         "SELECT source, bin, count(*) AS n_docs, sum(n_tok) AS total_tokens "
         "FROM b GROUP BY source, bin",
+    ),
+    "q_export_manifest": (
+        q_export_manifest,
+        f"SELECT {_H28_SQL.format(x='CAST(doc_id AS VARCHAR)')} % 8 AS shard, "
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+        "min(doc_id) AS min_id, max(doc_id) AS max_id, "
+        f"CAST(sum({_H28_SQL.format(x='text')}) AS BIGINT) % 1099511627776 "
+        "AS content_checksum FROM documents GROUP BY shard",
     ),
     "q_ann_recall": (
         q_ann_recall,
