@@ -574,7 +574,70 @@ def q_doc_freq(spark, sf_dir):
     )
 
 
+def q_time_to_convert(spark, sf_dir):
+    """Conversion-latency profile: per user, seconds from first `view` to
+    the first `purchase` strictly after it; reported as count / min /
+    exact lower-median / max.  Every number is an integer (truncated
+    epoch-second difference; median by rank, not interpolation), so the
+    oracle is bit-exact.  Two user-keyed aggregates share one
+    HashPartitioning; the rank windows run over the small converted-user
+    relation, and the median attaches as a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"), F.min("t_view").alias("t_view2"))
+    )
+    deltas = p.select(
+        "user_id",
+        (F.unix_timestamp("t_buy") - F.unix_timestamp("t_view2")).alias("delta_s"),
+    )
+    w = Window.orderBy("delta_s", "user_id")
+    wn = Window.partitionBy()
+    ranked = deltas.select(
+        "delta_s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.filter(F.expr("rn = (n + 1) DIV 2")).select(
+        F.col("delta_s").alias("median_s")
+    )
+    stats = deltas.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("delta_s").alias("min_s"),
+        F.max("delta_s").alias("max_s"),
+    )
+    return stats.crossJoin(F.broadcast(med)).select(
+        "n_converted", "min_s", "median_s", "max_s"
+    )
+
+
 QUERIES = {
+    "q_time_to_convert": (
+        q_time_to_convert,
+        "WITH v AS (SELECT user_id, min(ts) AS t_view FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "p AS (SELECT e.user_id, min(e.ts) AS t_buy, min(v.t_view) AS t_view2 "
+        "FROM events e JOIN v USING (user_id) "
+        "WHERE e.event_type = 'purchase' AND e.ts > v.t_view GROUP BY e.user_id), "
+        "d AS (SELECT user_id, date_diff('second', t_view2, t_buy) AS delta_s "
+        "FROM p), "
+        "r AS (SELECT delta_s, row_number() OVER (ORDER BY delta_s, user_id) "
+        "AS rn, count(*) OVER () AS n FROM d), "
+        "m AS (SELECT delta_s AS median_s FROM r WHERE rn = (n + 1) // 2), "
+        "s AS (SELECT count(*) AS n_converted, min(delta_s) AS min_s, "
+        "max(delta_s) AS max_s FROM d) "
+        "SELECT n_converted, min_s, median_s, max_s FROM s CROSS JOIN m",
+    ),
     "q_stats_agg": (
         q_stats_agg,
         "SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty, "

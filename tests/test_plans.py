@@ -271,6 +271,8 @@ def test_registry_plans_lint_clean(spark):
         "q_maxsim",
         # recall audit: inherits the retrievers' bounded query broadcasts
         "q_ann_recall",
+        # conversion latency: 1-row median broadcast onto the 1-row stats
+        "q_time_to_convert",
     }
     # every comparison in the filter is over a COMPUTED expression
     # (token counts / ratios derived from split(text)) — unpushable by
