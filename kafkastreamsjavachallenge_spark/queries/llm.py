@@ -569,6 +569,36 @@ def q_shard_assign(spark, sf_dir):
     )
 
 
+def q_dup_rate_by_source(spark, sf_dir):
+    """Per-source near-duplication rate: fraction of each source's docs
+    that participate in ANY verified near-dup pair (q_neardup_verified's
+    chain) — the report that tells a crawl operator WHICH feed is
+    recycling content.  Pairs stay candidate-bounded; the rate lands in
+    exact integer basis points."""
+    d = _docs(spark, sf_dir)
+    verified = q_neardup_verified(spark, sf_dir)
+    dup_ids = (
+        verified.select(F.col("id_a").alias("doc_id"))
+        .unionAll(verified.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    flagged = d.select("doc_id", "source").join(dup_ids, "doc_id", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))).alias("n_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup",
+            F.expr("(n_dup * 10000) DIV n_docs").alias("dup_rate_bp"),
+        )
+    )
+
+
 def q_export_manifest(spark, sf_dir):
     """Dataset-release manifest: one row per output shard with doc count,
     byte budget, id range, and an ORDER-INDEPENDENT integer content
@@ -1842,6 +1872,19 @@ def q_curriculum(spark, sf_dir):
     )
 
 
+_NEARDUP_VERIFIED_SQL = (
+    _MINHASH_SIG_CTE.format(nperm=8)
+    + ", bands AS (SELECT doc_id, b, md5(array_to_string(sigl[b*2+1:b*2+2], '|')) AS bucket "
+    "FROM sig, (SELECT unnest(range(0, 4)) AS b)), "
+    "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a "
+    "JOIN bands c ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id) "
+    "SELECT * FROM (SELECT p.id_a, p.id_b, "
+    "round(len(list_intersect(da.sh, db.sh)) / len(list_distinct(da.sh || db.sh)), 4) "
+    "AS jaccard FROM pairs p JOIN d da ON da.doc_id = p.id_a "
+    "JOIN d db ON db.doc_id = p.id_b) WHERE jaccard >= 0.5"
+)
+
+
 QUERIES = {
     "q_doc_dedup": (
         q_doc_dedup,
@@ -1898,18 +1941,7 @@ QUERIES = {
         "UNION SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src) "
         "SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node",
     ),
-    "q_neardup_verified": (
-        q_neardup_verified,
-        _MINHASH_SIG_CTE.format(nperm=8)
-        + ", bands AS (SELECT doc_id, b, md5(array_to_string(sigl[b*2+1:b*2+2], '|')) AS bucket "
-        "FROM sig, (SELECT unnest(range(0, 4)) AS b)), "
-        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a "
-        "JOIN bands c ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id) "
-        "SELECT * FROM (SELECT p.id_a, p.id_b, "
-        "round(len(list_intersect(da.sh, db.sh)) / len(list_distinct(da.sh || db.sh)), 4) "
-        "AS jaccard FROM pairs p JOIN d da ON da.doc_id = p.id_a "
-        "JOIN d db ON db.doc_id = p.id_b) WHERE jaccard >= 0.5",
-    ),
+    "q_neardup_verified": (q_neardup_verified, _NEARDUP_VERIFIED_SQL),
     "q_knn_join": (
         q_knn_join,
         "SELECT * FROM (SELECT q.vec_id AS q_id, a.vec_id AS n_id, "
@@ -2351,6 +2383,19 @@ QUERIES = {
         "AS BIGINT) AS bin FROM d) "
         "SELECT source, bin, count(*) AS n_docs, sum(n_tok) AS total_tokens "
         "FROM b GROUP BY source, bin",
+    ),
+    "q_dup_rate_by_source": (
+        q_dup_rate_by_source,
+        # the verified-pairs oracle nests as a FROM-subquery (per-subquery
+        # CTE scoping, same trick as q_ann_recall)
+        f"WITH ids AS (SELECT id_a AS doc_id FROM ({_NEARDUP_VERIFIED_SQL}) nv1 "
+        f"UNION SELECT id_b FROM ({_NEARDUP_VERIFIED_SQL}) nv2) "
+        "SELECT source, count(*) AS n_docs, "
+        "sum(CASE WHEN doc_id IN (SELECT doc_id FROM ids) THEN 1 ELSE 0 END) "
+        "AS n_dup, "
+        "(sum(CASE WHEN doc_id IN (SELECT doc_id FROM ids) THEN 1 ELSE 0 END) "
+        "* 10000) // count(*) AS dup_rate_bp "
+        "FROM documents GROUP BY source",
     ),
     "q_export_manifest": (
         q_export_manifest,
