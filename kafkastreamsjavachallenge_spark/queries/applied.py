@@ -380,7 +380,65 @@ def q_haversine(spark, sf_dir):
     )
 
 
+def q_anomaly_zscore(spark, sf_dir):
+    """Daily-volume anomaly detection per event type: z-score each day's
+    count against that type's own mean/std and flag |z| >= 2 — the
+    monitoring query an ingest pipeline alerts on.  Mean and variance
+    derive from EXACT integer sums (count, sum, sum of squares), so the
+    float expressions are structurally identical in both engines;
+    zero-variance series yield null z (guarded, no NaN drift).  Two hash
+    aggregates + a broadcast of the per-type stats table."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("k")
+    var = F.col("ss").cast("double") / F.col("k") - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(var)
+    guarded = F.when(var <= 0, F.lit(None).cast("double")).otherwise(
+        F.round(z, 4)
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            guarded.alias("z"),
+            F.when(F.abs(F.coalesce(guarded, F.lit(0.0))) >= 2, 1)
+            .otherwise(0)
+            .alias("is_anomaly"),
+        )
+    )
+
+
 QUERIES = {
+    "q_anomaly_zscore": (
+        q_anomaly_zscore,
+        "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+        "count(*) AS n FROM events GROUP BY 1, 2), "
+        "st AS (SELECT event_type, count(*) AS k, "
+        "CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS ss "
+        "FROM daily GROUP BY 1) "
+        "SELECT event_type, day, n, "
+        "CASE WHEN CAST(ss AS DOUBLE) / k - (CAST(s AS DOUBLE) / k) * "
+        "(CAST(s AS DOUBLE) / k) <= 0 THEN NULL "
+        "ELSE round((n - CAST(s AS DOUBLE) / k) / "
+        "sqrt(CAST(ss AS DOUBLE) / k - (CAST(s AS DOUBLE) / k) * "
+        "(CAST(s AS DOUBLE) / k)), 4) END AS z, "
+        "CASE WHEN abs(coalesce(CASE WHEN CAST(ss AS DOUBLE) / k - "
+        "(CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k) <= 0 THEN NULL "
+        "ELSE round((n - CAST(s AS DOUBLE) / k) / "
+        "sqrt(CAST(ss AS DOUBLE) / k - (CAST(s AS DOUBLE) / k) * "
+        "(CAST(s AS DOUBLE) / k)), 4) END, 0.0)) >= 2 THEN 1 ELSE 0 END "
+        "AS is_anomaly "
+        "FROM daily JOIN st USING (event_type)",
+    ),
     "q_chi_square": (
         q_chi_square,
         "WITH cells AS (SELECT o_orderstatus, o_orderpriority, count(*) AS obs "
