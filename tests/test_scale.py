@@ -812,3 +812,37 @@ def test_zorder_envelopes_on_5m_events(spark):
     for r in rows:
         assert r["max_user"] - r["min_user"] < 64, r
         assert r["max_qday"] - r["min_qday"] < 64, r
+
+
+def test_maxsim_pandas_on_100k_vectors(spark):
+    """100k doc vectors x 64 queries through the Arrow/BLAS MaxSim: one
+    matmul per group, wall-bounded, and the planted construction admits a
+    closed form — group g's vectors include one exact copy of every query
+    vector, so each per-query max is exactly 1.0 and every group's
+    maxsim equals the query count."""
+    import numpy as np
+
+    from kafkastreamsjavachallenge_spark.operators.retrieval import maxsim_pandas
+
+    rng = np.random.RandomState(7)
+    n_q, dim, groups, per_group = 64, 32, 8, 12_500
+    q = rng.randn(n_q, dim).astype(np.float64)
+    rows = []
+    for g in range(1, groups + 1):
+        vecs = rng.randn(per_group, dim)
+        vecs[:n_q] = q  # plant exact query copies -> per-query max = 1.0
+        rows.append(
+            spark.createDataFrame(
+                [(g, v.tolist()) for v in vecs], "label int, embedding array<double>"
+            )
+        )
+    df = rows[0]
+    for r in rows[1:]:
+        df = df.unionByName(r)
+    t0 = time.time()
+    got = {r["doc_label"]: r["maxsim"] for r in maxsim_pandas(df, q.tolist()).collect()}
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"maxsim took {elapsed:.1f}s on 100k vectors"
+    assert set(got) == set(range(1, groups + 1))
+    for g, v in got.items():
+        assert abs(v - n_q) < 1e-6, (g, v)
