@@ -196,3 +196,42 @@ def test_priority_sample_matches_query(spark):
         ("classifier_filter", {"min_margin": 0}),
         ("priority_sample", {"k": 10, "weight_col": "n_chars"}),
     ]
+
+
+def test_release_publish_roundtrip(spark, tmp_path):
+    """The full publish path: curate with CorpusPipeline, write the
+    result as shard-partitioned parquet, read it back, and verify the
+    release manifest (order-independent shard checksums) reproduces
+    exactly — the consumer-side integrity check q_export_manifest
+    models.  Checksums are commutative integer sums, so the write/read
+    partitioning cannot change them."""
+    import os
+
+    docs = load_table(spark, SF_DIR, "documents")
+    curated = (
+        CorpusPipeline(docs)
+        .quality_filter(min_tokens=5, max_tokens=1000, min_ttr=0.0)
+        .exact_dedup()
+        .df()
+    )
+    shard = (T.base_hash28(F.col("doc_id").cast("string")) % 8).alias("shard")
+    out = str(tmp_path / "release")
+
+    def manifest(df):
+        return {
+            r["shard"]: (r["n"], r["ck"])
+            for r in df.groupBy(shard)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.sum(T.base_hash28(F.col("text"))) % F.lit(1099511627776)).alias("ck"),
+            )
+            .collect()
+        }
+
+    want = manifest(curated)
+    curated.withColumn("shard", shard).write.partitionBy("shard").parquet(out)
+    back = spark.read.parquet(out)
+    assert manifest(back) == want
+    # every declared shard directory exists on disk
+    dirs = {d for d in os.listdir(out) if d.startswith("shard=")}
+    assert dirs == {f"shard={s}" for s in want}
