@@ -196,6 +196,59 @@ def decode_audio(df: DataFrame, decoder=real_decode_audio) -> DataFrame:
     return df.repartitionByRange("n_bytes").mapInPandas(batches, AUDIO_SCHEMA)
 
 
+def real_decode_video(payload: bytes) -> tuple[int, int, int]:
+    """Header-only video metadata for MP4/ISO-BMFF: (timescale,
+    duration_units, n_tracks) from the moov/mvhd box — pure byte
+    arithmetic over the box stream ([size u32][type 4cc][payload];
+    size 1 = 64-bit largesize).  mvhd v0 carries timescale/duration as
+    u32 at payload offsets 12/16, v1 as u32/u64 at 20/24 (ISO 14496-12
+    §8.2.2).  Non-BMFF containers (mkv/avi/webm) need a demuxer and
+    raise NotImplementedError — same honest-stub contract as the image
+    and audio paths."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise NotImplementedError(
+            "real_decode_video parses MP4/ISO-BMFF headers only; other "
+            "containers need a demuxer unavailable in this environment"
+        )
+
+    def walk(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(payload[i : i + 4], "big")
+            box = payload[i + 4 : i + 8]
+            body = i + 8
+            if size == 1:  # 64-bit largesize follows the type
+                size = int.from_bytes(payload[i + 8 : i + 16], "big")
+                body = i + 16
+            elif size == 0:  # box extends to end of enclosure
+                size = hi - i
+            if size < 8:
+                break
+            yield box, body, i + size
+            i += size
+
+    for box, body, end in walk(0, len(payload)):
+        if box != b"moov":
+            continue
+        timescale = duration = None
+        n_tracks = 0
+        for inner, b, _ in walk(body, end):
+            if inner == b"trak":
+                n_tracks += 1
+            elif inner == b"mvhd":
+                version = payload[b]
+                if version == 0:
+                    timescale = int.from_bytes(payload[b + 12 : b + 16], "big")
+                    duration = int.from_bytes(payload[b + 16 : b + 20], "big")
+                else:
+                    timescale = int.from_bytes(payload[b + 20 : b + 24], "big")
+                    duration = int.from_bytes(payload[b + 24 : b + 32], "big")
+        if timescale and duration is not None:
+            return timescale, duration, n_tracks
+        raise ValueError("corrupt MP4: moov without readable mvhd")
+    raise ValueError("MP4 with no moov box in payload prefix")
+
+
 def fake_decode(payload: bytes) -> tuple[int, int]:
     """Deterministic fake decoder: derives (width, height) from content."""
     n = len(payload)

@@ -1050,3 +1050,39 @@ def test_maxsim_pandas_matches_hof(spark):
         lo = r["maxsim_e6"] / 1e6
         hi = lo + r["n_query_vecs"] / 1e6
         assert lo - 1e-9 <= fast[g]["maxsim"] <= hi + 1e-9, (g, lo, fast[g])
+
+
+def _mp4(timescale: int, duration: int, n_tracks: int = 2, v1: bool = False) -> bytes:
+    """Minimal ISO-BMFF: ftyp + moov{mvhd, trak...} with planted timing."""
+    def box(name: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + name + body
+
+    if v1:
+        mvhd = box(
+            b"mvhd",
+            b"\x01\x00\x00\x00" + b"\x00" * 16
+            + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big"),
+        )
+    else:
+        mvhd = box(
+            b"mvhd",
+            b"\x00\x00\x00\x00" + b"\x00" * 8
+            + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big"),
+        )
+    traks = b"".join(box(b"trak", b"\x00" * 4) for _ in range(n_tracks))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00") + box(b"moov", mvhd + traks)
+
+
+def test_real_decode_video_parses_mp4_headers():
+    from kafkastreamsjavachallenge_spark.operators.multimodal import (
+        real_decode_video,
+    )
+
+    assert real_decode_video(_mp4(1000, 60_000, 2)) == (1000, 60_000, 2)
+    assert real_decode_video(_mp4(90_000, 2**33, 1, v1=True)) == (90_000, 2**33, 1)
+    with pytest.raises(NotImplementedError):
+        real_decode_video(b"\x1aE\xdf\xa3matroska")  # mkv -> honest stub
+    with pytest.raises(ValueError):
+        real_decode_video(
+            (16).to_bytes(4, "big") + b"ftyp" + b"isom\x00\x00\x02\x00"
+        )  # ftyp only, no moov
