@@ -264,7 +264,70 @@ def q_stream_curation(spark, sf_dir):
 
 
 
+def q_stream_anomaly(spark, sf_dir):
+    """Streaming twin of q_anomaly_zscore's ingest half: per-(type, day)
+    event counts maintained by the micro-batch engine (complete mode —
+    counts are additive partials, the same merge CMS exploits), then the
+    z-score pass runs over the drained counts exactly as the batch
+    monitor would over its counts table.  One availableNow drain equals
+    the batch aggregate, so the full anomaly report is oracle-checked."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamsjavachallenge_spark.streaming.pipeline import run_to_memory
+
+    stream = _event_stream(spark, sf_dir)
+    daily = stream.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    counts = run_to_memory(daily, output_mode="complete", state_partitions=8)
+    # per-type moments as window aggregates (no self-join of the memory
+    # sink view — same exprIds on both sides trip conflicting-reference
+    # analysis; the window also saves the join outright)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    k = F.count(F.lit(1)).over(w)
+    s = F.sum("n").over(w)
+    ss = F.sum(F.col("n") * F.col("n")).over(w)
+    mean = s.cast("double") / k
+    var = ss.cast("double") / k - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(var)
+    guarded = F.when(var <= 0, F.lit(None).cast("double")).otherwise(F.round(z, 4))
+    return counts.select(
+        "event_type",
+        "day",
+        "n",
+        guarded.alias("z"),
+        F.when(F.abs(F.coalesce(guarded, F.lit(0.0))) >= 2, 1)
+        .otherwise(0)
+        .alias("is_anomaly"),
+    )
+
+
 QUERIES = {
+    "q_stream_anomaly": (
+        q_stream_anomaly,
+        # identical to q_anomaly_zscore's oracle: the streamed counts
+        # equal the batch counts after one availableNow drain
+        "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+        "count(*) AS n FROM events GROUP BY 1, 2), "
+        "st AS (SELECT event_type, count(*) AS k, "
+        "CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS ss "
+        "FROM daily GROUP BY 1) "
+        "SELECT event_type, day, n, "
+        "CASE WHEN CAST(ss AS DOUBLE) / k - (CAST(s AS DOUBLE) / k) * "
+        "(CAST(s AS DOUBLE) / k) <= 0 THEN NULL "
+        "ELSE round((n - CAST(s AS DOUBLE) / k) / "
+        "sqrt(CAST(ss AS DOUBLE) / k - (CAST(s AS DOUBLE) / k) * "
+        "(CAST(s AS DOUBLE) / k)), 4) END AS z, "
+        "CASE WHEN abs(coalesce(CASE WHEN CAST(ss AS DOUBLE) / k - "
+        "(CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k) <= 0 THEN NULL "
+        "ELSE round((n - CAST(s AS DOUBLE) / k) / "
+        "sqrt(CAST(ss AS DOUBLE) / k - (CAST(s AS DOUBLE) / k) * "
+        "(CAST(s AS DOUBLE) / k)), 4) END, 0.0)) >= 2 THEN 1 ELSE 0 END "
+        "AS is_anomaly "
+        "FROM daily JOIN st USING (event_type)",
+    ),
     "q_stream_curation": (
         q_stream_curation,
         "SELECT source, count(DISTINCT md5(text)) AS n_kept_distinct "
