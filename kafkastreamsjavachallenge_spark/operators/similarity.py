@@ -184,6 +184,28 @@ def semdedup(
     return assigned.join(dup, id_col, "left_anti")
 
 
+def _probe_lists(
+    query: DataFrame, centroids: DataFrame, nprobe: int, vec_col: str
+) -> DataFrame:
+    """The ``nprobe`` centroid ids nearest (cosine) to the query vector —
+    the coarse-quantizer probe set shared by IVF-flat and IVF-PQ.  Ties
+    break on the lowest centroid id; the whole thing is a 1-row × k
+    broadcast score + limit, never touching the corpus."""
+    qc = query.select(F.col(vec_col).alias("__qvec")).crossJoin(
+        F.broadcast(
+            centroids.select(
+                F.col("centroid_id"), F.col(vec_col).alias("__cvec")
+            )
+        )
+    )
+    return (
+        qc.withColumn("__sim", cosine(F.col("__qvec"), F.col("__cvec")))
+        .orderBy(F.col("__sim").desc(), F.col("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+
+
 def ivf_ann_topk(
     df: DataFrame,
     query: DataFrame,
@@ -201,18 +223,44 @@ def ivf_ann_topk(
     nprobe; cost is |probed lists|, not |table|.
     """
     assigned = ivf_assign(df, centroids, id_col, vec_col)
-    # nprobe nearest centroids to the query vector
-    qc = query.select(F.col(vec_col).alias("__qvec")).crossJoin(
-        F.broadcast(centroids.select(F.col("centroid_id"), F.col(vec_col).alias("__cvec")))
-    )
-    probes = (
-        qc.withColumn("__sim", cosine(F.col("__qvec"), F.col("__cvec")))
-        .orderBy(F.col("__sim").desc(), F.col("centroid_id"))
-        .limit(nprobe)
-        .select("centroid_id")
-    )
+    probes = _probe_lists(query, centroids, nprobe, vec_col)
     cands = assigned.join(F.broadcast(probes), on="centroid_id", how="left_semi")
     return cosine_topk(cands, query, k, id_col, vec_col)
+
+
+def ivfpq_ann_topk(
+    df: DataFrame,
+    query: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the FAISS-style billion-vector layout — a coarse quantizer
+    prunes the corpus to ``nprobe`` inverted lists, then PQ asymmetric
+    distance scores ONLY the survivors from their m-byte code words
+    (no-residual IVFPQ, i.e. ``by_residual=false``: codes quantize the
+    raw vectors, not the centroid residuals, so one codebook serves every
+    list and the ADC table stays m×k per query).
+
+    Scale shape = the intersection of both parents' shapes: the corpus
+    never shuffles (broadcast centroid argmax + broadcast probe semi-join
+    + broadcast ADC table), scan cost per query is O(|probed lists| · m)
+    integer lookups, and storage is m bytes/vector.  At 100 TB the code
+    table is written partitioned by ``centroid_id`` so a probe is a
+    partition-pruned scan of compressed codes — the only layout that
+    keeps both the scan bytes AND the float math sublinear.
+    """
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    probes = _probe_lists(query, centroids, nprobe, vec_col)
+    cands = assigned.join(
+        F.broadcast(probes), on="centroid_id", how="left_semi"
+    ).drop("centroid_id")
+    return pq_ann_topk(cands, query, codebook, k, m, dim, id_col, vec_col)
 
 
 def lsh_ann_topk(

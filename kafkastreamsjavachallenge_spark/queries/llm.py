@@ -382,6 +382,29 @@ def q_ann_pq(spark, sf_dir):
     return S.pq_ann_topk(base, query, codebook, k=10)
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composite ANN (no-residual IVFPQ): the coarse quantizer
+    (16 deterministic centroids, nprobe=4) prunes the corpus to 4
+    inverted lists, then PQ asymmetric distance ranks only the survivors
+    from their 8-byte code words.  Both parents are individually
+    oracle-checked (q_ann_ivf, q_ann_pq); this id pins that composing
+    them — the layout a 100 TB vector store actually ships — changes
+    neither the probe set nor the ADC arithmetic.  The SQL oracle
+    (_ANN_IVFPQ_SQL) reuses the PQ trainer CTE chain and adds the IVF
+    assignment/probe CTEs as a candidate filter on the final ADC sum."""
+    e = _embs(spark, sf_dir)
+    base = e.filter(F.col("vec_id") != 0)
+    query = e.filter(F.col("vec_id") == 0)
+    centroids = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    train = base.filter(_h28(F.col("vec_id")) % 10 == 0)
+    codebook = S.pq_train(train, m=8, k=16, iters=2)
+    return S.ivfpq_ann_topk(
+        base, query, centroids, codebook, k=10, nprobe=4
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end curation composite — the north-star pipeline as ONE
     declarative plan: quality gate (token-count bounds + lexical
@@ -1493,7 +1516,13 @@ def _pq_l2(a, b):
     )
 
 
-def _pq_sql():
+def _pq_sql(ivf_nprobe=None):
+    """PQ ADC oracle; with ``ivf_nprobe`` set, adds the IVF coarse-
+    quantizer CTEs (same centroid set / tie-breaks as _ANN_IVF_SQL) and
+    restricts the final ADC sum to vectors in the probed lists — the
+    IVF-PQ composite.  Encoding stays corpus-wide on both engines (codes
+    are per-vector deterministic, so restricting before or after encode
+    yields identical candidate distances)."""
     s = (
         "WITH v AS (SELECT vec_id, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
@@ -1537,9 +1566,31 @@ def _pq_sql():
         f"vec[s.s*{_PQ_SUB}+1 : s.s*{_PQ_SUB}+{_PQ_SUB}] AS sv "
         f"FROM q CROSS JOIN range(0, {_PQ_M}) s(s)), "
         f"dtab AS (SELECT c.sub, c.code, {_pq_l2('qs.sv', 'c.cvec')} AS d "
-        f"FROM qsubs qs JOIN {prev} c ON qs.sub = c.sub) "
-        "SELECT e.vec_id, round(sum(t.d), 4) AS adc_dist "
+        f"FROM qsubs qs JOIN {prev} c ON qs.sub = c.sub)"
+    )
+    cand_where = ""
+    if ivf_nprobe is not None:
+        # coarse quantizer mirror (same CTE shapes as _ANN_IVF_SQL):
+        # centroids = vec_id < 16, argmax-cosine with lowest-cid
+        # tie-break, nprobe nearest lists to the query
+        s += (
+            ", cent AS (SELECT vec_id AS cid, vec AS cvec "
+            "FROM v WHERE vec_id < 16), "
+            "assignedc AS (SELECT b.vec_id, "
+            f"(min(struct_pack(s := -{_ivf_cos('b.vec', 'c.cvec')}, "
+            "c := c.cid))).c AS cid "
+            "FROM base b CROSS JOIN cent c GROUP BY b.vec_id, b.vec), "
+            "probes AS (SELECT c.cid FROM cent c CROSS JOIN q "
+            f"ORDER BY {_ivf_cos('q.vec', 'c.cvec')} DESC, c.cid "
+            f"LIMIT {ivf_nprobe}), "
+            "cand AS (SELECT a.vec_id FROM assignedc a "
+            "WHERE a.cid IN (SELECT cid FROM probes))"
+        )
+        cand_where = "WHERE e.vec_id IN (SELECT vec_id FROM cand) "
+    s += (
+        " SELECT e.vec_id, round(sum(t.d), 4) AS adc_dist "
         "FROM enc e JOIN dtab t ON e.sub = t.sub AND e.code = t.code "
+        f"{cand_where}"
         "GROUP BY e.vec_id ORDER BY adc_dist, e.vec_id LIMIT 10"
     )
     return s
@@ -1580,6 +1631,10 @@ _ANN_IVF_SQL = (
     f"SELECT c.vec_id, round({_ivf_cos('c.vec', 'q.qv')}, 4) AS cos_sim "
     "FROM cand c CROSS JOIN q ORDER BY cos_sim DESC, c.vec_id LIMIT 10"
 )
+
+# IVF-PQ composite oracle: the PQ CTE chain + the IVF candidate filter
+# (built here, after _ivf_cos exists — _pq_sql resolves it at call time)
+_ANN_IVFPQ_SQL = _pq_sql(ivf_nprobe=4)
 
 # SemDeDup mirrored in SQL: same broadcast-argmax assignment tie-break as
 # IVF (struct-min over (-cos, cid)), then within-cluster pairs only, drop
@@ -1985,6 +2040,7 @@ QUERIES = {
     "q_ann_lsh": (q_ann_lsh, _ANN_LSH_SQL),
     "q_ann_ivf": (q_ann_ivf, _ANN_IVF_SQL),
     "q_ann_pq": (q_ann_pq, _ANN_PQ_SQL),
+    "q_ann_ivfpq": (q_ann_ivfpq, _ANN_IVFPQ_SQL),
     "q_semdedup": (q_semdedup, _SEMDEDUP_SQL),
     "q_curation_pipeline": (
         q_curation_pipeline,

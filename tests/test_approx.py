@@ -176,6 +176,58 @@ def test_pq_ann_recall_on_planted_neardups(spark, planted_neardups):
         assert all(0 <= c < 16 for c in r["codes"])
 
 
+def test_ivfpq_full_probe_equals_plain_pq(spark, planted_neardups):
+    """IVF-PQ with every list probed must reproduce plain PQ's top-10
+    EXACTLY (ids and 4-dp ADC distances): probing all lists makes the
+    coarse quantizer a no-op, so any divergence would mean the composite
+    changed the ADC arithmetic — the composition contract."""
+    df, qdf = planted_neardups
+    centroids = (
+        df.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    )
+    codebook = S.pq_train(df, m=8, k=16, iters=2)
+    plain = [
+        (r["vec_id"], round(r["adc_dist"], 4))
+        for r in S.pq_ann_topk(df, qdf, codebook, k=10).collect()
+    ]
+    full = [
+        (r["vec_id"], round(r["adc_dist"], 4))
+        for r in S.ivfpq_ann_topk(
+            df, qdf, centroids, codebook, k=10, nprobe=8
+        ).collect()
+    ]
+    assert full == plain
+
+
+def test_ivfpq_recall_on_planted_neardups(spark, planted_neardups):
+    """nprobe=2 of 8 lists: the planted near-dups share the query's
+    nearest list by construction, so recall must stay >= 9/10 while the
+    probed lists hold well under the full table — the pruning contract
+    of the composite."""
+    df, qdf = planted_neardups
+    exact = [r["vec_id"] for r in S.cosine_topk(df, qdf, k=10).collect()]
+    centroids = (
+        df.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    )
+    codebook = S.pq_train(df, m=8, k=16, iters=2)
+    got = [
+        r["vec_id"]
+        for r in S.ivfpq_ann_topk(
+            df, qdf, centroids, codebook, k=10, nprobe=2
+        ).collect()
+    ]
+    assert _recall(got, exact) >= 0.9, got
+    # pruning is real: the 2 probed lists hold a strict subset
+    assigned = S.ivf_assign(df, centroids)
+    probed = S._probe_lists(qdf, centroids, 2, "embedding")
+    n_cand = assigned.join(probed, "centroid_id", "left_semi").count()
+    assert n_cand < 0.8 * df.count(), f"scanned {n_cand} of {df.count()}"
+
+
 def test_semdedup_drops_higher_id_within_cluster_only(spark):
     """SemDeDup closed form: ids 0/1 are exact duplicates in cluster 0
     (higher id 1 dropped), id 2 sits in cluster 0 at cosine 0.9 < 0.92
