@@ -115,6 +115,47 @@ def q_kmeans(spark, sf_dir):
     )
 
 
+def q_inverted_index(spark, sf_dir):
+    """Inverted index build — the retrieval backbone feeding q_bm25:
+    per-term document frequency, collection frequency, and the posting
+    list (doc ids ascending, with parallel per-doc term frequencies),
+    reported for the 20 rarest terms (df asc, term — rare terms are
+    where index lookup beats a scan).
+
+    Two shuffles total: (term, doc) TF with map-side combine, then one
+    hash aggregate on term whose collect_list is bounded by df.  At
+    100 TB a hot term's posting list outgrows one task, so the stored
+    index is doc-range-sharded per term (key = (term, doc_id bucket)) and
+    written partitioned by term — df/cf stay mergeable counts and a
+    lookup is a partition-pruned scan; the per-term collect here is the
+    single-shard case of that layout."""
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    inv = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.array_sort(F.collect_list(F.struct("doc_id", "tf"))).alias("__p"),
+    )
+    # posting arrays serialize to pipe-joined strings (the repo's
+    # oracle-checkable wire format for sets, cf. collect_uid_set)
+    return inv.select(
+        "term",
+        "df",
+        "cf",
+        F.array_join(
+            F.transform(F.col("__p"), lambda s: s["doc_id"].cast("string")),
+            "|",
+        ).alias("postings"),
+        F.array_join(
+            F.transform(F.col("__p"), lambda s: s["tf"].cast("string")), "|"
+        ).alias("tfs"),
+    ).orderBy("df", "term").limit(20)
+
+
 def q_tfidf_top(spark, sf_dir):
     """Top-3 TF-IDF terms per document: term frequency from one explode +
     (doc, token) aggregate, document frequency from re-aggregating that
@@ -2230,6 +2271,16 @@ QUERIES = {
         "len(list_slice(toks, st, st + 7)) AS n_tok FROM s",
     ),
     "q_kmeans": (q_kmeans, _KMEANS_SQL),
+    "q_inverted_index": (
+        q_inverted_index,
+        "WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM "
+        "(SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term "
+        "FROM documents) GROUP BY doc_id, term) "
+        "SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf, "
+        "string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id) AS postings, "
+        "string_agg(CAST(tf AS VARCHAR), '|' ORDER BY doc_id) AS tfs "
+        "FROM tf GROUP BY term ORDER BY df, term LIMIT 20",
+    ),
     "q_tfidf_top": (
         q_tfidf_top,
         "WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM "
