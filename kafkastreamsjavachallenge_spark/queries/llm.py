@@ -290,6 +290,70 @@ def q_neardup_verified(spark, sf_dir):
     return D.ngram_jaccard(d, pairs).filter(F.col("jaccard") >= 0.5)
 
 
+def q_dedup_recall(spark, sf_dir):
+    """Dedup recall audit — the q_ann_recall counterpart for the MinHash
+    path: EXACT ground-truth near-dup pairs (3-gram Jaccard >= 0.5,
+    integer-exact as 2·|A∩B| >= |A|+|B|-|A∩B|) vs the LSH candidate set
+    (n_perm=8, 4 bands × 2 rows — same config as q_minhash_pairs).
+
+    The ground truth is exact WITHOUT an all-pairs stage: two docs with
+    Jaccard > 0 share a shingle, so candidates come from a self-equi-join
+    of the shingle inverted index and |A∩B| is the join's pair count —
+    cost Σ_g df(g)², bounded by the hottest shingle, never corpus-
+    quadratic (at 100 TB, boilerplate shingles are df-capped first; a
+    pair sharing ONLY ultra-common shingles sits far below any useful
+    threshold).  Reports n_true / n_caught / recall — the number a
+    dedup deployment must monitor before trusting its banding config."""
+    d = _docs(spark, sf_dir)
+    shd = d.select(
+        "doc_id",
+        F.array_distinct(T.shingles(T.tokens("text"), 3)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    ex = shd.select("doc_id", F.explode_outer("sh").alias("g")).filter(
+        F.col("g").isNotNull()
+    )
+    shared = (
+        ex.select(F.col("doc_id").alias("id_a"), "g")
+        .join(ex.select(F.col("doc_id").alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz = shd.select("doc_id", F.size("sh").alias("n"))
+    truth = (
+        shared.join(
+            sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .filter(
+            F.lit(2) * F.col("inter")
+            >= F.col("na") + F.col("nb") - F.col("inter")
+        )
+        .select("id_a", "id_b")
+    )
+    cands = D.lsh_candidate_pairs(
+        D.minhash_signatures(d, n_perm=8), bands=4, rows_per_band=2
+    )
+    flagged = truth.join(
+        cands.select("id_a", "id_b", F.lit(1).alias("__hit")),
+        ["id_a", "id_b"],
+        "left",
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_true"), F.count("__hit").alias("n_caught")
+    ).select(
+        "n_true",
+        "n_caught",
+        F.when(F.col("n_true") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_caught") / F.col("n_true"), 4))
+        .alias("recall"),
+    )
+
+
 def q_crosscorpus_dedup(spark, sf_dir):
     """Cross-corpus near-dup removal (operators/dedup.py
     crosscorpus_dedup): the corpus (source != 'src0') deduped against the
@@ -2038,6 +2102,31 @@ QUERIES = {
         "SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node",
     ),
     "q_neardup_verified": (q_neardup_verified, _NEARDUP_VERIFIED_SQL),
+    "q_dedup_recall": (
+        q_dedup_recall,
+        # exact ground truth from the shingle inverted index (no
+        # all-pairs), LSH candidates from the q_minhash_pairs CTEs
+        _MINHASH_SIG_CTE.format(nperm=8)
+        + ", bands AS (SELECT doc_id, b, md5(array_to_string(sigl[b*2+1:b*2+2], '|')) AS bucket "
+        "FROM sig, (SELECT unnest(range(0, 4)) AS b)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a "
+        "JOIN bands c ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id), "
+        "ex AS (SELECT doc_id, unnest(sh) AS g FROM d), "
+        "shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter "
+        "FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id), "
+        "sz AS (SELECT doc_id, len(sh) AS n FROM d), "
+        "truth AS (SELECT s.id_a, s.id_b FROM shared s "
+        "JOIN sz za ON za.doc_id = s.id_a JOIN sz zb ON zb.doc_id = s.id_b "
+        "WHERE 2 * s.inter >= za.n + zb.n - s.inter), "
+        "hit AS (SELECT t.id_a FROM truth t JOIN cand c "
+        "ON t.id_a = c.id_a AND t.id_b = c.id_b) "
+        "SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true, "
+        "CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_caught, "
+        "CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0.0 "
+        "ELSE round((SELECT count(*) FROM hit) / "
+        "CAST((SELECT count(*) FROM truth) AS DOUBLE), 4) END AS recall",
+    ),
     "q_knn_join": (
         q_knn_join,
         "SELECT * FROM (SELECT q.vec_id AS q_id, a.vec_id AS n_id, "
