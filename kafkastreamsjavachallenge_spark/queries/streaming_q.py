@@ -18,6 +18,7 @@ tests/test_streaming.py.
 from __future__ import annotations
 
 from kafkastreamsjavachallenge_spark.catalog import load_table
+from kafkastreamsjavachallenge_spark.queries.llm import _MINHASH_SIG_CTE
 from kafkastreamsjavachallenge_spark.queries.quality import (
     _CMS_HASHES,
     _CMS_W,
@@ -263,6 +264,54 @@ def q_stream_curation(spark, sf_dir):
     return run_to_memory(counts, output_mode="update", state_partitions=8)
 
 
+def q_stream_neardup(spark, sf_dir):
+    """Streaming NEAR-dup monitor — the MinHash banding of q_minhash_pairs
+    maintained as streaming state: arriving documents compute their 8-perm
+    signatures and 4 LSH band buckets inside the micro-batch engine, and a
+    complete-mode aggregation keeps (n_docs, canonical keep_id) per band
+    bucket.  Buckets with n_docs >= 2 are in-flight near-dup candidates —
+    the ingest-side alarm a crawler front-end runs BEFORE the batch verify
+    pass (q_neardup_verified) confirms them.
+
+    A stateful pipeline affords exactly ONE aggregation, so the signature
+    uses the row-local projection form (functions/text.minhash_signature —
+    identical values to the exploded operator form: same universal hashes,
+    min is order-free), leaving the per-bucket count+min as the single
+    streaming agg.  Count + min are mergeable, so the bucket rows are
+    exact regardless of how many micro-batches the drain splits into; one
+    availableNow drain therefore equals the batch banding — full SQL
+    oracle.  At scale, state is |occupied buckets| within the retention
+    horizon; production bounds it with watermarked window buckets."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafkastreamsjavachallenge_spark.functions import text as T
+    from kafkastreamsjavachallenge_spark.operators import dedup as D
+    from kafkastreamsjavachallenge_spark.session import configure_runtime
+
+    configure_runtime(spark)
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    stage = tempfile.mkdtemp(prefix="stream_docs_")
+    os.symlink(src, os.path.join(stage, "part-00000.parquet"))
+    schema = spark.read.parquet(src).schema
+    stream = file_stream(spark, stage, schema)
+
+    sigs = stream.filter(F.size(T.tokens("text")) >= 3).select(
+        "doc_id",
+        T.minhash_signature(
+            F.array_distinct(T.shingles(T.tokens("text"), 3)), 8
+        ).alias("sig"),
+    )
+    banded = D.lsh_band_buckets(sigs, "doc_id", bands=4, rows_per_band=2)
+    per_bucket = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id")
+    )
+    out = run_to_memory(per_bucket, output_mode="complete", state_partitions=8)
+    return out.filter(F.col("n_docs") >= 2)
+
+
 
 def q_stream_anomaly(spark, sf_dir):
     """Streaming twin of q_anomaly_zscore's ingest half: per-(type, day)
@@ -335,6 +384,16 @@ QUERIES = {
         "AND len(string_split(trim(text), ' ')) <= 500 "
         "AND 5 * len(list_distinct(string_split(trim(text), ' '))) >= "
         "len(string_split(trim(text), ' ')) GROUP BY source",
+    ),
+    "q_stream_neardup": (
+        q_stream_neardup,
+        # same signature/banding CTEs as q_minhash_pairs, aggregated to
+        # the per-bucket collision view the stream maintains as state
+        _MINHASH_SIG_CTE.format(nperm=8)
+        + ", bands AS (SELECT doc_id, b, md5(array_to_string(sigl[b*2+1:b*2+2], '|')) AS bucket "
+        "FROM sig, (SELECT unnest(range(0, 4)) AS b)) "
+        "SELECT b AS band, bucket, count(*) AS n_docs, min(doc_id) AS keep_id "
+        "FROM bands GROUP BY b, bucket HAVING count(*) >= 2",
     ),
     "q_stream_countmin": (
         q_stream_countmin,
