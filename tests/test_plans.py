@@ -257,6 +257,9 @@ def test_registry_plans_lint_clean(spark):
         "q_bigram_logprob",
         # PQ scoring: m×k codebook / query distance-table broadcasts
         "q_ann_pq",
+        # IVF-PQ composite: 16-centroid + nprobe-probe + ADC-table
+        # broadcasts — all bounded by k/nprobe/m·k, never the corpus
+        "q_ann_ivfpq",
         # SemDeDup assignment: 16 centroids broadcast (ivf_assign shape)
         "q_semdedup",
         # explicit HLL: 1-row exact-count broadcast joined to the 1-row
