@@ -453,3 +453,60 @@ def test_streaming_observed_metrics(spark, event_files):
     # an empty trailing micro-batch reports sum(NULL) -> null, not 0
     assert all((m["null_uids"] or 0) == 0 for m in metrics)
     assert sink.count() > 0
+
+
+def test_stream_neardup_state_merges_across_batches(spark, tmp_path):
+    """q_stream_neardup's mergeability claim, pinned: the per-bucket
+    (count, min) state drained over FOUR micro-batches must equal the
+    batch banding built by the exploded operator form in one pass —
+    which simultaneously pins that the row-local projection signature
+    (functions/text.minhash_signature) matches operators/dedup
+    .minhash_signatures value-for-value."""
+    from kafkastreamsjavachallenge_spark.functions import text as T
+    from kafkastreamsjavachallenge_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents")
+    d = str(tmp_path / "doc_stream")
+    os.makedirs(d)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = docs.toPandas()
+    chunk = (len(pdf) + 3) // 4
+    for i in range(4):
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[i * chunk : (i + 1) * chunk]),
+            os.path.join(d, f"f{i}.parquet"),
+        )
+
+    stream = file_stream(spark, d, docs.schema, max_files_per_trigger=1)
+    sigs = stream.filter(F.size(F.split(F.trim("text"), " ")) >= 3).select(
+        "doc_id",
+        T.minhash_signature(
+            F.array_distinct(T.shingles(T.tokens("text"), 3)), 8
+        ).alias("sig"),
+    )
+    banded = D.lsh_band_buckets(sigs, "doc_id", bands=4, rows_per_band=2)
+    per_bucket = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id")
+    )
+    got = {
+        (r["band"], r["bucket"]): (r["n_docs"], r["keep_id"])
+        for r in run_to_memory(per_bucket, output_mode="complete")
+        .filter(F.col("n_docs") >= 2)
+        .collect()
+    }
+
+    batch = (
+        D.lsh_band_buckets(
+            D.minhash_signatures(docs, n_perm=8), "doc_id", 4, 2
+        )
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    want = {
+        (r["band"], r["bucket"]): (r["n_docs"], r["keep_id"])
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
