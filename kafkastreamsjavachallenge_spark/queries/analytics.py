@@ -555,6 +555,66 @@ def q_bigram_freq(spark, sf_dir):
     )
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Collocation extraction by pointwise mutual information — the
+    measure tokenizer-merge and phrase-mining pipelines rank candidate
+    merges with: PMI(a,b) = ln(p(ab) / (p(a)p(b))), support-gated at
+    c_ab >= 5, top-20 by (pmi desc, bigram).
+
+    Float discipline: both engines compute the ratio as ONE double
+    division of two exact integer products — (c_ab·n_uni²) /
+    (n_bi·c_a·c_b) — then one ln and one 6-dp round, so there is no
+    intermediate-rounding drift to disagree on.  (The integer products
+    stay in BIGINT range up to ~10⁹ tokens; beyond that, shard the
+    corpus and PMI per shard or move the products to double.)  Scale
+    shape: two hash aggregates (bigram, unigram), two joins against the
+    small vocabulary relation, one 1-row totals broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    bg = (
+        d.select(F.explode(pairs).alias("s"))
+        .groupBy(F.col("s.a").alias("a"), F.col("s.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    uni = (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        bg.agg(F.sum("c_ab").alias("n_bi"))
+    )
+    return (
+        bg.filter(F.col("c_ab") >= 5)
+        .join(uni.select(F.col("tok").alias("a"), F.col("c").alias("c_a")), "a")
+        .join(uni.select(F.col("tok").alias("b"), F.col("c").alias("c_b")), "b")
+        .join(F.broadcast(totals))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            "c_ab",
+            F.round(
+                F.log(
+                    (
+                        F.col("c_ab") * F.col("n_uni") * F.col("n_uni")
+                    ).cast("double")
+                    / (F.col("n_bi") * F.col("c_a") * F.col("c_b")).cast(
+                        "double"
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(20)
+    )
+
+
 def q_doc_freq(spark, sf_dir):
     """Document frequency + IDF per token (df >= 20): per-doc distinct via
     array_distinct (map-side, no extra shuffle), corpus size via a
@@ -868,6 +928,25 @@ QUERIES = {
         "SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) "
         "AS bigram FROM (SELECT string_split(text, ' ') AS t FROM documents) "
         "WHERE len(t) >= 2) GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20",
+    ),
+    "q_pmi_collocations": (
+        q_pmi_collocations,
+        "WITH pairs AS (SELECT unnest([struct_pack(a := t[i], b := t[i+1]) "
+        "for i in range(1, len(t))]) AS s "
+        "FROM (SELECT string_split(text, ' ') AS t FROM documents)), "
+        "bg AS (SELECT s.a AS a, s.b AS b, count(*) AS c_ab "
+        "FROM pairs GROUP BY s.a, s.b), "
+        "uni AS (SELECT tok, count(*) AS c FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) "
+        "GROUP BY tok), "
+        "tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_uni, "
+        "(SELECT CAST(sum(c_ab) AS BIGINT) FROM bg) AS n_bi) "
+        "SELECT a || ' ' || b AS bigram, c_ab, "
+        "round(ln(CAST(c_ab * n_uni * n_uni AS DOUBLE) / "
+        "CAST(n_bi * ua.c * ub.c AS DOUBLE)), 6) AS pmi "
+        "FROM bg JOIN uni ua ON ua.tok = bg.a "
+        "JOIN uni ub ON ub.tok = bg.b CROSS JOIN tot "
+        "WHERE c_ab >= 5 ORDER BY pmi DESC, bigram LIMIT 20",
     ),
     "q_doc_freq": (
         q_doc_freq,

@@ -115,6 +115,49 @@ def q_kmeans(spark, sf_dir):
     )
 
 
+def q_topic_labels(spark, sf_dir):
+    """Topic-cluster labeling — the human-readable face of embedding
+    clustering: k-means assignments (k=8, 3 iterations, q_kmeans's exact
+    trainer) joined to the documents by id, then cluster-level TF-IDF
+    (term count within cluster × ln(k / #clusters containing the term))
+    names each cluster by its top-3 salient terms.
+
+    Scale shape: the assignment side never shuffles the corpus (broadcast
+    centroids + min_by), the doc→cluster join is an equi-join on id, and
+    the labeling is two hash aggregates over (cluster, term) — all
+    map-side combinable.  Oracle: the q_kmeans CTE chain reused verbatim
+    (same init/tie-breaks) + the TF-IDF arithmetic of q_tfidf_top."""
+    from pyspark.sql import Window
+
+    e = _embs(spark, sf_dir)
+    assigned, _ = S.kmeans(e, k=8, iters=3)
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    joined = toks.join(
+        assigned.select(F.col("vec_id").alias("doc_id"), "centroid_id"),
+        "doc_id",
+    )
+    tf = joined.groupBy("centroid_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    scored = tf.join(dfr, "term").select(
+        "centroid_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(8.0) / F.col("dfc")), 6).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("score").desc(), "term"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("centroid_id", "term", "score", "rn")
+    )
+
+
 def q_inverted_index(spark, sf_dir):
     """Inverted index build — the retrieval backbone feeding q_bm25:
     per-term document frequency, collection frequency, and the posting
@@ -251,6 +294,44 @@ def q_doc_dedup(spark, sf_dir):
 def q_fingerprint(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select("doc_id", T.token_fingerprint("text").alias("fp"))
+
+
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme):
+    per position, the 3-gram shingle's 28-bit hash; per length-4 window
+    of consecutive positions, keep the minimum hash; the fingerprint is
+    the distinct set of kept minima.  Winnowing guarantees any shared
+    run of >= w+k-1 tokens between two docs shares a fingerprint — the
+    LOCAL containment detector (copied passages), complementing MinHash's
+    GLOBAL resemblance.  Pure per-row HOF projection — zero shuffles; at
+    100 TB the (fingerprint → doc) inverted index is one explode away,
+    partitioned by fingerprint like any posting list.  Ascending-sorted,
+    pipe-joined for the oracle wire format; integer hashes → exact."""
+    from kafkastreamsjavachallenge_spark.functions.text import (
+        base_hash28,
+        let,
+    )
+
+    sh = T.shingles(T.tokens("text"), 3)
+    w = 4
+    fps = let(
+        F.transform(sh, lambda g: base_hash28(g)),
+        lambda hs: F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(hs) - w),
+                    lambda i: F.array_min(F.slice(hs, i + 1, w)),
+                )
+            )
+        ),
+    )
+    d = _docs(spark, sf_dir)
+    return d.filter(F.size(T.tokens("text")) >= 3 + w - 1).select(
+        "doc_id",
+        F.array_join(
+            F.transform(fps, lambda x: x.cast("string")), "|"
+        ).alias("fps"),
+    )
 
 
 def q_minhash_sig(spark, sf_dir):
@@ -1778,7 +1859,9 @@ def _km_l2(a, c):
     )
 
 
-_KMEANS_SQL = (
+# CTE prefix shared by q_kmeans and q_topic_labels: iterations unrolled,
+# final assignment relation = a{_KM_ITERS}(vec_id, cid)
+_KMEANS_CTES = (
     "WITH v AS (SELECT vec_id, "
     "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
     "FROM embeddings), "
@@ -1796,8 +1879,28 @@ _KMEANS_SQL = (
         f"FROM m{it} GROUP BY cid) n ON c.cid = n.cid)"
         for it in range(1, _KM_ITERS + 1)
     )
+)
+
+_KMEANS_SQL = (
+    _KMEANS_CTES
     + f" SELECT cid AS centroid_id, count(*) AS n FROM a{_KM_ITERS} "
     "GROUP BY cid ORDER BY cid"
+)
+
+_TOPIC_LABELS_SQL = (
+    _KMEANS_CTES
+    + f", asg AS (SELECT vec_id AS doc_id, cid FROM a{_KM_ITERS}), "
+    "tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term "
+    "FROM documents), "
+    "tf AS (SELECT g.cid, t.term, count(*) AS tf FROM tok t "
+    "JOIN asg g USING (doc_id) GROUP BY g.cid, t.term), "
+    "dfr AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term), "
+    "scored AS (SELECT cid AS centroid_id, term, "
+    f"round(tf * ln({_KM_K}.0 / dfc), 6) AS score "
+    "FROM tf JOIN dfr USING (term)) "
+    "SELECT centroid_id, term, score, rn FROM (SELECT centroid_id, term, "
+    "score, row_number() OVER (PARTITION BY centroid_id "
+    "ORDER BY score DESC, term) AS rn FROM scored) WHERE rn <= 3"
 )
 
 
@@ -2054,6 +2157,20 @@ QUERIES = {
     "q_fingerprint": (
         q_fingerprint,
         f"SELECT doc_id, list_min(list_transform({_TOKS}, t -> md5(t))) AS fp FROM documents",
+    ),
+    "q_winnow_fingerprint": (
+        q_winnow_fingerprint,
+        # positional (non-distinct) shingles — winnowing is positional
+        "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS l "
+        "FROM documents), "
+        "s AS (SELECT doc_id, "
+        "[array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)] AS sh "
+        "FROM t WHERE len(l) >= 6), "
+        "h AS (SELECT doc_id, list_transform(sh, "
+        "x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs FROM s) "
+        "SELECT doc_id, array_to_string(list_sort(list_distinct("
+        "[list_min(hs[i+1:i+4]) for i in range(0, len(hs) - 3)])), '|') AS fps "
+        "FROM h",
     ),
     "q_minhash_sig": (
         q_minhash_sig,
@@ -2360,6 +2477,7 @@ QUERIES = {
         "len(list_slice(toks, st, st + 7)) AS n_tok FROM s",
     ),
     "q_kmeans": (q_kmeans, _KMEANS_SQL),
+    "q_topic_labels": (q_topic_labels, _TOPIC_LABELS_SQL),
     "q_inverted_index": (
         q_inverted_index,
         "WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM "

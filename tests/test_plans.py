@@ -260,6 +260,10 @@ def test_registry_plans_lint_clean(spark):
         # IVF-PQ composite: 16-centroid + nprobe-probe + ADC-table
         # broadcasts — all bounded by k/nprobe/m·k, never the corpus
         "q_ann_ivfpq",
+        # topic labeling: inherits kmeans' k-centroid broadcasts
+        "q_topic_labels",
+        # PMI: 1-row corpus-totals broadcast
+        "q_pmi_collocations",
         # SemDeDup assignment: 16 centroids broadcast (ivf_assign shape)
         "q_semdedup",
         # explicit HLL: 1-row exact-count broadcast joined to the 1-row
