@@ -67,6 +67,11 @@ HEADLINE = [
     # round-4: multi-vector late-interaction scoring (broadcast query
     # block + two map-side-combinable aggregates)
     "q_maxsim",
+    # round-4: IVF-PQ composite probe and the shingle-join recall audit
+    # (the audit's inverted-index ground truth is the bench's heaviest
+    # pair stage — worth watching at sf0.1)
+    "q_ann_ivfpq",
+    "q_dedup_recall",
 ]
 
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl")
