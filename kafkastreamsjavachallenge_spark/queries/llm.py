@@ -1912,7 +1912,8 @@ def q_ann_recall(spark, sf_dir):
     every index rebuild).  Because every retriever here is
     deterministic (md5 hyperplanes / lowest-id centroids), recall is an
     exact integer, so even the EVALUATION is oracle-checked.  Cost: the
-    three retrievals plus two semi-joins on 10-row sets."""
+    exact scan plus three index retrievals (LSH, IVF, IVF-PQ) and three
+    semi-joins on 10-row sets."""
     exact = q_cosine_topk(spark, sf_dir).select("vec_id")
 
     def hits(df, name):
@@ -1927,8 +1928,10 @@ def q_ann_recall(spark, sf_dir):
             )
         )
 
-    return hits(q_ann_lsh(spark, sf_dir), "lsh").unionByName(
-        hits(q_ann_ivf(spark, sf_dir), "ivf")
+    return (
+        hits(q_ann_lsh(spark, sf_dir), "lsh")
+        .unionByName(hits(q_ann_ivf(spark, sf_dir), "ivf"))
+        .unionByName(hits(q_ann_ivfpq(spark, sf_dir), "ivfpq"))
     )
 
 
@@ -2729,7 +2732,10 @@ QUERIES = {
         f"WHERE l.vec_id IN (SELECT vec_id FROM ({_COSINE_TOPK_SQL}) x1) "
         f"UNION ALL "
         f"SELECT 'ivf', count(*) FROM ({_ANN_IVF_SQL}) v "
-        f"WHERE v.vec_id IN (SELECT vec_id FROM ({_COSINE_TOPK_SQL}) x2))",
+        f"WHERE v.vec_id IN (SELECT vec_id FROM ({_COSINE_TOPK_SQL}) x2) "
+        f"UNION ALL "
+        f"SELECT 'ivfpq', count(*) FROM ({_ANN_IVFPQ_SQL}) p "
+        f"WHERE p.vec_id IN (SELECT vec_id FROM ({_COSINE_TOPK_SQL}) x3))",
     ),
     "q_tokenizer_fertility": (
         q_tokenizer_fertility,
