@@ -228,6 +228,56 @@ def lsh_candidate_pairs(
     )
 
 
+def exact_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT near-dup ground truth (Jaccard >= 0.5 over distinct k-token
+    shingles) without an all-pairs stage: two docs with Jaccard > 0 share
+    a shingle, so candidate pairs come from a self-equi-join of the
+    shingle inverted index and |A∩B| is that join's per-pair row count.
+    The threshold gate is integer-exact (2·|A∩B| >= |A|+|B|-|A∩B|), so
+    no float boundary can flip a pair across engines or testdata seeds.
+
+    Cost is Σ_g df(g)² — bounded by the hottest shingle, never corpus-
+    quadratic; at 100 TB, boilerplate shingles are df-capped first (a
+    pair sharing ONLY ultra-common shingles sits far below threshold).
+    This is the referee for LSH configs (q_dedup_recall), not the scale
+    dedup path itself — that remains MinHash banding."""
+    shd = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(tokens(text_col), shingle_k)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    ex = shd.select(F.col(id_col), F.explode_outer("sh").alias("g")).filter(
+        F.col("g").isNotNull()
+    )
+    shared = (
+        ex.select(F.col(id_col).alias("id_a"), "g")
+        .join(ex.select(F.col(id_col).alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz = shd.select(F.col(id_col), F.size("sh").alias("n"))
+    return (
+        shared.join(
+            sz.select(F.col(id_col).alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sz.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .filter(
+            F.lit(2) * F.col("inter")
+            >= F.col("na") + F.col("nb") - F.col("inter")
+        )
+        .select("id_a", "id_b")
+    )
+
+
 def ngram_jaccard(
     df: DataFrame,
     pairs: DataFrame,

@@ -386,36 +386,7 @@ def q_dedup_recall(spark, sf_dir):
     threshold).  Reports n_true / n_caught / recall — the number a
     dedup deployment must monitor before trusting its banding config."""
     d = _docs(spark, sf_dir)
-    shd = d.select(
-        "doc_id",
-        F.array_distinct(T.shingles(T.tokens("text"), 3)).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    ex = shd.select("doc_id", F.explode_outer("sh").alias("g")).filter(
-        F.col("g").isNotNull()
-    )
-    shared = (
-        ex.select(F.col("doc_id").alias("id_a"), "g")
-        .join(ex.select(F.col("doc_id").alias("id_b"), "g"), "g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sz = shd.select("doc_id", F.size("sh").alias("n"))
-    truth = (
-        shared.join(
-            sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
-            "id_a",
-        )
-        .join(
-            sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
-            "id_b",
-        )
-        .filter(
-            F.lit(2) * F.col("inter")
-            >= F.col("na") + F.col("nb") - F.col("inter")
-        )
-        .select("id_a", "id_b")
-    )
+    truth = D.exact_neardup_pairs(d)
     cands = D.lsh_candidate_pairs(
         D.minhash_signatures(d, n_perm=8), bands=4, rows_per_band=2
     )

@@ -846,3 +846,39 @@ def test_maxsim_pandas_on_100k_vectors(spark):
     assert set(got) == set(range(1, groups + 1))
     for g, v in got.items():
         assert abs(v - n_q) < 1e-6, (g, v)
+
+
+def test_exact_neardup_ground_truth_on_50k_docs(spark):
+    """The dedup-recall audit's ground-truth stage at 50k docs with a
+    closed-form answer: doc bases get globally-unique vocabularies (no
+    shingle crosses bases), each base has an identical twin — so truth
+    pairs = exactly the n/2 twins, every shingle has df = 2, and the
+    inverted-index join stays LINEAR (4 rows per shingle group).  The
+    full audit then reports recall 1.0: identical docs have identical
+    MinHash signatures, so banding cannot miss a twin."""
+    from kafkastreamsjavachallenge_spark.operators.dedup import (
+        exact_neardup_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    n = 50_000
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda i: F.concat(F.lit("w"), (F.col("id") % (n // 2)) * 100 + i),
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", words).alias("text"),  # id and id + n/2 are twins
+    )
+    t0 = time.time()
+    truth = exact_neardup_pairs(docs)
+    n_true = truth.count()
+    elapsed = time.time() - t0
+    assert elapsed < 90, f"ground truth took {elapsed:.1f}s on {n} docs"
+    assert n_true == n // 2
+    cands = lsh_candidate_pairs(
+        minhash_signatures(docs, n_perm=8), bands=4, rows_per_band=2
+    )
+    n_caught = truth.join(cands, ["id_a", "id_b"], "left_semi").count()
+    assert n_caught == n // 2  # recall 1.0 on planted twins
