@@ -115,6 +115,65 @@ def q_kmeans(spark, sf_dir):
     )
 
 
+def q_rouge_overlap(spark, sf_dir):
+    """ROUGE-1/2 recall between adjacent doc pairs (ref = doc_id, cand =
+    doc_id+1) — the n-gram overlap metric summarization/distillation
+    evals compute at corpus scale, with CLIPPED counts (Σ_g min(c_ref,
+    c_cand) / Σ_g c_ref), which is what distinguishes ROUGE from set
+    Jaccard.  Emitted in exact integer basis points (·10000 DIV), so the
+    oracle compares integers — no float discipline needed.
+
+    Scale shape: per-doc n-gram counts are one explode + hash agg; the
+    pair overlap is an equi-join on (gram, adjacent-id) — generalizing to
+    arbitrary eval pairs means joining through a (ref_id, cand_id) pair
+    table on the gram key, still never all-pairs."""
+    d = _docs(spark, sf_dir)
+
+    def gram_counts(n):
+        toks = T.tokens("text")
+        grams = (
+            F.explode(T.shingles(toks, n)) if n > 1 else F.explode(toks)
+        )
+        return (
+            d.select("doc_id", grams.alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    ids = d.select("doc_id")
+    pairs = ids.alias("r").join(
+        ids.alias("c"),
+        F.col("r.doc_id") + 1 == F.col("c.doc_id"),
+    ).select(F.col("r.doc_id").alias("doc_id"))
+
+    def rouge_n(n, name):
+        cnt = gram_counts(n)
+        a = cnt.select(
+            F.col("doc_id"), F.col("g"), F.col("c").alias("c_ref")
+        )
+        b = cnt.select(
+            (F.col("doc_id") - 1).alias("doc_id"),
+            F.col("g"),
+            F.col("c").alias("c_cand"),
+        )
+        ov = (
+            a.join(b, ["doc_id", "g"])
+            .groupBy("doc_id")
+            .agg(F.sum(F.least("c_ref", "c_cand")).alias("ov"))
+        )
+        denom = a.groupBy("doc_id").agg(F.sum("c_ref").alias("tot"))
+        return (
+            pairs.join(denom, "doc_id")
+            .join(ov, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.expr("(coalesce(ov, 0) * 10000) DIV tot").alias(name),
+            )
+        )
+
+    return rouge_n(1, "rouge1_e4").join(rouge_n(2, "rouge2_e4"), "doc_id")
+
+
 def q_topic_labels(spark, sf_dir):
     """Topic-cluster labeling — the human-readable face of embedding
     clustering: k-means assignments (k=8, 3 iterations, q_kmeans's exact
@@ -2449,6 +2508,35 @@ QUERIES = {
         "SELECT doc_id, CAST((st - 1) // 6 AS INTEGER) AS chunk_idx, "
         "array_to_string(list_slice(toks, st, st + 7), ' ') AS chunk, "
         "len(list_slice(toks, st, st + 7)) AS n_tok FROM s",
+    ),
+    "q_rouge_overlap": (
+        q_rouge_overlap,
+        "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS l "
+        "FROM documents), "
+        "c1 AS (SELECT doc_id, g, count(*) AS c FROM "
+        "(SELECT doc_id, unnest(l) AS g FROM t) GROUP BY doc_id, g), "
+        "c2 AS (SELECT doc_id, g, count(*) AS c FROM "
+        "(SELECT doc_id, unnest([array_to_string(l[i:i+1], ' ') "
+        "for i in range(1, len(l))]) AS g FROM t) GROUP BY doc_id, g), "
+        "pairs AS (SELECT r.doc_id FROM t r JOIN t c "
+        "ON c.doc_id = r.doc_id + 1), "
+        "ov1 AS (SELECT a.doc_id, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov "
+        "FROM c1 a JOIN c1 b ON b.doc_id = a.doc_id + 1 AND a.g = b.g "
+        "GROUP BY a.doc_id), "
+        "d1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM c1 "
+        "GROUP BY doc_id), "
+        "r1 AS (SELECT p.doc_id, (coalesce(ov.ov, 0) * 10000) // d.tot "
+        "AS rouge1_e4 FROM pairs p JOIN d1 d USING (doc_id) "
+        "LEFT JOIN ov1 ov USING (doc_id)), "
+        "ov2 AS (SELECT a.doc_id, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov "
+        "FROM c2 a JOIN c2 b ON b.doc_id = a.doc_id + 1 AND a.g = b.g "
+        "GROUP BY a.doc_id), "
+        "d2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM c2 "
+        "GROUP BY doc_id), "
+        "r2 AS (SELECT p.doc_id, (coalesce(ov.ov, 0) * 10000) // d.tot "
+        "AS rouge2_e4 FROM pairs p JOIN d2 d USING (doc_id) "
+        "LEFT JOIN ov2 ov USING (doc_id)) "
+        "SELECT r1.doc_id, rouge1_e4, rouge2_e4 FROM r1 JOIN r2 USING (doc_id)",
     ),
     "q_kmeans": (q_kmeans, _KMEANS_SQL),
     "q_topic_labels": (q_topic_labels, _TOPIC_LABELS_SQL),
