@@ -465,6 +465,46 @@ def q_dedup_recall(spark, sf_dir):
     )
 
 
+def q_minhash_estimate(spark, sf_dir):
+    """MinHash estimator audit: per LSH candidate pair, the signature-
+    agreement estimate of Jaccard (agreeing positions / n_perm — the
+    unbiased MinHash estimator) NEXT TO the exact shingle Jaccard, both
+    in integer basis points (est_e4 = agree·10000/8 = agree·1250; jac_e4 =
+    (|A∩B|·10000) DIV |A∪B|), so the sketch's accuracy is itself
+    hash-checked.  This closes the audit triangle: q_minhash_pairs pins
+    the banding, q_dedup_recall pins recall, this pins the estimator.
+    Cost: the signatures/pairs already exist; exact Jaccard touches
+    candidates only."""
+    d = _docs(spark, sf_dir)
+    sigs = D.minhash_signatures(d, n_perm=8)
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
+    agree = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    sh = F.array_distinct(T.shingles(T.tokens("text"), 3))
+    da = d.select(F.col("doc_id").alias("id_a"), sh.alias("ga"))
+    db = d.select(F.col("doc_id").alias("id_b"), sh.alias("gb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (agree * 1250).alias("est_e4"),
+            F.expr(
+                "(size(array_intersect(ga, gb)) * 10000) "
+                "DIV size(array_distinct(concat(ga, gb)))"
+            ).alias("jac_e4"),
+        )
+    )
+
+
 def q_crosscorpus_dedup(spark, sf_dir):
     """Cross-corpus near-dup removal (operators/dedup.py
     crosscorpus_dedup): the corpus (source != 'src0') deduped against the
@@ -2252,6 +2292,23 @@ QUERIES = {
         "SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node",
     ),
     "q_neardup_verified": (q_neardup_verified, _NEARDUP_VERIFIED_SQL),
+    "q_minhash_estimate": (
+        q_minhash_estimate,
+        _MINHASH_SIG_CTE.format(nperm=8)
+        + ", bands AS (SELECT doc_id, b, md5(array_to_string(sigl[b*2+1:b*2+2], '|')) AS bucket "
+        "FROM sig, (SELECT unnest(range(0, 4)) AS b)), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a "
+        "JOIN bands c ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id) "
+        "SELECT p.id_a, p.id_b, "
+        "list_sum(list_transform(range(1, 9), "
+        "i -> CASE WHEN sa.sigl[i] = sb.sigl[i] THEN 1 ELSE 0 END)) * 1250 "
+        "AS est_e4, "
+        "(len(list_intersect(da.sh, db.sh)) * 10000) // "
+        "len(list_distinct(da.sh || db.sh)) AS jac_e4 "
+        "FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a "
+        "JOIN sig sb ON sb.doc_id = p.id_b "
+        "JOIN d da ON da.doc_id = p.id_a JOIN d db ON db.doc_id = p.id_b",
+    ),
     "q_dedup_recall": (
         q_dedup_recall,
         # exact ground truth from the shingle inverted index (no
