@@ -442,8 +442,10 @@ def q_dedup_recall(spark, sf_dir):
     cost Σ_g df(g)², bounded by the hottest shingle, never corpus-
     quadratic (at 100 TB, boilerplate shingles are df-capped first; a
     pair sharing ONLY ultra-common shingles sits far below any useful
-    threshold).  Reports n_true / n_caught / recall — the number a
-    dedup deployment must monitor before trusting its banding config."""
+    threshold).  Reports n_true / n_caught / recall, plus n_cand /
+    precision of the candidate set (how much the exact verify stage pays
+    per true pair found) — the two numbers a dedup deployment must
+    monitor before trusting its banding config."""
     d = _docs(spark, sf_dir)
     truth = D.exact_neardup_pairs(d)
     cands = D.lsh_candidate_pairs(
@@ -454,14 +456,23 @@ def q_dedup_recall(spark, sf_dir):
         ["id_a", "id_b"],
         "left",
     )
-    return flagged.agg(
-        F.count(F.lit(1)).alias("n_true"), F.count("__hit").alias("n_caught")
-    ).select(
-        "n_true",
-        "n_caught",
-        F.when(F.col("n_true") == 0, F.lit(0.0))
-        .otherwise(F.round(F.col("n_caught") / F.col("n_true"), 4))
-        .alias("recall"),
+    return (
+        flagged.agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("__hit").alias("n_caught"),
+        )
+        .crossJoin(F.broadcast(cands.agg(F.count(F.lit(1)).alias("n_cand"))))
+        .select(
+            "n_true",
+            "n_caught",
+            F.when(F.col("n_true") == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("n_caught") / F.col("n_true"), 4))
+            .alias("recall"),
+            "n_cand",
+            F.when(F.col("n_cand") == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("n_caught") / F.col("n_cand"), 4))
+            .alias("precision"),
+        )
     )
 
 
@@ -2332,7 +2343,11 @@ QUERIES = {
         "CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_caught, "
         "CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0.0 "
         "ELSE round((SELECT count(*) FROM hit) / "
-        "CAST((SELECT count(*) FROM truth) AS DOUBLE), 4) END AS recall",
+        "CAST((SELECT count(*) FROM truth) AS DOUBLE), 4) END AS recall, "
+        "CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand, "
+        "CASE WHEN (SELECT count(*) FROM cand) = 0 THEN 0.0 "
+        "ELSE round((SELECT count(*) FROM hit) / "
+        "CAST((SELECT count(*) FROM cand) AS DOUBLE), 4) END AS precision",
     ),
     "q_knn_join": (
         q_knn_join,

@@ -262,6 +262,8 @@ def test_registry_plans_lint_clean(spark):
         "q_ann_ivfpq",
         # topic labeling: inherits kmeans' k-centroid broadcasts
         "q_topic_labels",
+        # dedup recall audit: 1-row candidate-count broadcast (precision)
+        "q_dedup_recall",
         # PMI: 1-row corpus-totals broadcast
         "q_pmi_collocations",
         # SemDeDup assignment: 16 centroids broadcast (ivf_assign shape)
