@@ -115,6 +115,58 @@ def q_kmeans(spark, sf_dir):
     )
 
 
+def q_batch_padding(spark, sf_dir):
+    """Inference-batching padding audit: fixed-size batches of 8 docs
+    per source, assigned (a) in arrival order and (b) length-sorted —
+    the length-bucketing trick batch-inference engines use.  Every batch
+    pads to its longest member, so padded = Σ_b max_tok(b)·|b| and the
+    waste ratio (padded − real) / padded, in exact integer basis points,
+    quantifies what bucketing saves.  One output row per strategy.
+
+    Scale shape: both assignments are per-source window ranks (the
+    parallel unit is the source shard — no global sort), then two hash
+    aggregates; everything is integer arithmetic, so the comparison is
+    hash-checked, not a float claim."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(T.tokens("text")).alias("n_tok")
+    )
+    out = []
+    for strategy, order in (
+        ("arrival", [F.col("doc_id")]),
+        ("length_sorted", [F.col("n_tok"), F.col("doc_id")]),
+    ):
+        w = Window.partitionBy("source").orderBy(*order)
+        batched = d.select(
+            "source",
+            "n_tok",
+            ((F.row_number().over(w) - 1) / 8).cast("bigint").alias("b"),
+        )
+        per_batch = batched.groupBy("source", "b").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("n_tok").alias("mx"),
+            F.sum("n_tok").alias("s"),
+        )
+        out.append(
+            per_batch.agg(
+                F.count(F.lit(1)).alias("n_batches"),
+                F.sum(F.col("mx") * F.col("n")).alias("padded_tokens"),
+                F.sum("s").alias("real_tokens"),
+            ).select(
+                F.lit(strategy).alias("strategy"),
+                "n_batches",
+                "padded_tokens",
+                "real_tokens",
+                F.expr(
+                    "((padded_tokens - real_tokens) * 10000) "
+                    "DIV padded_tokens"
+                ).alias("waste_bp"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
 def q_rouge_overlap(spark, sf_dir):
     """ROUGE-1/2 recall between adjacent doc pairs (ref = doc_id, cand =
     doc_id+1) — the n-gram overlap metric summarization/distillation
@@ -2580,6 +2632,31 @@ QUERIES = {
         "SELECT doc_id, CAST((st - 1) // 6 AS INTEGER) AS chunk_idx, "
         "array_to_string(list_slice(toks, st, st + 7), ' ') AS chunk, "
         "len(list_slice(toks, st, st + 7)) AS n_tok FROM s",
+    ),
+    "q_batch_padding": (
+        q_batch_padding,
+        "WITH d AS (SELECT doc_id, source, "
+        "len(string_split(trim(text), ' ')) AS n_tok FROM documents), "
+        "a AS (SELECT source, n_tok, (row_number() OVER "
+        "(PARTITION BY source ORDER BY doc_id) - 1) // 8 AS b FROM d), "
+        "pa AS (SELECT source, b, count(*) AS n, max(n_tok) AS mx, "
+        "CAST(sum(n_tok) AS BIGINT) AS s FROM a GROUP BY source, b), "
+        "ra AS (SELECT 'arrival' AS strategy, "
+        "CAST(count(*) AS BIGINT) AS n_batches, "
+        "CAST(sum(mx * n) AS BIGINT) AS padded_tokens, "
+        "CAST(sum(s) AS BIGINT) AS real_tokens FROM pa), "
+        "l AS (SELECT source, n_tok, (row_number() OVER "
+        "(PARTITION BY source ORDER BY n_tok, doc_id) - 1) // 8 AS b "
+        "FROM d), "
+        "pl AS (SELECT source, b, count(*) AS n, max(n_tok) AS mx, "
+        "CAST(sum(n_tok) AS BIGINT) AS s FROM l GROUP BY source, b), "
+        "rl AS (SELECT 'length_sorted' AS strategy, "
+        "CAST(count(*) AS BIGINT) AS n_batches, "
+        "CAST(sum(mx * n) AS BIGINT) AS padded_tokens, "
+        "CAST(sum(s) AS BIGINT) AS real_tokens FROM pl) "
+        "SELECT strategy, n_batches, padded_tokens, real_tokens, "
+        "((padded_tokens - real_tokens) * 10000) // padded_tokens "
+        "AS waste_bp FROM (SELECT * FROM ra UNION ALL SELECT * FROM rl)",
     ),
     "q_rouge_overlap": (
         q_rouge_overlap,
