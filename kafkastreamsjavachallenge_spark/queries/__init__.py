@@ -47,9 +47,12 @@ _MODULES = (
 # each round: a handful of flagship constants stay pinned (regression
 # canaries for the reference-parity core) and the rest are ids that have
 # never had a driver-checked row — r01 covered the module-order head, r03
-# a cross-section, r04 (this slate) 44 first-time ids (TPC-H tail, window
-# functions, scalar packs, curation ops, ANN), pushing lifetime driver
-# coverage to ~134/189.  Remaining ids follow in module order.
+# a cross-section, r04 44 first-time ids (TPC-H tail, window functions,
+# curation ops, ANN; lifetime 138/231 after r04), r05 (this slate) the two
+# r04 red rows re-checked after their oracle CAST fix, every oracle touched
+# this round, the late-r04 additions, and 25 more never-checked ids
+# (lifetime 180/231 if green).  Remaining ids follow in module order;
+# never-checked after r05: ~51 (queued for r06/r07).
 _PRIORITY = (
     # flagship constants — every round
     "q_source_scan",
@@ -58,61 +61,56 @@ _PRIORITY = (
     "q_minhash_pairs",
     "q_curation_pipeline",
     "q_stream_unique_users",
-    # TPC-H shapes never driver-checked before r04
-    "q_tpch_q2",
-    "q_tpch_q8",
-    "q_tpch_q11",
+    # r04 red rows re-checked after the HUGEINT->BIGINT oracle casts
+    # (values were verified identical; only the oracle type was wrong)
     "q_tpch_q12",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    # window-function pack
-    "q_range_frame",
-    "q_ntile",
-    "q_dense_rank",
-    "q_cume_dist",
-    "q_percent_rank",
-    "q_first_last",
-    # round-4 additions (newest code gets driver validation first; the
-    # scalar packs they displaced rotate into the r05 slate)
-    "q_bm25",
-    "q_dsir_weights",
-    "q_domain_cap",
-    "q_remove_dup_spans",
-    "q_hybrid_rrf",
-    "q_pca_project",
-    "q_rp_project",
-    "q_bpe_tokenize",
-    "q_stream_curation",
-    # curation / training-data ops
-    "q_sample_hash",
-    "q_stratified_sample",
-    "q_train_test_split",
-    "q_shard_assign",
-    "q_decontaminate",
-    "q_pii_scrub",
-    "q_chunk_dedup",
-    "q_mix_weights",
     "q_pack_sequences",
-    "q_gopher_repetition",
-    # round-4 brand-new ids (explicit-register HLL, priority sampling,
-    # release diff, curriculum phases) — newest code gets driver
-    # validation first; the displaced ids (q_ngram_jaccard, q_minhash_sig,
-    # q_fingerprint, q_graph_degree — each subsumed by an already-checked
-    # composite) rotate into the r05 slate
-    "q_hll_explicit",
-    "q_priority_sample",
-    "q_dataset_diff",
-    "q_curriculum",
-    # ANN / similarity / graph tail
-    "q_ann_lsh",
-    "q_ann_pq",
-    "q_fuzzy_join",
-    "q_stream_session",
+    # oracles touched this round (lint-found HUGEINT casts + ADVICE items)
+    # get driver validation first
+    "q_chi_square",
+    "q_reagg_merge",
+    "q_hist_quantile",
+    "q_bpe_train",
+    "q_dup_rate_by_source",
+    "q_minhash_estimate",
+    "q_fasttext_score",
+    # late-r04 additions + displaced ids named in VERDICT r04 item 3
+    "q_graph_degree",
+    "q_ann_ivfpq",
+    "q_inverted_index",
+    "q_dedup_recall",
+    "q_stream_neardup",
+    "q_topic_labels",
+    "q_winnow_fingerprint",
+    "q_pmi_collocations",
+    "q_rouge_overlap",
+    "q_batch_padding",
+    # never-driver-checked tail, module order (extended/analytics packs)
+    "q_posexplode",
+    "q_pivot",
+    "q_histogram",
+    "q_unpivot",
+    "q_profile",
+    "q_group_normalize",
+    "q_percentile",
+    "q_exists_subquery",
+    "q_scalar_subquery",
+    "q_regexp_fns",
+    "q_date_arith",
+    "q_array_fns",
+    "q_map_fns",
+    "q_time_to_convert",
+    "q_stats_agg",
+    "q_median",
+    "q_autocorr",
+    "q_null_fns",
+    "q_scd2",
+    "q_regr",
+    "q_bit_agg",
+    "q_bool_agg",
+    "q_string_agg",
+    "q_lateral_topn",
+    "q_sessionize_gap",
 )
 
 

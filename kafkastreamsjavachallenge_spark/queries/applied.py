@@ -451,7 +451,7 @@ QUERIES = {
         "/ (rt*ct/tot) AS DECIMAL(28,10))) AS DOUBLE), 4) AS chi2, "
         "CAST((count(DISTINCT o_orderstatus) - 1) * "
         "(count(DISTINCT o_orderpriority) - 1) AS BIGINT) AS dof, "
-        "max(tot) AS n FROM t",
+        "CAST(max(tot) AS BIGINT) AS n FROM t",
     ),
     "q_gini": (
         q_gini,

@@ -380,7 +380,7 @@ QUERIES = {
         "min(l_extendedprice) AS mn, max(l_extendedprice) AS mx "
         "FROM lineitem GROUP BY 1, 2), "
         "merged AS (SELECT l_returnflag, date_trunc('month', d) AS month, "
-        "sum(s) AS s_dec, sum(c) AS n, min(mn) AS min_price, "
+        "sum(s) AS s_dec, CAST(sum(c) AS BIGINT) AS n, min(mn) AS min_price, "
         "max(mx) AS max_price FROM daily GROUP BY 1, 2) "
         "SELECT l_returnflag, month, CAST(s_dec AS DOUBLE) AS sum_price, "
         "n, min_price, max_price, "
@@ -398,7 +398,8 @@ QUERIES = {
         "cum AS (SELECT bin, lo, hi, "
         "sum(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING "
         "AND CURRENT ROW) AS cum, sum(c) OVER () AS n FROM bins) "
-        "SELECT bin, n, round(lo + (bin + 0.5) / 1000 * (hi - lo), 4) "
+        "SELECT bin, CAST(n AS BIGINT) AS n, "
+        "round(lo + (bin + 0.5) / 1000 * (hi - lo), 4) "
         "AS approx_median FROM cum WHERE cum * 2 >= n "
         "ORDER BY bin LIMIT 1",
     ),

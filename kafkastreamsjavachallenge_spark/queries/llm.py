@@ -1729,7 +1729,8 @@ def _bpe_train_sql(rounds: int = 4) -> str:
             + f" AS u FROM s{r - 1} CROSS JOIN m{r})"
         )
     sql += " " + " UNION ALL ".join(
-        f"SELECT {r} AS round, a, b, pair_count FROM m{r}"
+        f"SELECT {r} AS round, a, b, "
+        f"CAST(pair_count AS BIGINT) AS pair_count FROM m{r}"
         for r in range(1, rounds + 1)
     )
     return sql
@@ -2156,7 +2157,11 @@ def q_fasttext_score(spark, sf_dir):
     expensive part of a real deployment (training) never touches the
     corpus scan."""
     d = _docs(spark, sf_dir)
-    toks = T.tokens("text")
+    # NULL-total: coalesce text to '' so a NULL row yields n_feat=0,
+    # margin=0, keep=1 — matching the oracle (DuckDB greatest() ignores
+    # NULLs, list_sum([]) is coalesced to 0).  Fixture text is non-null;
+    # this pins behavior only for out-of-contract inputs (ADVICE r04).
+    toks = T.tokens(F.coalesce(F.col("text"), F.lit("")))
     n1 = F.greatest(F.size(toks) - 1, F.lit(0))
     bgs = F.zip_with(
         F.slice(toks, 1, n1),
@@ -2363,9 +2368,9 @@ QUERIES = {
         "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a "
         "JOIN bands c ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id) "
         "SELECT p.id_a, p.id_b, "
-        "list_sum(list_transform(range(1, 9), "
+        "CAST(list_sum(list_transform(range(1, 9), "
         "i -> CASE WHEN sa.sigl[i] = sb.sigl[i] THEN 1 ELSE 0 END)) * 1250 "
-        "AS est_e4, "
+        "AS BIGINT) AS est_e4, "
         "(len(list_intersect(da.sh, db.sh)) * 10000) // "
         "len(list_distinct(da.sh || db.sh)) AS jac_e4 "
         "FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a "
@@ -2906,7 +2911,8 @@ QUERIES = {
         "CAST((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 512 "
         "AS BIGINT) AS bin FROM d) "
-        "SELECT source, bin, count(*) AS n_docs, sum(n_tok) AS total_tokens "
+        "SELECT source, bin, count(*) AS n_docs, "
+        "CAST(sum(n_tok) AS BIGINT) AS total_tokens "
         "FROM b GROUP BY source, bin",
     ),
     "q_dup_rate_by_source": (
@@ -2916,10 +2922,10 @@ QUERIES = {
         f"WITH ids AS (SELECT id_a AS doc_id FROM ({_NEARDUP_VERIFIED_SQL}) nv1 "
         f"UNION SELECT id_b FROM ({_NEARDUP_VERIFIED_SQL}) nv2) "
         "SELECT source, count(*) AS n_docs, "
-        "sum(CASE WHEN doc_id IN (SELECT doc_id FROM ids) THEN 1 ELSE 0 END) "
-        "AS n_dup, "
-        "(sum(CASE WHEN doc_id IN (SELECT doc_id FROM ids) THEN 1 ELSE 0 END) "
-        "* 10000) // count(*) AS dup_rate_bp "
+        "CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM ids) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_dup, "
+        "(CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM ids) THEN 1 ELSE 0 END) "
+        "AS BIGINT) * 10000) // count(*) AS dup_rate_bp "
         "FROM documents GROUP BY source",
     ),
     "q_export_manifest": (
