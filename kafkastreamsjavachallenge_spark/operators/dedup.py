@@ -113,6 +113,63 @@ def remove_dup_spans(
     )
 
 
+def shingled_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    spread: bool = False,
+) -> DataFrame:
+    """(id, sh: array<string>) — the distinct-k-shingle subtree shared by
+    ``minhash_signatures`` and ``exact_neardup_pairs``.  The interpreted-
+    HOF shingling is the dominant per-doc cost of both; an audit that
+    needs both (q_dedup_recall) computes this once, ``localCheckpoint``s
+    it, and feeds the two ``*_from_shingled`` consumers — one shingling
+    pass instead of two.  ``spread=True`` repartitions the cheap raw docs
+    on id first so the |docs|×|shingles| expansion is parallel on any
+    input split layout."""
+    base = df
+    if spread:
+        base = df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+    sh = F.array_distinct(shingles(tokens(text_col), shingle_k))
+    return base.select(F.col(id_col), sh.alias("sh"))
+
+
+def minhash_signatures_from_shingled(
+    shd: DataFrame,
+    id_col: str = "doc_id",
+    n_perm: int = 8,
+) -> DataFrame:
+    """MinHash signatures from a pre-shingled (id, sh) frame — see
+    ``minhash_signatures`` for the scheme and plan-shape notes."""
+    # explode_outer + post-explode null filter, NOT plain explode: for
+    # explode, InferFiltersFromGenerate infers `size(sh)>0` and predicate
+    # pushdown moves it below the repartition — re-evaluating the
+    # (interpreted-HOF) shingle expression in the unparallelized
+    # pre-shuffle stage, doubling its cost.  explode_outer is exempt from
+    # that inference; the cheap isNotNull filter on the generated column
+    # cannot sink below the Generate and restores identical semantics
+    # (short docs contribute no rows).
+    base = (
+        shd.select(F.col(id_col), F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .select(F.col(id_col), base_hash28(F.col("shingle")).alias("v"))
+    )
+    mins = [
+        F.min(minhash_perm(F.col("v"), s)).alias(f"mh{s}") for s in range(n_perm)
+    ]
+    return (
+        base.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"mh{s}") for s in range(n_perm)]).alias("sig"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -133,34 +190,10 @@ def minhash_signatures(
     there is no second exchange.  Versus hashing every shingle n_perm
     times, the work drops by ~n_perm×.  Returns (id, sig: array<bigint>).
     """
-    spread = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
-    sh = F.array_distinct(shingles(tokens(text_col), shingle_k))
-    # explode_outer + post-explode null filter, NOT plain explode: for
-    # explode, InferFiltersFromGenerate infers `size(sh)>0` and predicate
-    # pushdown moves it below the repartition — re-evaluating the
-    # (interpreted-HOF) shingle expression in the unparallelized
-    # pre-shuffle stage, doubling its cost.  explode_outer is exempt from
-    # that inference; the cheap isNotNull filter on the generated column
-    # cannot sink below the Generate and restores identical semantics
-    # (short docs contribute no rows).
-    base = (
-        spread.select(F.col(id_col), sh.alias("sh"))
-        .select(F.col(id_col), F.explode_outer("sh").alias("shingle"))
-        .filter(F.col("shingle").isNotNull())
-        .select(F.col(id_col), base_hash28(F.col("shingle")).alias("v"))
-    )
-    mins = [
-        F.min(minhash_perm(F.col("v"), s)).alias(f"mh{s}") for s in range(n_perm)
-    ]
-    return (
-        base.groupBy(id_col)
-        .agg(*mins)
-        .select(
-            F.col(id_col),
-            F.array(*[F.col(f"mh{s}") for s in range(n_perm)]).alias("sig"),
-        )
+    return minhash_signatures_from_shingled(
+        shingled_docs(df, text_col, id_col, shingle_k, spread=True),
+        id_col,
+        n_perm,
     )
 
 
@@ -246,10 +279,17 @@ def exact_neardup_pairs(
     pair sharing ONLY ultra-common shingles sits far below threshold).
     This is the referee for LSH configs (q_dedup_recall), not the scale
     dedup path itself — that remains MinHash banding."""
-    shd = df.select(
-        F.col(id_col),
-        F.array_distinct(shingles(tokens(text_col), shingle_k)).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    return exact_neardup_pairs_from_shingled(
+        shingled_docs(df, text_col, id_col, shingle_k), id_col
+    )
+
+
+def exact_neardup_pairs_from_shingled(
+    shd: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact near-dup pairs from a pre-shingled (id, sh) frame — see
+    ``exact_neardup_pairs`` for semantics and the Σ df(g)² cost bound."""
+    shd = shd.filter(F.size("sh") > 0)
     ex = shd.select(F.col(id_col), F.explode_outer("sh").alias("g")).filter(
         F.col("g").isNotNull()
     )

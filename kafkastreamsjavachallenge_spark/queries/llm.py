@@ -499,9 +499,17 @@ def q_dedup_recall(spark, sf_dir):
     per true pair found) — the two numbers a dedup deployment must
     monitor before trusting its banding config."""
     d = _docs(spark, sf_dir)
-    truth = D.exact_neardup_pairs(d)
+    # one shingling pass for both pipelines: the interpreted-HOF shingle
+    # subtree dominates per-doc cost and is identical in the exact ground
+    # truth and the MinHash signatures — localCheckpoint materializes it
+    # once (lazily, at first action) and both consumers read the cached
+    # partitions instead of re-shingling the corpus
+    shd = D.shingled_docs(d, spread=True).localCheckpoint(eager=False)
+    truth = D.exact_neardup_pairs_from_shingled(shd)
     cands = D.lsh_candidate_pairs(
-        D.minhash_signatures(d, n_perm=8), bands=4, rows_per_band=2
+        D.minhash_signatures_from_shingled(shd, n_perm=8),
+        bands=4,
+        rows_per_band=2,
     )
     flagged = truth.join(
         cands.select("id_a", "id_b", F.lit(1).alias("__hit")),
