@@ -882,3 +882,110 @@ def test_exact_neardup_ground_truth_on_50k_docs(spark):
     )
     n_caught = truth.join(cands, ["id_a", "id_b"], "left_semi").count()
     assert n_caught == n // 2  # recall 1.0 on planted twins
+
+
+def test_winnow_fingerprint_on_100k_docs(spark, tmp_path):
+    """Winnowing at 100k docs (20× the sf0.1 corpus) with the scheme's own
+    guarantee as the oracle: doc i and its twin i + n/2 share a planted
+    8-token run (>= w+k-1 = 6), so winnowing MUST give them a common
+    fingerprint — all n/2 twin pairs are recovered via one explode +
+    equi-join on fingerprint, and the per-row HOF projection stays
+    shuffle-free and bounded in time."""
+    from kafkastreamsjavachallenge_spark.queries.llm import q_winnow_fingerprint
+
+    n = 100_000
+    base = F.col("id") % (n // 2)
+    uniq = lambda tag: F.transform(
+        F.sequence(F.lit(0), F.lit(9)),
+        lambda j: F.concat(F.lit(tag), F.col("id") * 10 + j),
+    )
+    shared = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda j: F.concat(F.lit("s"), base * 8 + j),
+    )
+    text = F.concat_ws(
+        " ", F.flatten(F.array(uniq("u"), shared, uniq("v")))
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synthetic").alias("source"),
+        F.length(text).alias("n_chars"),
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    t0 = time.time()
+    fps = q_winnow_fingerprint(spark, str(tmp_path))
+    assert fps.count() == n  # every doc is long enough to fingerprint
+    ex = fps.select(
+        "doc_id", F.explode(F.split("fps", "\\|")).alias("fp")
+    ).distinct()
+    twins = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            on=[
+                F.col("a.fp") == F.col("b.fp"),
+                F.col("b.doc_id") == F.col("a.doc_id") + n // 2,
+            ],
+        )
+        .select(F.col("a.doc_id"))
+        .distinct()
+        .count()
+    )
+    elapsed = time.time() - t0
+    # the winnowing guarantee: every planted twin pair shares >= 1 print
+    assert twins == n // 2
+    assert elapsed < 90, f"winnowing took {elapsed:.1f}s on {n} docs"
+
+
+def test_topic_labels_on_100k_planted_clusters(spark, tmp_path):
+    """Topic labeling at 100k vectors/docs with a closed-form answer: 8
+    tight planted blobs, one per lowest-id init vector (the trainer seeds
+    from the k lowest ids), so Lloyd's converges to blob == centroid_id ==
+    vec_id % 8; each blob's docs use a disjoint 10-term vocabulary, so the
+    top-3 labels per cluster are exactly its three lexicographically
+    smallest terms (equal scores tie-break on term)."""
+    from kafkastreamsjavachallenge_spark.queries.llm import q_topic_labels
+
+    n = 100_000
+    c = F.col("id") % 8
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda j: (
+            F.when(j == c, F.lit(10.0)).otherwise(F.lit(0.0))
+            + ((F.col("id") * 31 + j * 7) % 7 - 3).cast("double") * 0.05
+        ).cast("float"),
+    )
+    spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        emb.alias("embedding"),
+        c.cast("int").alias("label"),
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    words = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(9)),
+            lambda j: F.concat(F.lit("t"), c, F.lit("_"), j),
+        ),
+    )
+    spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        words.alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synthetic").alias("source"),
+        F.length(words).alias("n_chars"),
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    t0 = time.time()
+    rows = q_topic_labels(spark, str(tmp_path)).collect()
+    elapsed = time.time() - t0
+    assert len(rows) == 24  # 8 clusters x top-3 terms
+    got = {
+        (r["centroid_id"], r["rn"]): r["term"] for r in rows
+    }
+    for cl in range(8):
+        for rank in range(1, 4):
+            assert got[(cl, rank)] == f"t{cl}_{rank - 1}"
+    assert elapsed < 120, f"topic labels took {elapsed:.1f}s on {n} docs"
