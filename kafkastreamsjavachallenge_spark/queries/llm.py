@@ -2297,6 +2297,268 @@ _NEARDUP_VERIFIED_SQL = (
 )
 
 
+# the add-one bigram-LM oracle, shared by q_bigram_logprob and the
+# perplexity bucketing built on it (nested as a FROM-subquery there —
+# DuckDB scopes CTEs per subquery, same trick as q_ann_recall)
+_BIGRAM_NLL_SQL = (
+    f"WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+    "bg AS (SELECT doc_id, i, t[i] AS a, t[i + 1] AS b FROM "
+    "(SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d "
+    "WHERE len(t) >= 2)), "
+    "cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2), "
+    "ctx AS (SELECT a, count(*) AS c_a FROM bg GROUP BY 1), "
+    "vv AS (SELECT count(DISTINCT tok) AS v FROM "
+    "(SELECT unnest(t) AS tok FROM d)), "
+    "per AS (SELECT doc_id, i, -ln(CAST(c_ab + 1 AS DOUBLE) / "
+    "CAST(c_a + v AS DOUBLE)) AS contrib FROM bg "
+    "JOIN cab USING (a, b) JOIN ctx USING (a) CROSS JOIN vv) "
+    "SELECT doc_id, round(list_reduce(list_prepend("
+    "CAST(0.0 AS DOUBLE), list(contrib ORDER BY i)), "
+    "(x, y) -> x + y) / count(*), 4) AS avg_nll, "
+    "count(*) AS n_bigrams FROM per GROUP BY doc_id"
+)
+
+
+# ---------------------------------------------- round-5 additions:
+# fuzzy verify, CDC chunking, sampling temperature, vocab coverage,
+# LM-perplexity buckets, duplicate-cluster canonical selection
+
+
+def q_edit_distance(spark, sf_dir):
+    """Edit-distance verification of LSH candidate pairs — the fuzzy-
+    dedup verify stage where token-level Jaccard is too coarse (OCR
+    noise, single-character edits): exact Levenshtein over each
+    candidate pair's raw text (Spark's JVM built-in, value-identical to
+    DuckDB's levenshtein), plus an integer basis-point similarity
+    (max_len - dist)·10000 DIV max_len for thresholding.
+
+    Scale shape: Levenshtein is O(len_a·len_b) per pair but runs ONLY
+    on LSH candidates — banding prunes the corpus-quadratic pair space
+    first, so the verify cost tracks candidate count, not corpus size;
+    at 100 TB add an upstream length cap (the curation pipeline already
+    bounds doc length) to bound the per-pair cost."""
+    d = _docs(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(
+        D.minhash_signatures(d, n_perm=8), bands=4, rows_per_band=2
+    )
+    ta = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    tb = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("ta", "tb").cast("bigint").alias("dist"),
+            F.greatest(F.length("ta"), F.length("tb"))
+            .cast("bigint")
+            .alias("max_len"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "dist",
+            F.expr("((max_len - dist) * 10000) DIV max_len").alias("sim_bp"),
+        )
+    )
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (FastCDC/rolling-hash family): a chunk
+    boundary falls AFTER token position i whenever that token's 28-bit
+    hash is 0 mod 16 (expected chunk ≈ 16 tokens) — so chunk boundaries
+    survive insertions/deletions elsewhere in the document, the property
+    that makes CDC the storage-dedup splitter (fixed-width chunks shift
+    on any edit; content-defined ones don't).  Reports per-doc chunk
+    count and extreme chunk sizes.
+
+    Pure per-row HOF projection — zero shuffles, embarrassingly
+    parallel; the (chunk-hash → doc) dedup index this feeds is one
+    explode + groupBy away, exactly like q_chunk_dedup's fixed-width
+    variant."""
+    d = _docs(spark, sf_dir)
+    out = d.select("doc_id", T.tokens("text").alias("t"))
+    bp = F.when(
+        F.size("t") >= 2,
+        F.filter(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: T.base_hash28(F.element_at("t", i)) % 16 == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    lens = T.let(
+        bp,
+        lambda b: F.zip_with(
+            F.concat(F.array(F.lit(0)), b),
+            F.concat(b, F.array(F.size("t"))),
+            lambda a, e: e - a,
+        ),
+    )
+    return out.select(
+        "doc_id",
+        F.size("t").alias("n_tok"),
+        T.let(
+            lens,
+            lambda ls: F.struct(
+                F.size(ls).alias("n_chunks"),
+                F.array_max(ls).alias("max_chunk"),
+                F.array_min(ls).alias("min_chunk"),
+            ),
+        ).alias("c"),
+    ).select("doc_id", "n_tok", "c.n_chunks", "c.max_chunk", "c.min_chunk")
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled sampling weights per source (the multilingual
+    mixing rule of mC4/XLM-R): p_i ∝ n_tokens_i^τ with τ = 0.5 — hot
+    sources are downweighted, rare ones upweighted, τ→0 is uniform and
+    τ=1 proportional.  Reported in integer e6 (floor), with the
+    denominator folded in source order on BOTH engines so the irrational
+    sqrt sums add in one pinned sequence (the order-unspecified float-agg
+    drift class cannot occur).
+
+    Scale shape: one map-side-combinable agg to per-source token counts
+    (|sources| rows), a scalar broadcast — the corpus is scanned once."""
+    per = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum(F.size(T.tokens("text"))).alias("n_tokens"))
+    )
+    scored = per.select(
+        "source",
+        "n_tokens",
+        F.sqrt(F.col("n_tokens").cast("double")).alias("s"),
+    )
+    denom = scored.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("denom")
+    )
+    return scored.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_tokens",
+        F.floor(F.col("s") / F.col("denom") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("weight_e6"),
+    )
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve — the tokenizer-design question "how
+    many types cover 90% / 99% of all token occurrences?": rank types by
+    (frequency desc, token), take the running occurrence sum, and report
+    the smallest rank whose cumulative share crosses each threshold.
+    The gates are integer-exact (cum·10 >= 9·total), so no float
+    boundary can flip a rank across engines or testdata seeds.
+
+    Scale shape: the corpus collapses to a vocab-sized (type, count)
+    table first (one map-side-combinable agg), so the global running-sum
+    window runs over |vocab| rows, not |tokens|; at a 100 TB vocab the
+    same prefix sum is two passes (per-range subtotals broadcast back),
+    never a corpus sort."""
+    from pyspark.sql import Window
+
+    tf = (
+        _docs(spark, sf_dir)
+        .select(F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    order = Window.orderBy(F.col("n").desc(), "tok")
+    ranked = tf.select(
+        "n",
+        F.row_number().over(order).alias("r"),
+        F.sum("n")
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    tot = tf.agg(F.sum("n").alias("tot"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("r").alias("vocab_size"),
+            F.max("tot").alias("n_tokens"),
+            F.min(F.when(F.col("cum") * 10 >= F.col("tot") * 9, F.col("r"))).alias(
+                "v90"
+            ),
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("tot") * 99, F.col("r"))
+            ).alias("v99"),
+        )
+    )
+
+
+def q_perplexity_bucket(spark, sf_dir):
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus-trained bigram LM (q_bigram_logprob's exact add-one model),
+    then split EACH LANGUAGE into head/middle/tail terciles of mean NLL
+    — the bucketing CCNet uses to keep fluent text per language rather
+    than letting one language's distribution set every threshold.
+
+    Scale shape: the LM pipeline is q_bigram_logprob's (vocabulary-sized
+    shuffle joins, order-pinned per-doc folds); the tercile window
+    partitions by language, so no global single-partition sort — a
+    pathologically hot language gets the same hash-threshold treatment
+    as q_domain_cap_scaled."""
+    from pyspark.sql import Window
+
+    nll = q_bigram_logprob(spark, sf_dir)
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    b = nll.join(langs, "doc_id").select(
+        "lang",
+        "avg_nll",
+        "n_bigrams",
+        F.ntile(3).over(w).alias("bucket"),
+    )
+    return b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("avg_nll").alias("lo"),
+        F.max("avg_nll").alias("hi"),
+        F.sum("n_bigrams").alias("total_bigrams"),
+    )
+
+
+def q_cluster_canonical(spark, sf_dir):
+    """Canonical-member selection for near-dup clusters: after connected
+    components over the LSH candidate graph, each multi-doc cluster
+    keeps its HIGHEST-QUALITY member (longest text, doc_id as the
+    deterministic tie-break) — the survivorship policy real dedup runs
+    use instead of min-id (min-id keeps whatever crawled first; quality
+    keeps the best copy).
+
+    Scale shape: components via min-label propagation (bounded rounds),
+    then one window per cluster — clusters are tiny by construction
+    (near-dup groups), so the per-partition sort is trivially bounded."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    comp = D.connected_components(
+        D.lsh_candidate_pairs(
+            D.minhash_signatures(d, n_perm=8), bands=4, rows_per_band=2
+        ),
+        d.select("doc_id"),
+    )
+    j = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    ranked = j.select(
+        "component",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("component")).alias("n_members"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("n_members") >= 2)).select(
+        "component",
+        "n_members",
+        F.col("doc_id").alias("canonical_id"),
+        F.col("n_chars").alias("kept_chars"),
+    )
+
+
 QUERIES = {
     "q_doc_dedup": (
         q_doc_dedup,
@@ -2834,24 +3096,7 @@ QUERIES = {
     "q_pca_project": (q_pca_project, _PCA_SQL),
     "q_bpe_tokenize": (q_bpe_tokenize, _BPE_SQL),
     "q_bpe_train": (q_bpe_train, _BPE_TRAIN_SQL),
-    "q_bigram_logprob": (
-        q_bigram_logprob,
-        f"WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
-        "bg AS (SELECT doc_id, i, t[i] AS a, t[i + 1] AS b FROM "
-        "(SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d "
-        "WHERE len(t) >= 2)), "
-        "cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2), "
-        "ctx AS (SELECT a, count(*) AS c_a FROM bg GROUP BY 1), "
-        "vv AS (SELECT count(DISTINCT tok) AS v FROM "
-        "(SELECT unnest(t) AS tok FROM d)), "
-        "per AS (SELECT doc_id, i, -ln(CAST(c_ab + 1 AS DOUBLE) / "
-        "CAST(c_a + v AS DOUBLE)) AS contrib FROM bg "
-        "JOIN cab USING (a, b) JOIN ctx USING (a) CROSS JOIN vv) "
-        "SELECT doc_id, round(list_reduce(list_prepend("
-        "CAST(0.0 AS DOUBLE), list(contrib ORDER BY i)), "
-        "(x, y) -> x + y) / count(*), 4) AS avg_nll, "
-        "count(*) AS n_bigrams FROM per GROUP BY doc_id",
-    ),
+    "q_bigram_logprob": (q_bigram_logprob, _BIGRAM_NLL_SQL),
     "q_rp_project": (
         q_rp_project,
         "WITH v AS (SELECT vec_id, list_transform(embedding, "
@@ -3038,5 +3283,89 @@ QUERIES = {
         "CAST(sum(n_tok) AS BIGINT) AS total_tokens, "
         "min(score_e4) AS min_score, max(score_e4) AS max_score "
         "FROM p GROUP BY lang, phase",
+    ),
+    "q_edit_distance": (
+        q_edit_distance,
+        _MINHASH_SIG_CTE.format(nperm=8)
+        + ", bands AS (SELECT doc_id, b, md5(array_to_string(sigl[b*2+1:b*2+2], '|')) AS bucket "
+        "FROM sig, (SELECT unnest(range(0, 4)) AS b)), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a "
+        "JOIN bands c ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id) "
+        "SELECT id_a, id_b, "
+        "CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist, "
+        "((greatest(length(da.text), length(db.text)) "
+        "- levenshtein(da.text, db.text)) * 10000) "
+        "// greatest(length(da.text), length(db.text)) AS sim_bp "
+        "FROM pairs p JOIN documents da ON da.doc_id = p.id_a "
+        "JOIN documents db ON db.doc_id = p.id_b",
+    ),
+    "q_cdc_chunks": (
+        q_cdc_chunks,
+        f"WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents), "
+        "b AS (SELECT doc_id, l, list_filter(range(1, len(l)), "
+        f"i -> {_H28_SQL.format(x='l[i]')} % 16 = 0) AS bp FROM t), "
+        "c AS (SELECT doc_id, len(l) AS n_tok, "
+        "list_prepend(0, bp) AS st, list_append(bp, len(l)) AS en FROM b), "
+        "lens AS (SELECT doc_id, n_tok, list_transform(range(1, len(st) + 1), "
+        "i -> en[i] - st[i]) AS ls FROM c) "
+        "SELECT doc_id, n_tok, len(ls) AS n_chunks, "
+        "list_max(ls) AS max_chunk, list_min(ls) AS min_chunk FROM lens",
+    ),
+    "q_temperature_mix": (
+        q_temperature_mix,
+        f"WITH per AS (SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) "
+        "AS n_tokens FROM documents GROUP BY source), "
+        "s AS (SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS sq "
+        "FROM per), "
+        "d AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list(sq ORDER BY source)), (a, x) -> a + x) AS denom FROM s) "
+        "SELECT source, n_tokens, "
+        "CAST(floor(sq / denom * 1000000.0) AS BIGINT) AS weight_e6 "
+        "FROM s CROSS JOIN d",
+    ),
+    "q_vocab_coverage": (
+        q_vocab_coverage,
+        f"WITH tf AS (SELECT tok, count(*) AS n FROM "
+        f"(SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY tok), "
+        "r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS r, "
+        "CAST(sum(n) OVER (ORDER BY n DESC, tok ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM tf), "
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM tf) "
+        "SELECT max(r.r) AS vocab_size, max(tot) AS n_tokens, "
+        "min(CASE WHEN cum * 10 >= tot * 9 THEN r.r END) AS v90, "
+        "min(CASE WHEN cum * 100 >= tot * 99 THEN r.r END) AS v99 "
+        "FROM r CROSS JOIN t",
+    ),
+    "q_perplexity_bucket": (
+        q_perplexity_bucket,
+        f"WITH nll AS (SELECT * FROM ({_BIGRAM_NLL_SQL}) x), "
+        "j AS (SELECT d.lang, nll.avg_nll, nll.n_bigrams, "
+        "ntile(3) OVER (PARTITION BY d.lang "
+        "ORDER BY nll.avg_nll, nll.doc_id) AS bucket "
+        "FROM nll JOIN documents d USING (doc_id)) "
+        "SELECT lang, bucket, count(*) AS n_docs, min(avg_nll) AS lo, "
+        "max(avg_nll) AS hi, CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams "
+        "FROM j GROUP BY lang, bucket",
+    ),
+    "q_cluster_canonical": (
+        q_cluster_canonical,
+        _MINHASH_SIG_CTE.format(nperm=8).replace("WITH ", "WITH RECURSIVE ", 1)
+        + ", bands AS (SELECT doc_id, b, md5(array_to_string(sigl[b*2+1:b*2+2], '|')) AS bucket "
+        "FROM sig, (SELECT unnest(range(0, 4)) AS b)), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a "
+        "JOIN bands c ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "UNION ALL SELECT id_b, id_a FROM pairs), "
+        "cc AS (SELECT doc_id AS node, doc_id AS label FROM documents "
+        "UNION SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src), "
+        "comp AS (SELECT node AS doc_id, min(label) AS component "
+        "FROM cc GROUP BY node), "
+        "rk AS (SELECT comp.component, comp.doc_id, documents.n_chars, "
+        "row_number() OVER (PARTITION BY component "
+        "ORDER BY n_chars DESC, comp.doc_id) AS rn, "
+        "count(*) OVER (PARTITION BY component) AS n_members "
+        "FROM comp JOIN documents USING (doc_id)) "
+        "SELECT component, n_members, doc_id AS canonical_id, "
+        "n_chars AS kept_chars FROM rk WHERE rn = 1 AND n_members >= 2",
     ),
 }
