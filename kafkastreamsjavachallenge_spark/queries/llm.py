@@ -2274,7 +2274,12 @@ def q_curriculum(spark, sf_dir):
         "doc_id", "lang", F.size("toks").alias("n_tok"),
         T.quality_score(F.col("toks")).alias("score_e4"),
     )
-    w = Window.partitionBy("lang").orderBy("score_e4", "doc_id")
+    # NULLS LAST on both sides: Spark ASC defaults NULLS FIRST, DuckDB
+    # NULLS LAST — fixture text is non-null so this is a pin for
+    # out-of-contract inputs only (ADVICE r04, q_fasttext_score class)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score_e4").asc_nulls_last(), "doc_id"
+    )
     phased = scored.withColumn("phase", F.ntile(4).over(w))
     return phased.groupBy("lang", "phase").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -3277,7 +3282,8 @@ QUERIES = {
         "least((list_sum(list_transform(l, x -> length(x))) / len(l)) / 10.0, 1.0) "
         "* 0.5) * 10000) AS BIGINT) AS score_e4 FROM t), "
         "p AS (SELECT lang, n_tok, score_e4, "
-        "ntile(4) OVER (PARTITION BY lang ORDER BY score_e4, doc_id) AS phase "
+        "ntile(4) OVER (PARTITION BY lang "
+        "ORDER BY score_e4 NULLS LAST, doc_id) AS phase "
         "FROM s) "
         "SELECT lang, phase, count(*) AS n_docs, "
         "CAST(sum(n_tok) AS BIGINT) AS total_tokens, "
