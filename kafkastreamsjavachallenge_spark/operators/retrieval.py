@@ -254,3 +254,72 @@ def maxsim_pandas(
         )
 
     return docs.groupBy(group_col).applyInPandas(score, schema)
+
+
+def mmr_select(
+    cand: DataFrame,
+    pairsims: DataFrame,
+    k: int = 3,
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein 1998)
+    over pre-scored candidates: per query, greedily pick the candidate
+    maximizing ``relevance - max(similarity to already-selected)`` —
+    diversified top-k for retrieval-augmented training-data selection
+    (near-identical top hits waste the context window; MMR keeps one of
+    each near-dup family).
+
+    The greedy loop is inherently sequential PER QUERY but embarrassingly
+    parallel ACROSS queries, and each group is bounded by the candidate
+    cutoff (N ≤ ~tens) — the exact shape grouped-map ``applyInPandas`` is
+    for (SURVEY.md §2.2 custom-operator path (b)).  Both inputs carry
+    INTEGER fixed-point scores (e6), so the pandas stage does pure integer
+    arithmetic: all float work (dot products, norms) stays JVM-side in the
+    caller, and the result is bit-identical across engines.
+
+    ``cand``: one row per (query, candidate) with ``cos_e6`` relevance.
+    ``pairsims``: candidate-candidate sims per query, BOTH directions,
+    ``sim_e6``.  Groups are cogrouped on ``qid_col``.
+
+    100 TB shape: candidates per query are top-N from an upstream ANN
+    stage, so group size is a constant; the cogroup shuffles rows
+    proportional to queries × N (never the corpus), and selection state
+    never leaves the executor.
+    """
+    schema = f"{qid_col} bigint, mmr_rank int, vec_id bigint, score_e6 bigint"
+
+    def _greedy(key, cdf, pdf):
+        import pandas as pd
+
+        sims = {
+            (int(a), int(b)): int(s)
+            for a, b, s in zip(pdf["id_a"], pdf["id_b"], pdf["sim_e6"])
+        }
+        avail = {
+            int(v): int(c) for v, c in zip(cdf["vec_id"], cdf["cos_e6"])
+        }
+        selected: list[int] = []
+        rows = []
+        for r in range(1, min(k, len(avail)) + 1):
+            best_vid, best_score = None, None
+            # ascending id order + strict '>' == ORDER BY score DESC, vec_id
+            for vid in sorted(avail):
+                score = (
+                    avail[vid]
+                    if not selected
+                    else avail[vid] - max(sims[(vid, s)] for s in selected)
+                )
+                if best_score is None or score > best_score:
+                    best_vid, best_score = vid, score
+            rows.append((int(key[0]), r, best_vid, best_score))
+            selected.append(best_vid)
+            del avail[best_vid]
+        return pd.DataFrame(
+            rows, columns=[qid_col, "mmr_rank", "vec_id", "score_e6"]
+        )
+
+    return (
+        cand.groupBy(qid_col)
+        .cogroup(pairsims.groupBy(qid_col))
+        .applyInPandas(_greedy, schema=schema)
+    )

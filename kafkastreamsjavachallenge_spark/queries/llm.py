@@ -2564,6 +2564,201 @@ def q_cluster_canonical(spark, sf_dir):
     )
 
 
+
+def q_mmr_rerank(spark, sf_dir):
+    """Maximal-marginal-relevance re-ranking (operators/retrieval.py
+    mmr_select): 3 query vectors, brute-force cosine top-8 candidates
+    each, then greedy MMR selection of 3 — relevance minus max-similarity
+    to the already-selected set, the diversified-retrieval step that keeps
+    one representative per near-dup family in a RAG / data-selection
+    context window.
+
+    All float work (dot products, norms, the e6 fixed-point floor) stays
+    JVM-side with sequential folds mirrored by DuckDB list_sum; the
+    greedy loop itself runs on INTEGER tables in a cogrouped
+    applyInPandas (bounded group: 8 candidates + 56 pair sims per query),
+    so the sequential-per-query / parallel-across-queries shape is
+    explicit.  Scale: candidates come from an ANN stage upstream, the
+    cogroup shuffles queriesxN rows, never the corpus."""
+    from pyspark.sql import Window
+
+    from kafkastreamsjavachallenge_spark.operators.retrieval import mmr_select
+
+    e = _embs(spark, sf_dir)
+    nv = e.select("vec_id", F.col("embedding").alias("vec"))
+    q = nv.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qv")
+    )
+    c = nv.filter(F.col("vec_id") >= 3)
+    cos_e6 = F.floor(
+        cosine(F.col("vec"), F.col("qv")) * F.lit(1000000.0)
+    ).cast("bigint")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .select("qid", "vec_id", cos_e6.alias("cos_e6"))
+        .filter(F.col("cos_e6").isNotNull())
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_e6").desc(), "vec_id")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .drop("rn")
+    )
+    cv = cand.join(nv, "vec_id").select("qid", "vec_id", "vec")
+    a = cv.select(
+        F.col("qid").alias("qid_a"),
+        F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("va"),
+    )
+    b = cv.select(
+        F.col("qid").alias("qid_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("vec").alias("vb"),
+    )
+    sim_e6 = F.floor(
+        cosine(F.col("va"), F.col("vb")) * F.lit(1000000.0)
+    ).cast("bigint")
+    pairs = (
+        a.join(
+            b,
+            (F.col("qid_a") == F.col("qid_b")) & (F.col("id_a") != F.col("id_b")),
+        )
+        .select(
+            F.col("qid_a").alias("qid"), "id_a", "id_b", sim_e6.alias("sim_e6")
+        )
+        .filter(F.col("sim_e6").isNotNull())
+    )
+    return mmr_select(cand, pairs, k=3)
+
+
+def q_template_detect(spark, sf_dir):
+    """Boilerplate / template detection: per source, the most frequent
+    leading bigram and its share of documents — a crawl whose docs all
+    open with the same tokens is template-wrapped (cookie banners, nav
+    headers) and needs prefix stripping before training.  One
+    projection + two hash aggregates; share in integer basis points.
+
+    Scale: group keys are (source, first-2-tokens) — cardinality bounded
+    by distinct templates, not corpus size; the window per source ranks
+    a handful of rows."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    lead = F.concat_ws(" ", F.slice(T.tokens("text"), 1, 2))
+    g = d.select("source", lead.alias("lead_bigram")).filter(
+        F.length("lead_bigram") > 0
+    )
+    counts = g.groupBy("source", "lead_bigram").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_docs").desc(), "lead_bigram"
+    )
+    tot = Window.partitionBy("source")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn("tot", F.sum("n_docs").over(tot))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            "lead_bigram",
+            "n_docs",
+            F.expr("(n_docs * 10000) DIV tot").alias("share_bp"),
+        )
+    )
+
+
+def q_lsh_tuning(spark, sf_dir):
+    """LSH band-configuration advisor: from ONE 8-permutation MinHash
+    signature table, candidate-pair counts and mean signature-agreement
+    estimate for (4 bands x 2 rows) vs (2 bands x 4 rows) — the s-curve
+    trade (more bands = higher recall / more candidates; longer bands =
+    higher precision / fewer).  Tuning reads this table instead of
+    re-running dedup per config.
+
+    Scale: signatures computed once; each config adds one band-explode +
+    bucket self-join (hash-uniform keys), cost tracking candidates, not
+    pairs**2."""
+    d = _docs(spark, sf_dir)
+    sigs = D.minhash_signatures(d, n_perm=8)
+    agree = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
+    outs = []
+    for bands, rpb in ((4, 2), (2, 4)):
+        pairs = D.lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rpb)
+        est = (
+            pairs.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select((agree * 1250).alias("est_e4"))
+        )
+        outs.append(
+            est.agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum("est_e4").alias("s_est"),
+            ).select(
+                F.lit(bands).alias("bands"),
+                F.lit(rpb).alias("rows_per_band"),
+                "n_pairs",
+                F.coalesce(
+                    F.expr("s_est DIV n_pairs"), F.lit(0).cast("bigint")
+                ).alias("mean_est_e4"),
+            )
+        )
+    return outs[0].unionAll(outs[1])
+
+
+def q_dup_threshold_curve(spark, sf_dir):
+    """Dedup threshold selection curve: for each Jaccard threshold in a
+    grid, how many LSH candidate pairs would be treated as duplicates —
+    the CDF a curation run reads to pick its cut (too low merges
+    distinct docs, too high leaks near-dups).  Pairs + exact Jaccard are
+    computed ONCE; the grid is a 5-row broadcast explode.
+
+    Scale: exact Jaccard touches candidates only (banding prunes the
+    quadratic space); the curve is a 5-group aggregate."""
+    d = _docs(spark, sf_dir)
+    sigs = D.minhash_signatures(d, n_perm=8)
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    sh = F.array_distinct(T.shingles(T.tokens("text"), 3))
+    da = d.select(F.col("doc_id").alias("id_a"), sh.alias("ga"))
+    db = d.select(F.col("doc_id").alias("id_b"), sh.alias("gb"))
+    jac = (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            F.expr(
+                "(size(array_intersect(ga, gb)) * 10000) "
+                "DIV size(array_distinct(concat(ga, gb)))"
+            ).alias("jac_e4")
+        )
+    )
+    grid = [5000, 6000, 7000, 8000, 9000]
+    return (
+        jac.select(
+            "jac_e4",
+            F.explode(F.array(*[F.lit(t) for t in grid])).alias("threshold_e4"),
+        )
+        .groupBy("threshold_e4")
+        .agg(
+            F.sum(
+                F.when(F.col("jac_e4") >= F.col("threshold_e4"), 1).otherwise(0)
+            ).alias("n_dup_pairs"),
+            F.count(F.lit(1)).alias("n_cand_pairs"),
+        )
+        .select(
+            "threshold_e4",
+            "n_dup_pairs",
+            "n_cand_pairs",
+            F.expr("(n_dup_pairs * 10000) DIV n_cand_pairs").alias("dup_share_bp"),
+        )
+    )
+
+
 QUERIES = {
     "q_doc_dedup": (
         q_doc_dedup,
@@ -3373,5 +3568,125 @@ QUERIES = {
         "FROM comp JOIN documents USING (doc_id)) "
         "SELECT component, n_members, doc_id AS canonical_id, "
         "n_chars AS kept_chars FROM rk WHERE rn = 1 AND n_members >= 2",
+    ),
+    "q_mmr_rerank": (
+        q_mmr_rerank,
+        # three unrolled greedy rounds: r1 = plain argmax, r2/r3 subtract
+        # the max pair-sim to the already-selected set; every score is an
+        # e6 fixed-point BIGINT so the greedy argmax is integer-exact
+        "WITH v AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS vec FROM embeddings), "
+        "n AS (SELECT vec_id, vec, sqrt(list_sum(list_transform("
+        "range(1, 65), i -> vec[i] * vec[i]))) AS nrm FROM v), "
+        "q AS (SELECT vec_id AS qid, vec AS qv, nrm AS qn FROM n "
+        "WHERE vec_id < 3), "
+        "s0 AS (SELECT q.qid, n.vec_id, CAST(floor(list_sum("
+        "list_transform(range(1, 65), i -> n.vec[i] * q.qv[i])) "
+        "/ (n.nrm * q.qn) * 1000000) AS BIGINT) AS cos_e6 "
+        "FROM n CROSS JOIN q WHERE n.vec_id >= 3), "
+        "cand AS (SELECT qid, vec_id, cos_e6 FROM (SELECT qid, vec_id, "
+        "cos_e6, row_number() OVER (PARTITION BY qid "
+        "ORDER BY cos_e6 DESC, vec_id) AS rn FROM s0) x WHERE rn <= 8), "
+        "cv AS (SELECT c.qid, c.vec_id, c.cos_e6, n.vec, n.nrm "
+        "FROM cand c JOIN n USING (vec_id)), "
+        "ps AS (SELECT a.qid, a.vec_id AS id_a, b.vec_id AS id_b, "
+        "CAST(floor(list_sum(list_transform(range(1, 65), "
+        "i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm) * 1000000) "
+        "AS BIGINT) AS sim_e6 FROM cv a JOIN cv b "
+        "ON a.qid = b.qid AND a.vec_id <> b.vec_id), "
+        "r1 AS (SELECT qid, vec_id, cos_e6 AS score_e6 FROM (SELECT qid, "
+        "vec_id, cos_e6, row_number() OVER (PARTITION BY qid "
+        "ORDER BY cos_e6 DESC, vec_id) AS rn FROM cand) x WHERE rn = 1), "
+        "s2 AS (SELECT c.qid, c.vec_id, c.cos_e6 - p.sim_e6 AS score "
+        "FROM cand c JOIN r1 ON c.qid = r1.qid AND c.vec_id <> r1.vec_id "
+        "JOIN ps p ON p.qid = c.qid AND p.id_a = c.vec_id "
+        "AND p.id_b = r1.vec_id), "
+        "r2 AS (SELECT qid, vec_id, score AS score_e6 FROM (SELECT qid, "
+        "vec_id, score, row_number() OVER (PARTITION BY qid "
+        "ORDER BY score DESC, vec_id) AS rn FROM s2) x WHERE rn = 1), "
+        "s3 AS (SELECT c.qid, c.vec_id, "
+        "c.cos_e6 - greatest(p1.sim_e6, p2.sim_e6) AS score "
+        "FROM cand c JOIN r1 ON c.qid = r1.qid AND c.vec_id <> r1.vec_id "
+        "JOIN r2 ON c.qid = r2.qid AND c.vec_id <> r2.vec_id "
+        "JOIN ps p1 ON p1.qid = c.qid AND p1.id_a = c.vec_id "
+        "AND p1.id_b = r1.vec_id "
+        "JOIN ps p2 ON p2.qid = c.qid AND p2.id_a = c.vec_id "
+        "AND p2.id_b = r2.vec_id), "
+        "r3 AS (SELECT qid, vec_id, score AS score_e6 FROM (SELECT qid, "
+        "vec_id, score, row_number() OVER (PARTITION BY qid "
+        "ORDER BY score DESC, vec_id) AS rn FROM s3) x WHERE rn = 1) "
+        "SELECT qid, 1 AS mmr_rank, vec_id, score_e6 FROM r1 "
+        "UNION ALL SELECT qid, 2 AS mmr_rank, vec_id, score_e6 FROM r2 "
+        "UNION ALL SELECT qid, 3 AS mmr_rank, vec_id, score_e6 FROM r3",
+    ),
+    "q_template_detect": (
+        q_template_detect,
+        f"WITH t AS (SELECT source, array_to_string(l[1:2], ' ') "
+        f"AS lead_bigram FROM (SELECT source, {_TOKS} AS l "
+        "FROM documents) x WHERE length(array_to_string(l[1:2], ' ')) > 0), "
+        "c AS (SELECT source, lead_bigram, count(*) AS n_docs "
+        "FROM t GROUP BY 1, 2), "
+        "r AS (SELECT source, lead_bigram, n_docs, "
+        "row_number() OVER (PARTITION BY source "
+        "ORDER BY n_docs DESC, lead_bigram) AS rn, "
+        "CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS tot "
+        "FROM c) "
+        "SELECT source, lead_bigram, n_docs, "
+        "(n_docs * 10000) // tot AS share_bp FROM r WHERE rn = 1",
+    ),
+    "q_lsh_tuning": (
+        q_lsh_tuning,
+        _MINHASH_SIG_CTE.format(nperm=8)
+        + ", b42 AS (SELECT doc_id, b, "
+        "md5(array_to_string(sigl[b*2+1:b*2+2], '|')) AS bucket "
+        "FROM sig, (SELECT unnest(range(0, 4)) AS b)), "
+        "p42 AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b "
+        "FROM b42 a JOIN b42 c ON a.b = c.b AND a.bucket = c.bucket "
+        "AND a.doc_id < c.doc_id), "
+        "b24 AS (SELECT doc_id, b, "
+        "md5(array_to_string(sigl[b*4+1:b*4+4], '|')) AS bucket "
+        "FROM sig, (SELECT unnest(range(0, 2)) AS b)), "
+        "p24 AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b "
+        "FROM b24 a JOIN b24 c ON a.b = c.b AND a.bucket = c.bucket "
+        "AND a.doc_id < c.doc_id), "
+        "e42 AS (SELECT CAST(list_sum(list_transform(range(1, 9), "
+        "i -> CASE WHEN sa.sigl[i] = sb.sigl[i] THEN 1 ELSE 0 END)) * 1250 "
+        "AS BIGINT) AS est_e4 FROM p42 p "
+        "JOIN sig sa ON sa.doc_id = p.id_a "
+        "JOIN sig sb ON sb.doc_id = p.id_b), "
+        "e24 AS (SELECT CAST(list_sum(list_transform(range(1, 9), "
+        "i -> CASE WHEN sa.sigl[i] = sb.sigl[i] THEN 1 ELSE 0 END)) * 1250 "
+        "AS BIGINT) AS est_e4 FROM p24 p "
+        "JOIN sig sa ON sa.doc_id = p.id_a "
+        "JOIN sig sb ON sb.doc_id = p.id_b) "
+        "SELECT 4 AS bands, 2 AS rows_per_band, count(*) AS n_pairs, "
+        "COALESCE(CAST(sum(est_e4) AS BIGINT) // count(*), 0) "
+        "AS mean_est_e4 FROM e42 "
+        "UNION ALL SELECT 2 AS bands, 4 AS rows_per_band, "
+        "count(*) AS n_pairs, "
+        "COALESCE(CAST(sum(est_e4) AS BIGINT) // count(*), 0) "
+        "AS mean_est_e4 FROM e24",
+    ),
+    "q_dup_threshold_curve": (
+        q_dup_threshold_curve,
+        _MINHASH_SIG_CTE.format(nperm=8)
+        + ", bands AS (SELECT doc_id, b, "
+        "md5(array_to_string(sigl[b*2+1:b*2+2], '|')) AS bucket "
+        "FROM sig, (SELECT unnest(range(0, 4)) AS b)), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b "
+        "FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket "
+        "AND a.doc_id < c.doc_id), "
+        "jac AS (SELECT (len(list_intersect(da.sh, db.sh)) * 10000) // "
+        "len(list_distinct(da.sh || db.sh)) AS jac_e4 FROM pairs p "
+        "JOIN d da ON da.doc_id = p.id_a JOIN d db ON db.doc_id = p.id_b), "
+        "g AS (SELECT unnest([5000, 6000, 7000, 8000, 9000]) "
+        "AS threshold_e4) "
+        "SELECT g.threshold_e4, "
+        "CAST(sum(CASE WHEN jac.jac_e4 >= g.threshold_e4 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_dup_pairs, "
+        "count(*) AS n_cand_pairs, "
+        "(CAST(sum(CASE WHEN jac.jac_e4 >= g.threshold_e4 THEN 1 ELSE 0 END) "
+        "AS BIGINT) * 10000) // count(*) AS dup_share_bp "
+        "FROM jac CROSS JOIN g GROUP BY g.threshold_e4",
     ),
 }
