@@ -72,6 +72,11 @@ HEADLINE = [
     # pair stage — worth watching at sf0.1)
     "q_ann_ivfpq",
     "q_dedup_recall",
+    # round-5: the cogrouped-applyInPandas MMR path and the Levenshtein
+    # candidate-verify stage — pinned so the integer-table cogroup and
+    # the pruned pair-join shapes cannot silently regress
+    "q_mmr_rerank",
+    "q_edit_distance",
 ]
 
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl")

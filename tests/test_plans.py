@@ -282,6 +282,16 @@ def test_registry_plans_lint_clean(spark):
         "q_ann_recall",
         # conversion latency: 1-row median broadcast onto the 1-row stats
         "q_time_to_convert",
+        # temperature mixing: 1-row order-pinned denominator broadcast
+        "q_temperature_mix",
+        # vocab coverage: 1-row total-occurrences broadcast
+        "q_vocab_coverage",
+        # perplexity buckets: inherits the bigram LM's 1-row vocab-size
+        # broadcast (q_bigram_logprob shape)
+        "q_perplexity_bucket",
+        # MMR re-rank: 3-row query-vector block broadcast (cosine_topk
+        # shape, one row per query)
+        "q_mmr_rerank",
     }
     # every comparison in the filter is over a COMPUTED expression
     # (token counts / ratios derived from split(text)) — unpushable by
@@ -291,6 +301,10 @@ def test_registry_plans_lint_clean(spark):
         # null-guard / join-key filters over text-DERIVED columns
         # (bigram structs from split(text)) — unpushable by construction
         "q_bigram_logprob",
+        # len(tokens) >= 2 gate over split(text) — computed, unpushable
+        "q_perplexity_bucket",
+        # non-empty leading-bigram gate over split(text) — computed
+        "q_template_detect",
     }
     bad = {}
     for name, (fn, _) in sorted(registry().items()):
