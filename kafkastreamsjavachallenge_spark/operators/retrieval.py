@@ -304,10 +304,14 @@ def mmr_select(
             best_vid, best_score = None, None
             # ascending id order + strict '>' == ORDER BY score DESC, vec_id
             for vid in sorted(avail):
+                # a missing pair means "no measured redundancy" — penalty
+                # 0, so sparse pairsims (only near pairs materialized, the
+                # realistic shape at scale) degrade gracefully
                 score = (
                     avail[vid]
                     if not selected
-                    else avail[vid] - max(sims[(vid, s)] for s in selected)
+                    else avail[vid]
+                    - max(sims.get((vid, s), 0) for s in selected)
                 )
                 if best_score is None or score > best_score:
                     best_vid, best_score = vid, score

@@ -2759,6 +2759,121 @@ def q_dup_threshold_curve(spark, sf_dir):
     )
 
 
+
+def q_kn_bigram(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram probabilities (the smoothing real
+    LM-based quality filters ship, vs q_bigram_logprob's add-one):
+    absolute discount d = 3/4, continuation probability from distinct
+    left-context counts.  With d rational the whole estimate is one
+    integer expression —
+    kn_e6 = 1e6·((4·c_ab − 3)·T + 3·N1a·Cb) DIV (4·c_a·T)
+    (c_ab = bigram count, c_a = context occurrences, N1a = distinct
+    continuations of a, Cb = distinct left-contexts of b, T = distinct
+    bigram types) — so no float ever enters and the top-20 report is
+    cross-engine exact.
+
+    Scale shape: three vocabulary-sized aggregates over one bigram
+    explode + a 1-row type-count broadcast; the corpus is scanned once,
+    joins are type-level.  At true corpus scale the 1e6·4·c_a·T product
+    needs headroom — move to DECIMAL(38) or drop to e4 there (docstring
+    contract, same plan)."""
+    d = _docs(spark, sf_dir).select("doc_id", T.tokens("text").alias("t"))
+    n1 = F.greatest(F.size("t") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("t", 1, n1),
+        F.slice("t", 2, n1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    bg = (
+        d.select(F.explode_outer(pairs).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    cab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ctx = bg.groupBy("a").agg(
+        F.count(F.lit(1)).alias("c_a"), F.countDistinct("b").alias("n1a")
+    )
+    cont = bg.groupBy("b").agg(F.countDistinct("a").alias("cb"))
+    nt = cab.agg(F.count(F.lit(1)).alias("ntypes"))
+    return (
+        cab.join(ctx, "a")
+        .join(cont, "b")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.expr(
+                "(1000000 * ((4 * c_ab - 3) * ntypes + 3 * n1a * cb)) "
+                "DIV (4 * c_a * ntypes)"
+            ).alias("kn_e6"),
+        )
+        .orderBy(F.col("c_ab").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+def q_ann_ndcg(spark, sf_dir):
+    """NDCG@10 audit of the ANN indexes against the exact scan — the
+    graded companion of q_ann_recall (recall treats position 1 and 10
+    the same; NDCG pays log-discounted credit, the metric retrieval
+    deployments actually report).  Relevance of the exact top-10 is
+    graded 10..1; the log2 position discounts are PINNED INTEGER
+    literals floor(1e6/log2(p+1)) shared verbatim with the oracle, so
+    the whole metric — including the ideal-DCG normalizer — is integer
+    arithmetic and cross-engine exact.
+
+    Cost: the exact scan plus three 10-row retrievals; every join is on
+    a 10-row set."""
+    from pyspark.sql import Window
+
+    W10 = [1000000, 630929, 500000, 430676, 386852,
+           356207, 333333, 315464, 301029, 289064]
+    idcg = sum((10 - i) * W10[i] for i in range(10))
+    wex = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    rel = (
+        q_cosine_topk(spark, sf_dir)
+        .select("vec_id", F.row_number().over(wex).alias("r"))
+        .select("vec_id", (F.lit(11) - F.col("r")).alias("rel"))
+    )
+    warr = F.array(*[F.lit(w) for w in W10])
+
+    def ndcg(df, name, order):
+        pos = df.select(
+            "vec_id", F.row_number().over(Window.orderBy(*order)).alias("p")
+        )
+        g = (
+            pos.join(rel, "vec_id", "left")
+            .select(
+                (
+                    F.coalesce("rel", F.lit(0))
+                    * F.element_at(warr, F.col("p"))
+                ).alias("g")
+            )
+            .agg(F.sum("g").alias("s"))
+        )
+        return g.select(
+            F.lit(name).alias("method"),
+            F.coalesce("s", F.lit(0)).cast("bigint").alias("dcg_e6"),
+            F.expr(f"(CAST(coalesce(s, 0) AS BIGINT) * 10000) DIV {idcg}").alias(
+                "ndcg_bp"
+            ),
+        )
+
+    desc_cos = [F.col("cos_sim").desc(), "vec_id"]
+    return (
+        ndcg(q_ann_lsh(spark, sf_dir), "lsh", desc_cos)
+        .unionByName(ndcg(q_ann_ivf(spark, sf_dir), "ivf", desc_cos))
+        .unionByName(
+            ndcg(
+                q_ann_ivfpq(spark, sf_dir),
+                "ivfpq",
+                [F.col("adc_dist").asc(), "vec_id"],
+            )
+        )
+    )
+
+
 QUERIES = {
     "q_doc_dedup": (
         q_doc_dedup,
@@ -3688,5 +3803,67 @@ QUERIES = {
         "(CAST(sum(CASE WHEN jac.jac_e4 >= g.threshold_e4 THEN 1 ELSE 0 END) "
         "AS BIGINT) * 10000) // count(*) AS dup_share_bp "
         "FROM jac CROSS JOIN g GROUP BY g.threshold_e4",
+    ),
+    "q_kn_bigram": (
+        q_kn_bigram,
+        f"WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        "bg AS (SELECT t[i] AS a, t[i + 1] AS b FROM "
+        "(SELECT t, unnest(range(1, len(t))) AS i FROM d "
+        "WHERE len(t) >= 2) x), "
+        "cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2), "
+        "ctx AS (SELECT a, count(*) AS c_a, count(DISTINCT b) AS n1a "
+        "FROM bg GROUP BY 1), "
+        "cont AS (SELECT b, count(DISTINCT a) AS cb FROM bg GROUP BY 1), "
+        "nt AS (SELECT count(*) AS ntypes FROM cab) "
+        "SELECT a, b, c_ab, "
+        "(1000000 * ((4 * c_ab - 3) * ntypes + 3 * n1a * cb)) "
+        "// (4 * c_a * ntypes) AS kn_e6 "
+        "FROM cab JOIN ctx USING (a) JOIN cont USING (b) CROSS JOIN nt "
+        "ORDER BY c_ab DESC, a, b LIMIT 20",
+    ),
+    "q_ann_ndcg": (
+        q_ann_ndcg,
+        # same nested-retriever composition as q_ann_recall; the
+        # position-discount weights and the ideal-DCG constant 29966086
+        # are the SAME integer literals the Spark side pins
+        "SELECT method, dcg_e6, (dcg_e6 * 10000) // 29966086 AS ndcg_bp "
+        "FROM ("
+        "SELECT 'lsh' AS method, "
+        "CAST(coalesce(sum(coalesce(r.rel, 0) * w.wt), 0) AS BIGINT) "
+        "AS dcg_e6 FROM (SELECT vec_id, row_number() OVER "
+        f"(ORDER BY cos_sim DESC, vec_id) AS p FROM ({_ANN_LSH_SQL}) l) pos "
+        "JOIN (VALUES (1, 1000000), (2, 630929), (3, 500000), "
+        "(4, 430676), (5, 386852), (6, 356207), (7, 333333), "
+        "(8, 315464), (9, 301029), (10, 289064)) w(p, wt) "
+        "ON w.p = pos.p "
+        "LEFT JOIN (SELECT vec_id, 11 - row_number() OVER "
+        "(ORDER BY cos_sim DESC, vec_id) AS rel "
+        f"FROM ({_COSINE_TOPK_SQL}) x1) r ON r.vec_id = pos.vec_id "
+        "UNION ALL "
+        "SELECT 'ivf' AS method, "
+        "CAST(coalesce(sum(coalesce(r.rel, 0) * w.wt), 0) AS BIGINT) "
+        "AS dcg_e6 FROM (SELECT vec_id, row_number() OVER "
+        f"(ORDER BY cos_sim DESC, vec_id) AS p FROM ({_ANN_IVF_SQL}) v) pos "
+        "JOIN (VALUES (1, 1000000), (2, 630929), (3, 500000), "
+        "(4, 430676), (5, 386852), (6, 356207), (7, 333333), "
+        "(8, 315464), (9, 301029), (10, 289064)) w(p, wt) "
+        "ON w.p = pos.p "
+        "LEFT JOIN (SELECT vec_id, 11 - row_number() OVER "
+        "(ORDER BY cos_sim DESC, vec_id) AS rel "
+        f"FROM ({_COSINE_TOPK_SQL}) x2) r ON r.vec_id = pos.vec_id "
+        "UNION ALL "
+        "SELECT 'ivfpq' AS method, "
+        "CAST(coalesce(sum(coalesce(r.rel, 0) * w.wt), 0) AS BIGINT) "
+        "AS dcg_e6 FROM (SELECT vec_id, row_number() OVER "
+        "(ORDER BY adc_dist ASC, vec_id) AS p "
+        f"FROM ({_ANN_IVFPQ_SQL}) pq) pos "
+        "JOIN (VALUES (1, 1000000), (2, 630929), (3, 500000), "
+        "(4, 430676), (5, 386852), (6, 356207), (7, 333333), "
+        "(8, 315464), (9, 301029), (10, 289064)) w(p, wt) "
+        "ON w.p = pos.p "
+        "LEFT JOIN (SELECT vec_id, 11 - row_number() OVER "
+        "(ORDER BY cos_sim DESC, vec_id) AS rel "
+        f"FROM ({_COSINE_TOPK_SQL}) x3) r ON r.vec_id = pos.vec_id"
+        ") t",
     ),
 }
