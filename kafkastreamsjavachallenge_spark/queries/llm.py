@@ -2835,6 +2835,10 @@ def q_ann_ndcg(spark, sf_dir):
         q_cosine_topk(spark, sf_dir)
         .select("vec_id", F.row_number().over(wex).alias("r"))
         .select("vec_id", (F.lit(11) - F.col("r")).alias("rel"))
+        # 10-row graded-relevance table, referenced by all three method
+        # branches — materialize once instead of re-running the exact
+        # scan per branch (the q_dedup_recall shared-subtree lesson)
+        .localCheckpoint(eager=True)
     )
     warr = F.array(*[F.lit(w) for w in W10])
 
