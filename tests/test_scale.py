@@ -989,3 +989,95 @@ def test_topic_labels_on_100k_planted_clusters(spark, tmp_path):
         for rank in range(1, 4):
             assert got[(cl, rank)] == f"t{cl}_{rank - 1}"
     assert elapsed < 120, f"topic labels took {elapsed:.1f}s on {n} docs"
+
+
+def test_edit_distance_verify_on_100k_docs(spark, tmp_path):
+    """Levenshtein candidate-verify at 100k docs (20x the sf0.1 corpus):
+    doc i and its twin i + n/2 carry IDENTICAL text, so their MinHash
+    signatures are equal and every band collides — the twin pair is a
+    GUARANTEED LSH candidate, and its verified edit distance must be 0
+    with sim_bp = 10000.  All n/2 planted pairs are recovered; runtime is
+    bounded because Levenshtein runs on candidates only (banding pruned
+    the 5e9-pair space to ~n/2)."""
+    from kafkastreamsjavachallenge_spark.queries.llm import q_edit_distance
+
+    n = 100_000
+    base = F.col("id") % (n // 2)
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(19)),
+            lambda j: F.concat(F.lit("w"), base * 20 + j),
+        ),
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synthetic").alias("source"),
+        F.length(text).alias("n_chars"),
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    t0 = time.time()
+    out = q_edit_distance(spark, str(tmp_path)).localCheckpoint()
+    twins = out.filter(
+        (F.col("id_b") == F.col("id_a") + n // 2)
+        & (F.col("dist") == 0)
+        & (F.col("sim_bp") == 10000)
+    ).count()
+    elapsed = time.time() - t0
+    assert twins == n // 2
+    # the verify stage's whole job: the only dist-0 pairs are the planted
+    # twins — band-collision false positives (distinct token universes
+    # colliding on a 2-permutation signature slice; a handful expected at
+    # 100k docs) all carry dist > 0 and are correctly rejected
+    assert out.filter(F.col("dist") == 0).count() == n // 2
+    n_spurious = out.count() - n // 2
+    assert 0 <= n_spurious < 1000, f"{n_spurious} band collisions"
+    assert elapsed < 120, f"edit-distance verify took {elapsed:.1f}s on {n} docs"
+
+
+def test_mmr_select_on_10k_query_groups(spark):
+    """The cogrouped-applyInPandas MMR operator at 10k queries x 8
+    candidates with a planted redundancy: per query, candidate c1 is
+    near-duplicate (sim 9500) of the top hit c0, so greedy MMR must skip
+    it — selections are exactly (c0, c2, c3) for every query.  Pairsims
+    are SPARSE (only the planted near-pair is materialized) to pin the
+    missing-pair = zero-penalty contract; the group state never leaves
+    the executor and runtime stays bounded."""
+    from kafkastreamsjavachallenge_spark.operators.retrieval import mmr_select
+
+    nq = 10_000
+    cand = (
+        spark.range(nq * 8)
+        .select(
+            (F.col("id") / 8).cast("bigint").alias("qid"),
+            F.col("id").alias("vec_id"),
+            (F.lit(10000) - (F.col("id") % 8) * 1000).alias("cos_e6"),
+        )
+    )
+    base = spark.range(nq).select((F.col("id") * 8).alias("c0"))
+    pairs = base.select(
+        (F.col("c0") / 8).cast("bigint").alias("qid"),
+        F.col("c0").alias("id_a"),
+        (F.col("c0") + 1).alias("id_b"),
+        F.lit(9500).cast("bigint").alias("sim_e6"),
+    )
+    pairs = pairs.unionAll(
+        pairs.select("qid", F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "sim_e6")
+    )
+    t0 = time.time()
+    out = mmr_select(cand, pairs, k=3).localCheckpoint()
+    elapsed = time.time() - t0
+    assert out.count() == nq * 3
+    # rank 1 = c0 (top relevance), rank 2 = c2 (c1 penalized to
+    # 9000 - 9500 < 0), rank 3 = c3
+    for rank, offset, score in ((1, 0, 10000), (2, 2, 8000), (3, 3, 7000)):
+        n_ok = out.filter(
+            (F.col("mmr_rank") == rank)
+            & (F.col("vec_id") % 8 == offset)
+            & (F.col("score_e6") == score)
+        ).count()
+        assert n_ok == nq, f"rank {rank}: {n_ok}/{nq}"
+    assert elapsed < 90, f"MMR took {elapsed:.1f}s on {nq} query groups"
