@@ -14,6 +14,17 @@ Adversarial by construction: plants docs EXACTLY on the 0.2 TTR gate
 (5*distinct == total), exact duplicate texts (dedup min-id path), exact
 duplicate embedding vectors and near-equidistant vectors (argmin
 tie-break path the ** 2 / x*x ulp bug could flip).
+
+Deliberately NOT generated: NULL text.  FIXTURES.md pins `text` as
+non-null space-separated tokens — the driver's generator has never
+produced NULL text, and the ~80 text oracles are written against that
+contract (a NULL row would surface engine-default divergences like
+Spark NULLS FIRST vs DuckDB NULLS LAST in every ORDER BY, none of which
+the driver can hit).  Out-of-contract NULL behavior is instead pinned
+where it is a semantic choice: q_fasttext_score coalesces to the empty
+document (total function), q_curriculum's ntile orders NULLS LAST
+explicitly on both engines, and tests/test_robustness.py sweeps every
+registered id over fully-nulled tables for crash-freedom.
 """
 import os
 import random
