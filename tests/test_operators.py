@@ -1086,3 +1086,65 @@ def test_real_decode_video_parses_mp4_headers():
         real_decode_video(
             (16).to_bytes(4, "big") + b"ftyp" + b"isom\x00\x00\x02\x00"
         )  # ftyp only, no moov
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_mmr_select_matches_pure_python_greedy(shared_spark, data):
+    """Property: the cogrouped-applyInPandas MMR operator equals an
+    independent pure-Python greedy reference on random integer tables —
+    random relevances (ties included), random sparse pair sims, multiple
+    query groups.  Pins the tie-break (smaller vec_id wins equal scores),
+    the sparse-pair zero-penalty contract, and the per-group k cutoff."""
+    from pyspark.sql import Row
+
+    from kafkastreamsjavachallenge_spark.operators.retrieval import mmr_select
+
+    n_q = data.draw(st.integers(1, 3))
+    cand_rows, pair_rows, expected = [], [], []
+    k = data.draw(st.integers(1, 4))
+    for qid in range(n_q):
+        n_c = data.draw(st.integers(1, 6))
+        vids = [qid * 100 + j for j in range(n_c)]
+        cos = {v: data.draw(st.integers(-5, 5)) * 100 for v in vids}
+        sims = {}
+        for a in vids:
+            for b in vids:
+                if a < b and data.draw(st.booleans()):
+                    s = data.draw(st.integers(-5, 5)) * 100
+                    sims[(a, b)] = s
+                    sims[(b, a)] = s
+        cand_rows += [Row(qid=qid, vec_id=v, cos_e6=cos[v]) for v in vids]
+        pair_rows += [
+            Row(qid=qid, id_a=a, id_b=b, sim_e6=s) for (a, b), s in sims.items()
+        ]
+        # independent greedy reference
+        avail, sel = dict(cos), []
+        for rank in range(1, min(k, n_c) + 1):
+            best = None
+            for v in sorted(avail):
+                sc = (
+                    avail[v]
+                    if not sel
+                    else avail[v] - max(sims.get((v, s), 0) for s in sel)
+                )
+                if best is None or sc > best[1]:
+                    best = (v, sc)
+            expected.append((qid, rank, best[0], best[1]))
+            sel.append(best[0])
+            del avail[best[0]]
+
+    cand = shared_spark.createDataFrame(
+        cand_rows, "qid bigint, vec_id bigint, cos_e6 bigint"
+    )
+    pairs_schema = "qid bigint, id_a bigint, id_b bigint, sim_e6 bigint"
+    pairs = (
+        shared_spark.createDataFrame(pair_rows, pairs_schema)
+        if pair_rows
+        else shared_spark.createDataFrame([], pairs_schema)
+    )
+    got = sorted(
+        (r["qid"], r["mmr_rank"], r["vec_id"], r["score_e6"])
+        for r in mmr_select(cand, pairs, k=k).collect()
+    )
+    assert got == sorted(expected)
