@@ -79,7 +79,12 @@ only = sys.argv[1:]  # optional subset of query ids
 # reject it statically for every registered oracle, not just the slate.
 _BAD_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
 lint_fails = []
+# full runs lint every registered oracle; subset runs lint only the
+# selected ids (DESCRIBE of the heavy nested oracles costs seconds each —
+# the registry-wide static check still gates every full run)
 for name, sql in oracles.items():
+    if only and name not in only:
+        continue
     try:
         desc = con.execute(f"DESCRIBE {sql}").fetchall()
     except Exception as e:
