@@ -2878,6 +2878,131 @@ def q_ann_ndcg(spark, sf_dir):
     )
 
 
+
+def q_filter_funnel(spark, sf_dir):
+    """Curation funnel attribution — the report a pipeline operator reads
+    before tuning any single filter: each quality gate applied IN
+    SEQUENCE (length bounds, lexical diversity, Gopher top-token
+    fraction, exact dedup), with per-stage in/removed/out counts and an
+    integer basis-point removal rate.  Cumulative semantics (stage N sees
+    stage N-1 survivors) matches how the filters actually compose in
+    q_curation_pipeline.
+
+    Every gate is integer-exact (5·distinct ≥ n, 10·top_c ≤ 3·n), so no
+    seed regeneration can flip a count.  Scale shape: per-doc flags come
+    from one token explode + one hash window; the funnel itself is ONE
+    4-count aggregate row unpivoted with stack()."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).withColumn("toks", T.tokens("text"))
+    n_tok = F.size("toks")
+    # linear per-token shape (the gopher-repetition pattern) — a per-row
+    # distinct×total HOF would go quadratic on a pathological document
+    top = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    flags = (
+        d.select(
+            "doc_id",
+            "text",
+            (n_tok.between(10, 500)).alias("f1"),
+            (F.size(F.array_distinct("toks")) * 5 >= n_tok).alias("f2"),
+            n_tok.alias("n_tok"),
+        )
+        .join(top, "doc_id")
+        .withColumn("f3", F.col("top_c") * 10 <= F.col("n_tok") * 3)
+    )
+    keep_id = F.min(F.when(F.col("f1") & F.col("f2") & F.col("f3"), F.col("doc_id"))).over(
+        Window.partitionBy(F.md5("text"))
+    )
+    staged = flags.withColumn("f4", F.col("doc_id") == keep_id)
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.when(F.col("f1"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("f1") & F.col("f2"), 1).otherwise(0)).alias("n2"),
+        F.sum(
+            F.when(F.col("f1") & F.col("f2") & F.col("f3"), 1).otherwise(0)
+        ).alias("n3"),
+        F.sum(
+            F.when(
+                F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4"), 1
+            ).otherwise(0)
+        ).alias("n4"),
+    )
+    return agg.selectExpr(
+        "stack(4, 'length', 1, n0, n1, 'diversity', 2, n1, n2, "
+        "'top_token', 3, n2, n3, 'exact_dup', 4, n3, n4) "
+        "AS (stage, stage_idx, n_in, n_out)"
+    ).selectExpr(
+        "stage",
+        "stage_idx",
+        "CAST(n_in AS BIGINT) AS n_in",
+        "CAST(n_in - n_out AS BIGINT) AS n_removed",
+        "CAST(n_out AS BIGINT) AS n_out",
+        "((n_in - n_out) * 10000) DIV n_in AS removal_bp",
+    )
+
+
+def q_source_overlap(spark, sf_dir):
+    """Source-pair content-overlap matrix: distinct bigram shingles per
+    source, co-occurrence counts per source pair, Jaccard in integer
+    basis points — the corpus-composition heatmap that shows which feeds
+    mirror each other BEFORE paying for doc-level cross-source dedup.
+
+    Scale shape: the corpus collapses to (source, shingle) DISTINCT
+    first; the pair join fans out per shingle by its source-df, bounded
+    by |sources| (20), never by corpus size — at web scale, cap or drop
+    shingles present in nearly all sources (boilerplate carries no
+    composition signal) to keep the join sparse."""
+    d = _docs(spark, sf_dir).withColumn("toks", T.tokens("text"))
+    sh = (
+        d.filter(F.size("toks") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.zip_with(
+                        F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                        F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                        lambda a, b: F.concat_ws(" ", a, b),
+                    )
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("source").alias("source_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("source").alias("source_b"), F.col("sh").alias("sh_b"))
+    common = (
+        a.join(
+            b,
+            (F.col("sh_a") == F.col("sh_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.expr(
+                "(n_common * 10000) DIV (n_a + n_b - n_common)"
+            ).alias("jaccard_bp"),
+        )
+    )
+
+
 QUERIES = {
     "q_doc_dedup": (
         q_doc_dedup,
@@ -3869,5 +3994,50 @@ QUERIES = {
         "(ORDER BY cos_sim DESC, vec_id) AS rel "
         f"FROM ({_COSINE_TOPK_SQL}) x3) r ON r.vec_id = pos.vec_id"
         ") t",
+    ),
+    "q_filter_funnel": (
+        q_filter_funnel,
+        f"WITH t AS (SELECT doc_id, text, {_TOKS} AS l FROM documents), "
+        "tc AS (SELECT doc_id, max(c) AS top_c FROM (SELECT doc_id, tok, "
+        "count(*) AS c FROM (SELECT doc_id, unnest(l) AS tok FROM t) u "
+        "GROUP BY 1, 2) g GROUP BY 1), "
+        "f AS (SELECT t.doc_id, t.text, len(l) AS n_tok, "
+        "len(list_distinct(l)) AS nd, tc.top_c FROM t "
+        "JOIN tc USING (doc_id)), "
+        "s1 AS (SELECT * FROM f WHERE n_tok BETWEEN 10 AND 500), "
+        "s2 AS (SELECT * FROM s1 WHERE 5 * nd >= n_tok), "
+        "s3 AS (SELECT * FROM s2 WHERE 10 * top_c <= 3 * n_tok), "
+        "s4 AS (SELECT * FROM (SELECT s3.*, min(doc_id) OVER "
+        "(PARTITION BY md5(text)) AS keep_id FROM s3) x "
+        "WHERE doc_id = keep_id), "
+        "c AS (SELECT (SELECT count(*) FROM f) AS n0, "
+        "(SELECT count(*) FROM s1) AS n1, "
+        "(SELECT count(*) FROM s2) AS n2, "
+        "(SELECT count(*) FROM s3) AS n3, "
+        "(SELECT count(*) FROM s4) AS n4) "
+        "SELECT stage, stage_idx, n_in, n_in - n_out AS n_removed, n_out, "
+        "((n_in - n_out) * 10000) // n_in AS removal_bp FROM ("
+        "SELECT 'length' AS stage, 1 AS stage_idx, n0 AS n_in, n1 AS n_out "
+        "FROM c "
+        "UNION ALL SELECT 'diversity', 2, n1, n2 FROM c "
+        "UNION ALL SELECT 'top_token', 3, n2, n3 FROM c "
+        "UNION ALL SELECT 'exact_dup', 4, n3, n4 FROM c) x",
+    ),
+    "q_source_overlap": (
+        q_source_overlap,
+        f"WITH t AS (SELECT source, {_TOKS} AS l FROM documents "
+        "WHERE len(string_split(trim(text), ' ')) >= 2), "
+        "sh AS (SELECT DISTINCT source, unnest(list_distinct("
+        "[array_to_string(l[i:i+1], ' ') for i in range(1, len(l))])) AS sh "
+        "FROM t), "
+        "sz AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1), "
+        "cm AS (SELECT a.source AS source_a, b.source AS source_b, "
+        "count(*) AS n_common FROM sh a JOIN sh b "
+        "ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2) "
+        "SELECT cm.source_a, cm.source_b, cm.n_common, "
+        "(cm.n_common * 10000) // (sa.n_sh + sb.n_sh - cm.n_common) "
+        "AS jaccard_bp FROM cm "
+        "JOIN sz sa ON sa.source = cm.source_a "
+        "JOIN sz sb ON sb.source = cm.source_b",
     ),
 }
