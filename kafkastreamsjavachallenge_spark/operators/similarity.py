@@ -707,3 +707,50 @@ def rp_project(
         lambda acc, v: acc + v,
     )
     return d.select(id_col, "j", F.round(val, 4).alias("val"))
+
+
+def write_ivf_partitioned(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF layout the probe docstrings promise: assign
+    every vector to its nearest centroid (broadcast argmin, no shuffle of
+    the big side) and write the table PARTITIONED BY ``centroid_id`` —
+    one directory per inverted list.  At 100 TB this is the build step a
+    deployment runs once per index rebuild; probes then become
+    directory-pruned scans (`ivf_partitioned_topk`), reading nprobe/k of
+    the corpus from disk instead of filtering it post-scan."""
+    ivf_assign(df, centroids, id_col, vec_col).write.mode(mode).partitionBy(
+        "centroid_id"
+    ).parquet(path)
+
+
+def ivf_partitioned_topk(
+    spark,
+    path: str,
+    query: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe over the materialized layout: the ``nprobe`` nearest
+    centroid ids (a bounded driver-side fetch of nprobe scalars — the
+    documented scalar-only collect class) become LITERAL partition
+    predicates, so Catalyst prunes at the DIRECTORY level
+    (`PartitionFilters` in the scan, pinned by
+    tests/test_plans.py::test_ivf_partitioned_probe_prunes_directories)
+    and only the probed inverted lists are ever read.  Result is
+    identical to the in-memory `ivf_ann_topk` with the same
+    (centroids, k, nprobe) — equality is part of the same test."""
+    probes = _probe_lists(query, centroids, nprobe, vec_col)
+    probe_ids = [int(r["centroid_id"]) for r in probes.collect()]
+    scan = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    return cosine_topk(scan, query, k, id_col, vec_col)

@@ -363,3 +363,36 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_partitioned_probe_prunes_directories(spark, tmp_path):
+    """The IVF scale path, physically: centroid-partitioned layout +
+    literal probe ids must prune at the DIRECTORY level (PartitionFilters
+    on centroid_id, only nprobe inverted-list dirs on disk are touched),
+    and the pruned probe must equal the in-memory ivf_ann_topk with the
+    same (centroids, k, nprobe)."""
+    import os
+
+    from kafkastreamsjavachallenge_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_partitioned_topk,
+        write_ivf_partitioned,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") != 0)
+    query = e.filter(F.col("vec_id") == 0)
+    path = str(tmp_path / "ivf_layout")
+    write_ivf_partitioned(corpus, centroids, path)
+    # one directory per inverted list on disk
+    dirs = [d for d in os.listdir(path) if d.startswith("centroid_id=")]
+    assert len(dirs) > 1
+
+    out = ivf_partitioned_topk(spark, path, query, centroids, k=10, nprobe=4)
+    p = executed_plan(out)
+    assert "PartitionFilters" in p and "centroid_id" in p.split("PartitionFilters")[1][:200], p
+    want = ivf_ann_topk(corpus, query, centroids, k=10, nprobe=4)
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in want.collect()]
