@@ -353,6 +353,85 @@ def q_stream_anomaly(spark, sf_dir):
     )
 
 
+
+def q_stream_funnel(spark, sf_dir):
+    """Streaming curation-funnel monitor: per-stage survivor counters
+    (length -> lexical diversity -> Gopher top-token) maintained as ONE
+    global streaming aggregation in complete mode — the live dashboard
+    row a curation ingest exposes.  The top-token count uses a row-local
+    sorted run-length fold (sort_array + one HOF pass) instead of the
+    batch explode/groupBy: a streaming pipeline affords one stateful
+    aggregation, so the per-doc profile must stay stateless — identical
+    values, different physical shape (same trick as q_stream_neardup's
+    row-local MinHash).  The exact-dup stage belongs to
+    q_stream_curation, whose dropDuplicates->agg chain owns content
+    state.  One availableNow drain equals the batch funnel's first three
+    stages row-for-row."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafkastreamsjavachallenge_spark.functions import text as T
+    from kafkastreamsjavachallenge_spark.session import configure_runtime
+
+    configure_runtime(spark)
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    stage_dir = tempfile.mkdtemp(prefix="stream_docs_")
+    os.symlink(src, os.path.join(stage_dir, "part-00000.parquet"))
+    schema = spark.read.parquet(src).schema
+    stream = file_stream(spark, stage_dir, schema)
+
+    toks = T.tokens("text")
+    n = F.size(toks)
+    # longest equal-run over the sorted token list == max per-token count
+    top_c = F.aggregate(
+        F.sort_array(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    flagged = stream.select(
+        n.alias("n_tok"),
+        (n.between(10, 500)).alias("f1"),
+        (F.size(F.array_distinct(toks)) * 5 >= n).alias("f2"),
+        top_c.alias("top_c"),
+    ).withColumn("f3", F.col("top_c") * 10 <= F.col("n_tok") * 3)
+    agg = flagged.groupBy().agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.when(F.col("f1"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("f1") & F.col("f2"), 1).otherwise(0)).alias("n2"),
+        F.sum(
+            F.when(F.col("f1") & F.col("f2") & F.col("f3"), 1).otherwise(0)
+        ).alias("n3"),
+    )
+    out = run_to_memory(agg, output_mode="complete", state_partitions=8)
+    return out.selectExpr(
+        "stack(3, 'length', 1, n0, n1, 'diversity', 2, n1, n2, "
+        "'top_token', 3, n2, n3) AS (stage, stage_idx, n_in, n_out)"
+    ).selectExpr(
+        "stage",
+        "stage_idx",
+        "CAST(n_in AS BIGINT) AS n_in",
+        "CAST(n_in - n_out AS BIGINT) AS n_removed",
+        "CAST(n_out AS BIGINT) AS n_out",
+        "((n_in - n_out) * 10000) DIV n_in AS removal_bp",
+    )
+
+
 QUERIES = {
     "q_stream_anomaly": (
         q_stream_anomaly,
@@ -376,6 +455,30 @@ QUERIES = {
         "(CAST(s AS DOUBLE) / k)), 4) END, 0.0)) >= 2 THEN 1 ELSE 0 END "
         "AS is_anomaly "
         "FROM daily JOIN st USING (event_type)",
+    ),
+    "q_stream_funnel": (
+        q_stream_funnel,
+        "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS l "
+        "FROM documents), "
+        "tc AS (SELECT doc_id, max(c) AS top_c FROM (SELECT doc_id, tok, "
+        "count(*) AS c FROM (SELECT doc_id, unnest(l) AS tok FROM t) u "
+        "GROUP BY 1, 2) g GROUP BY 1), "
+        "f AS (SELECT t.doc_id, len(l) AS n_tok, "
+        "len(list_distinct(l)) AS nd, tc.top_c FROM t "
+        "JOIN tc USING (doc_id)), "
+        "s1 AS (SELECT * FROM f WHERE n_tok BETWEEN 10 AND 500), "
+        "s2 AS (SELECT * FROM s1 WHERE 5 * nd >= n_tok), "
+        "s3 AS (SELECT * FROM s2 WHERE 10 * top_c <= 3 * n_tok), "
+        "c AS (SELECT (SELECT count(*) FROM f) AS n0, "
+        "(SELECT count(*) FROM s1) AS n1, "
+        "(SELECT count(*) FROM s2) AS n2, "
+        "(SELECT count(*) FROM s3) AS n3) "
+        "SELECT stage, stage_idx, n_in, n_in - n_out AS n_removed, n_out, "
+        "((n_in - n_out) * 10000) // n_in AS removal_bp FROM ("
+        "SELECT 'length' AS stage, 1 AS stage_idx, n0 AS n_in, n1 AS n_out "
+        "FROM c "
+        "UNION ALL SELECT 'diversity', 2, n1, n2 FROM c "
+        "UNION ALL SELECT 'top_token', 3, n2, n3 FROM c) x",
     ),
     "q_stream_curation": (
         q_stream_curation,

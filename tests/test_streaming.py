@@ -510,3 +510,26 @@ def test_stream_neardup_state_merges_across_batches(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_funnel_matches_batch_funnel_stages(spark):
+    """Batch/streaming parity: the streaming funnel's three stage rows
+    (row-local run-length top-token fold, one global streaming agg) equal
+    the batch funnel's first three rows (explode/groupBy top-token, plain
+    aggregates) on the same corpus — same numbers, different physical
+    shape on each side of the micro-batch boundary."""
+    from kafkastreamsjavachallenge_spark.queries.llm import q_filter_funnel
+    from kafkastreamsjavachallenge_spark.queries.streaming_q import q_stream_funnel
+
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["stage"]: (r["n_in"], r["n_removed"], r["n_out"], r["removal_bp"])
+        for r in q_stream_funnel(spark, SF_DIR).collect()
+    }
+    want = {
+        r["stage"]: (r["n_in"], r["n_removed"], r["n_out"], r["removal_bp"])
+        for r in q_filter_funnel(spark, SF_DIR).collect()
+        if r["stage"] != "exact_dup"
+    }
+    assert got == want and len(got) == 3
