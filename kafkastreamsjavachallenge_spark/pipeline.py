@@ -343,3 +343,38 @@ class CorpusPipeline:
         """Row count after each step (runs one count job per stage) —
         the per-step retention funnel a curation run reports."""
         return [(name, df.count()) for name, df in self._stages]
+
+    def funnel_report(self) -> DataFrame:
+        """The audit() funnel as ONE composed DataFrame (q_filter_funnel
+        shape): per stage in/removed/out counts and an integer
+        basis-point removal rate — Spark runs the unioned 1-row counts as
+        a single job instead of audit()'s one job per stage."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        parts = [
+            df.agg(F.count(F.lit(1)).alias("n_out")).select(
+                F.lit(i).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col("n_out").cast("bigint").alias("n_out"),
+            )
+            for i, (name, df) in enumerate(self._stages)
+        ]
+        u = parts[0]
+        for part in parts[1:]:
+            u = u.unionByName(part)
+        w = Window.orderBy("stage_idx")
+        return (
+            u.withColumn("n_in", F.lag("n_out").over(w))
+            .filter(F.col("stage_idx") > 0)
+            .select(
+                "stage_idx",
+                "stage",
+                "n_in",
+                (F.col("n_in") - F.col("n_out")).alias("n_removed"),
+                "n_out",
+                F.expr("((n_in - n_out) * 10000) DIV n_in").alias(
+                    "removal_bp"
+                ),
+            )
+        )

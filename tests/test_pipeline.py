@@ -64,6 +64,18 @@ def test_pipeline_manifest_and_audit_funnel(spark):
     assert all(a >= b for a, b in zip(counts[:-1], counts[1:])), funnel
     assert counts[-1] == counts[-2]  # split preserves rows
     assert counts[-1] > 0
+    # funnel_report: same numbers as audit(), one composed job, with
+    # integer bp removal rates
+    rows = {r["stage"]: r for r in pipe.funnel_report().collect()}
+    assert set(rows) == set(names)
+    for (prev_name, n_in), (name, n_out) in zip(funnel[:-1], funnel[1:]):
+        r = rows[name]
+        assert (r["n_in"], r["n_out"], r["n_removed"]) == (
+            n_in,
+            n_out,
+            n_in - n_out,
+        )
+        assert r["removal_bp"] == (n_in - n_out) * 10000 // n_in
 
 
 def test_pipeline_decontaminate_matches_query_semantics(spark):
