@@ -3003,6 +3003,88 @@ def q_source_overlap(spark, sf_dir):
     )
 
 
+
+def q_dataset_card(spark, sf_dir):
+    """Dataset-card composition table — the per-source summary a release
+    ships next to its manifest: document and token counts, mean length,
+    language spread, and the dominant language with its share (integer
+    basis points).  Two hash aggregates (per (source, lang), then per
+    source) + one tiny window; the corpus is scanned once.
+
+    Scale: group keys are (source, lang) — bounded by catalog
+    cardinality, not corpus size."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "source", "lang", F.size(T.tokens("text")).alias("n_tok")
+    )
+    by_lang = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_docs").desc(), "lang"
+    )
+    return (
+        by_lang.withColumn("rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.max(F.when(F.col("rn") == 1, F.col("lang"))).alias("top_lang"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_docs"))).alias("__top_n"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr("total_tokens DIV n_docs").alias("mean_tokens"),
+            "n_langs",
+            "top_lang",
+            F.expr("(__top_n * 10000) DIV n_docs").alias("top_lang_share_bp"),
+        )
+    )
+
+
+def q_token_budget(spark, sf_dir):
+    """Token-budget allocation by largest-remainder (Hamilton) rounding:
+    a 10M-token training budget split across sources proportionally to
+    the temperature-scaled weights, with the remainder seats going to the
+    largest fractional parts (ties by source) — so the allocations are
+    integers that sum EXACTLY to the budget, the property naive
+    per-source rounding loses.  Entirely integer arithmetic over the e6
+    weight table: floor share = B·w DIV W, fractional part = B·w mod W.
+
+    Scale: the weight table is |sources| rows; everything after the one
+    corpus-scan aggregate (inherited from q_temperature_mix) is
+    broadcast-size."""
+    from pyspark.sql import Window
+
+    budget = 10_000_000
+    w = q_temperature_mix(spark, sf_dir).select("source", "weight_e6")
+    tot = w.agg(F.sum("weight_e6").alias("W"))
+    j = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "weight_e6",
+        F.expr(f"({budget} * weight_e6) DIV W").alias("base"),
+        F.expr(f"({budget} * weight_e6) % W").alias("frac"),
+    )
+    rem = j.agg((F.lit(budget) - F.sum("base")).alias("R"))
+    wnd = Window.orderBy(F.col("frac").desc(), "source")
+    return (
+        j.withColumn("rk", F.row_number().over(wnd))
+        .crossJoin(F.broadcast(rem))
+        .select(
+            "source",
+            "weight_e6",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("R"), 1).otherwise(0)
+            ).cast("bigint").alias("alloc_tokens"),
+        )
+    )
+
+
 QUERIES = {
     "q_doc_dedup": (
         q_doc_dedup,
@@ -3932,6 +4014,49 @@ QUERIES = {
         "(CAST(sum(CASE WHEN jac.jac_e4 >= g.threshold_e4 THEN 1 ELSE 0 END) "
         "AS BIGINT) * 10000) // count(*) AS dup_share_bp "
         "FROM jac CROSS JOIN g GROUP BY g.threshold_e4",
+    ),
+    "q_dataset_card": (
+        q_dataset_card,
+        f"WITH d AS (SELECT source, lang, len({_TOKS}) AS n_tok "
+        "FROM documents), "
+        "bl AS (SELECT source, lang, count(*) AS n_docs, "
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY 1, 2), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY source "
+        "ORDER BY n_docs DESC, lang) AS rn FROM bl) "
+        "SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+        "CAST(sum(n_tokens) AS BIGINT) // CAST(sum(n_docs) AS BIGINT) "
+        "AS mean_tokens, "
+        "count(*) AS n_langs, "
+        "max(CASE WHEN rn = 1 THEN lang END) AS top_lang, "
+        "(CAST(max(CASE WHEN rn = 1 THEN n_docs END) AS BIGINT) * 10000) "
+        "// CAST(sum(n_docs) AS BIGINT) AS top_lang_share_bp "
+        "FROM r GROUP BY source",
+    ),
+    "q_token_budget": (
+        q_token_budget,
+        # temperature-mix oracle nested as a FROM-subquery, then exact
+        # integer Hamilton rounding: floor shares + largest remainders
+        f"WITH tm AS (SELECT source, weight_e6 FROM (WITH per AS ("
+        f"SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens "
+        "FROM documents GROUP BY source), "
+        "s AS (SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) "
+        "AS sq FROM per), "
+        "d AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list(sq ORDER BY source)), (a, x) -> a + x) AS denom FROM s) "
+        "SELECT source, "
+        "CAST(floor(sq / denom * 1000000.0) AS BIGINT) AS weight_e6 "
+        "FROM s CROSS JOIN d) x), "
+        "t AS (SELECT CAST(sum(weight_e6) AS BIGINT) AS W FROM tm), "
+        "j AS (SELECT source, weight_e6, "
+        "(10000000 * weight_e6) // W AS base, "
+        "(10000000 * weight_e6) % W AS frac FROM tm CROSS JOIN t), "
+        "rm AS (SELECT 10000000 - CAST(sum(base) AS BIGINT) AS R FROM j), "
+        "rk AS (SELECT *, row_number() OVER (ORDER BY frac DESC, source) "
+        "AS rk FROM j) "
+        "SELECT source, weight_e6, "
+        "CAST(base + CASE WHEN rk.rk <= rm.R THEN 1 ELSE 0 END AS BIGINT) "
+        "AS alloc_tokens FROM rk CROSS JOIN rm",
     ),
     "q_kn_bigram": (
         q_kn_bigram,

@@ -1148,3 +1148,16 @@ def test_mmr_select_matches_pure_python_greedy(shared_spark, data):
         for r in mmr_select(cand, pairs, k=k).collect()
     )
     assert got == sorted(expected)
+
+
+def test_token_budget_allocations_sum_exactly(spark):
+    """Hamilton (largest-remainder) rounding invariant: integer
+    allocations sum EXACTLY to the 10M budget — the property naive
+    per-source rounding loses."""
+    from kafkastreamsjavachallenge_spark.queries.llm import q_token_budget
+
+    from tests.conftest import SF_DIR
+
+    rows = q_token_budget(spark, SF_DIR).collect()
+    assert sum(r["alloc_tokens"] for r in rows) == 10_000_000
+    assert all(r["alloc_tokens"] >= 0 for r in rows)
