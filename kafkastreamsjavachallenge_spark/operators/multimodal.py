@@ -378,6 +378,8 @@ def sample_frames(
         for pdf in it:
             ids, idxs, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:  # null media column → no frames
+                    continue
                 for i, fr in enumerate(extractor(bytes(payload), n_frames)):
                     ids.append(mid)
                     idxs.append(i)

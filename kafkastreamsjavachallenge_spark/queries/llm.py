@@ -3085,6 +3085,48 @@ def q_token_budget(spark, sf_dir):
     )
 
 
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing, hash-checked end to end: wrap each
+    document payload as an opaque video record (operators/multimodal
+    to_media), fan out to 4 frames inside the Arrow batch loop
+    (sample_frames' mapInPandas — the row-multiplying multimodal shape),
+    and emit per-frame byte counts + digests.  The stand-in extractor
+    slices CHARACTERS (then re-encodes) so the oracle is expressible in
+    portable SQL (substr is char-based; this DuckDB build has no BLOB
+    slicing) — a real demuxer slices bytes and swaps in via
+    ``extractor=`` without touching the plan; the operator's byte-based
+    default keeps its own unit tests."""
+    from kafkastreamsjavachallenge_spark.operators.multimodal import (
+        sample_frames,
+        to_media,
+    )
+
+    def char_frames(payload, n):
+        if payload is None:
+            return []
+        try:
+            text = bytes(payload).decode("utf-8")
+        except UnicodeDecodeError:
+            return []
+        if not text:
+            return []
+        step = max(1, len(text) // n)
+        return [
+            text[i * step : (i + 1) * step].encode("utf-8") for i in range(n)
+        ]
+
+    d = _docs(spark, sf_dir)
+    media = to_media(d, "doc_id", "text", "video")
+    frames = sample_frames(media, n_frames=4, extractor=char_frames)
+    return frames.select(
+        "media_id",
+        "frame_index",
+        F.octet_length("frame").alias("n_frame_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
 QUERIES = {
     "q_doc_dedup": (
         q_doc_dedup,
@@ -4014,6 +4056,17 @@ QUERIES = {
         "(CAST(sum(CASE WHEN jac.jac_e4 >= g.threshold_e4 THEN 1 ELSE 0 END) "
         "AS BIGINT) * 10000) // count(*) AS dup_share_bp "
         "FROM jac CROSS JOIN g GROUP BY g.threshold_e4",
+    ),
+    "q_frame_sample": (
+        q_frame_sample,
+        "WITH t AS (SELECT doc_id, text, "
+        "greatest(1, length(text) // 4) AS step FROM documents "
+        "WHERE length(text) > 0), "
+        "f AS (SELECT doc_id AS media_id, CAST(g.i AS INTEGER) "
+        "AS frame_index, substr(text, g.i * step + 1, step) AS fr "
+        "FROM t, (SELECT unnest(range(0, 4)) AS i) g) "
+        "SELECT media_id, frame_index, octet_length(encode(fr)) "
+        "AS n_frame_bytes, md5(fr) AS frame_md5 FROM f",
     ),
     "q_dataset_card": (
         q_dataset_card,
