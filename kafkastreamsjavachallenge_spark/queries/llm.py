@@ -3127,6 +3127,79 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+
+def q_quality_threshold_sweep(spark, sf_dir):
+    """Classifier-threshold tuning curve: keep-rate of the fastText-style
+    quality filter at each candidate margin cut — the sweep an operator
+    reads before picking the filter's operating point (too low keeps
+    junk, too high starves the mix).  The margin pipeline runs ONCE; the
+    grid is a 5-row explode; rates land in integer basis points.
+
+    Scale: inherits q_fasttext_score's zero-shuffle scan-side inference;
+    the sweep adds one 5-group aggregate."""
+    scored = q_fasttext_score(spark, sf_dir).select("margin")
+    grid = [-20, -10, 0, 10, 20]
+    return (
+        scored.select(
+            "margin",
+            F.explode(
+                F.array(*[F.lit(t) for t in grid])
+            ).alias("threshold"),
+        )
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("margin") >= F.col("threshold"), 1).otherwise(0)
+            ).alias("n_keep"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "threshold",
+            "n_keep",
+            "n_docs",
+            F.expr("(n_keep * 10000) DIV n_docs").alias("keep_bp"),
+        )
+    )
+
+
+def q_embed_norm_audit(spark, sf_dir):
+    """Embedding-table health audit before indexing: vector count,
+    zero-norm count (cosine-undefined rows that poison ANN), and the
+    min / exact-median / max norm in e6 fixed point — the one-row report
+    an index build gates on.  The median is rank-exact ((n+1) DIV 2 over
+    a (norm, vec_id) total order), not an interpolated percentile, so
+    the whole row is cross-engine exact.
+
+    Scale: one projection + one rank window over norms (at 100 TB the
+    median comes from the two-pass partial-histogram form; the windowed
+    form here is the semantic spec)."""
+    from pyspark.sql import Window
+
+    from kafkastreamsjavachallenge_spark.functions.vector import norm
+
+    e = _embs(spark, sf_dir)
+    n_e6 = F.floor(norm(F.col("embedding")) * F.lit(1000000.0)).cast("bigint")
+    norms = e.select("vec_id", n_e6.alias("norm_e6"))
+    counts = norms.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("norm_e6") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+        F.min("norm_e6").alias("min_norm_e6"),
+        F.max("norm_e6").alias("max_norm_e6"),
+    )
+    w = Window.orderBy("norm_e6", "vec_id")
+    med = (
+        norms.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(counts.select("n_vecs").withColumnRenamed("n_vecs", "__n")))
+        .filter(F.col("rn") == F.expr("(__n + 1) DIV 2"))
+        .select(F.col("norm_e6").alias("med_norm_e6"))
+    )
+    return counts.crossJoin(F.broadcast(med)).select(
+        "n_vecs", "n_zero", "min_norm_e6", "med_norm_e6", "max_norm_e6"
+    )
+
+
 QUERIES = {
     "q_doc_dedup": (
         q_doc_dedup,
@@ -4056,6 +4129,40 @@ QUERIES = {
         "(CAST(sum(CASE WHEN jac.jac_e4 >= g.threshold_e4 THEN 1 ELSE 0 END) "
         "AS BIGINT) * 10000) // count(*) AS dup_share_bp "
         "FROM jac CROSS JOIN g GROUP BY g.threshold_e4",
+    ),
+    "q_quality_threshold_sweep": (
+        q_quality_threshold_sweep,
+        # the fasttext margin CTEs, swept over a 5-threshold grid
+        f"WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents), "
+        "b AS (SELECT doc_id, list_transform("
+        "range(1, greatest(len(l) - 1, 0) + 1), "
+        "i -> l[i] || ' ' || l[i + 1]) AS bgs FROM t), "
+        "f AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(bgs, "
+        f"g -> ({_H28_SQL.format(x='g')} % 1024) % 21 - 10)), 0) AS BIGINT) "
+        "AS margin FROM b), "
+        "g AS (SELECT unnest([-20, -10, 0, 10, 20]) AS threshold) "
+        "SELECT g.threshold, "
+        "CAST(sum(CASE WHEN f.margin >= g.threshold THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_keep, count(*) AS n_docs, "
+        "(CAST(sum(CASE WHEN f.margin >= g.threshold THEN 1 ELSE 0 END) "
+        "AS BIGINT) * 10000) // count(*) AS keep_bp "
+        "FROM f CROSS JOIN g GROUP BY g.threshold",
+    ),
+    "q_embed_norm_audit": (
+        q_embed_norm_audit,
+        "WITH n AS (SELECT vec_id, CAST(floor(sqrt(list_sum(list_transform("
+        "range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * "
+        "CAST(embedding[i] AS DOUBLE)))) * 1000000) AS BIGINT) AS norm_e6 "
+        "FROM embeddings), "
+        "c AS (SELECT count(*) AS n_vecs, "
+        "CAST(sum(CASE WHEN norm_e6 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_zero, min(norm_e6) AS min_norm_e6, "
+        "max(norm_e6) AS max_norm_e6 FROM n), "
+        "m AS (SELECT norm_e6 AS med_norm_e6 FROM (SELECT norm_e6, "
+        "row_number() OVER (ORDER BY norm_e6, vec_id) AS rn FROM n) r "
+        "CROSS JOIN c WHERE rn = (n_vecs + 1) // 2) "
+        "SELECT n_vecs, n_zero, min_norm_e6, med_norm_e6, max_norm_e6 "
+        "FROM c CROSS JOIN m",
     ),
     "q_frame_sample": (
         q_frame_sample,
