@@ -292,6 +292,15 @@ def test_registry_plans_lint_clean(spark):
         # MMR re-rank: 3-row query-vector block broadcast (cosine_topk
         # shape, one row per query)
         "q_mmr_rerank",
+        # token budgeting: 1-row weight-total and remainder broadcasts
+        "q_token_budget",
+        # norm audit: 1-row counts + 1-row exact-median broadcasts
+        "q_embed_norm_audit",
+        # NDCG audit: inherits the three retrievers' bounded broadcasts
+        # (q_ann_recall shape) + the 10-row relevance table
+        "q_ann_ndcg",
+        # Kneser-Ney: 1-row bigram-type-count broadcast
+        "q_kn_bigram",
     }
     # every comparison in the filter is over a COMPUTED expression
     # (token counts / ratios derived from split(text)) — unpushable by
