@@ -284,6 +284,23 @@ def lsh_ann_topk(
     bucket — partition-prunable when the table is stored bucketed — with
     the probe set broadcast from the 1-row query side.
     """
+    cands = lsh_candidates(df, query, n_planes, dim, vec_col, multiprobe)
+    return cosine_topk(cands, query, k, id_col, vec_col)
+
+
+def lsh_candidates(
+    df: DataFrame,
+    query: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    multiprobe: int = 1,
+) -> DataFrame:
+    """The probed candidate set of ``lsh_ann_topk`` BEFORE scoring — the
+    shared step the top-k retrieval and the cost/recall frontier audit
+    (q_ann_frontier) both read.  Rows of ``df`` whose bucket is within
+    ``multiprobe`` flipped sign bits of the query's bucket; the probe set
+    broadcasts from the 1-row query side."""
     b_df = lsh_buckets(df, n_planes, dim, vec_col)
     b_q = lsh_buckets(query, n_planes, dim, vec_col)
     probe = F.array(F.col("bucket"))
@@ -311,8 +328,7 @@ def lsh_ann_topk(
             ),
         )
     probes = b_q.select(F.explode(probe).alias("bucket"))
-    cands = b_df.join(F.broadcast(probes), on="bucket", how="left_semi")
-    return cosine_topk(cands, query, k, id_col, vec_col)
+    return b_df.join(F.broadcast(probes), on="bucket", how="left_semi")
 
 
 def _subvectors(

@@ -1792,7 +1792,7 @@ _COSINE_TOPK_SQL = (
     "ORDER BY cos_sim DESC, a.vec_id LIMIT 10"
 )
 
-_ANN_LSH_SQL = (
+_ANN_LSH_CTES = (
     "WITH v AS (SELECT vec_id, "
     "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
     "FROM embeddings), "
@@ -1814,7 +1814,10 @@ _ANN_LSH_SQL = (
     "vec AS qv FROM qb), "
     "cand AS (SELECT b.vec_id, b.vec FROM bk b WHERE b.vec_id <> 0 "
     "AND b.bucket IN (SELECT bucket FROM probes)) "
-    "SELECT c.vec_id, round(list_sum(list_transform("
+)
+_ANN_LSH_SQL = (
+    _ANN_LSH_CTES
+    + "SELECT c.vec_id, round(list_sum(list_transform("
     f"range(1, {_LSH_DIM + 1}), i -> c.vec[i] * q.qv[i])) / "
     "(sqrt(list_sum(list_transform("
     f"range(1, {_LSH_DIM + 1}), i -> c.vec[i] * c.vec[i]))) * q.qnorm), 4) "
@@ -1942,7 +1945,7 @@ def _ivf_cos(a, b):
     return f"({d} / ({na} * {nb}))"
 
 
-_ANN_IVF_SQL = (
+_ANN_IVF_CTES = (
     "WITH v AS (SELECT vec_id, "
     "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
     "FROM embeddings), "
@@ -1956,7 +1959,10 @@ _ANN_IVF_SQL = (
     f"ORDER BY {_ivf_cos('q.qv', 'c.cvec')} DESC, c.cid LIMIT 4), "
     "cand AS (SELECT a.vec_id, a.vec FROM assigned a "
     "WHERE a.cid IN (SELECT cid FROM probes)) "
-    f"SELECT c.vec_id, round({_ivf_cos('c.vec', 'q.qv')}, 4) AS cos_sim "
+)
+_ANN_IVF_SQL = (
+    _ANN_IVF_CTES
+    + f"SELECT c.vec_id, round({_ivf_cos('c.vec', 'q.qv')}, 4) AS cos_sim "
     "FROM cand c CROSS JOIN q ORDER BY cos_sim DESC, c.vec_id LIMIT 10"
 )
 
@@ -3200,6 +3206,66 @@ def q_embed_norm_audit(spark, sf_dir):
     )
 
 
+
+def q_ann_frontier(spark, sf_dir):
+    """ANN cost/recall frontier — the table a deployment reads to pick
+    its index: per retrieval method, how many candidates its pruning
+    admits (the cost proxy that scales with latency) next to the
+    recall@10 it buys.  Exact scan anchors the frontier (all candidates,
+    recall 10000 bp by definition); LSH multi-probe and IVF nprobe=4
+    show their prune ratios.  Candidate sets come from the SAME shared
+    operators the retrievals use (similarity.lsh_candidates /
+    ivf_assign + _probe_lists), so the audit can never drift from the
+    audited path.
+
+    Scale: each count is one aggregate over an already-pruned set; the
+    per-method rows are 1-row broadcast composes."""
+    e = _embs(spark, sf_dir)
+    corpus = e.filter(F.col("vec_id") != 0)
+    query = e.filter(F.col("vec_id") == 0)
+    centroids = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    exact_ids = q_cosine_topk(spark, sf_dir).select("vec_id").localCheckpoint(
+        eager=True
+    )
+
+    def row(method, cand_df, topk_df):
+        n_c = cand_df.agg(F.count(F.lit(1)).alias("n_candidates"))
+        hits = (
+            topk_df.select("vec_id")
+            .join(exact_ids, "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        return (
+            n_c.crossJoin(F.broadcast(hits))
+            .select(
+                F.lit(method).alias("method"),
+                "n_candidates",
+                "hits",
+                (F.col("hits") * 1000).alias("recall_bp"),
+            )
+        )
+
+    exact_row = corpus.agg(F.count(F.lit(1)).alias("n_candidates")).select(
+        F.lit("exact").alias("method"),
+        "n_candidates",
+        F.lit(10).cast("bigint").alias("hits"),
+        F.lit(10000).cast("bigint").alias("recall_bp"),
+    )
+    lsh_c = S.lsh_candidates(corpus, query)
+    ivf_c = S.ivf_assign(corpus, centroids).join(
+        F.broadcast(S._probe_lists(query, centroids, 4, "embedding")),
+        on="centroid_id",
+        how="left_semi",
+    )
+    return (
+        exact_row.unionByName(
+            row("lsh", lsh_c, q_ann_lsh(spark, sf_dir))
+        ).unionByName(row("ivf", ivf_c, q_ann_ivf(spark, sf_dir)))
+    )
+
+
 QUERIES = {
     "q_doc_dedup": (
         q_doc_dedup,
@@ -4129,6 +4195,25 @@ QUERIES = {
         "(CAST(sum(CASE WHEN jac.jac_e4 >= g.threshold_e4 THEN 1 ELSE 0 END) "
         "AS BIGINT) * 10000) // count(*) AS dup_share_bp "
         "FROM jac CROSS JOIN g GROUP BY g.threshold_e4",
+    ),
+    "q_ann_frontier": (
+        q_ann_frontier,
+        # per-branch WITH subqueries reuse the retrievers' own candidate
+        # CTEs, so the counted set IS the scored set
+        "SELECT method, n_candidates, hits, hits * 1000 AS recall_bp "
+        "FROM ("
+        "SELECT 'exact' AS method, "
+        "(SELECT count(*) FROM embeddings WHERE vec_id <> 0) "
+        "AS n_candidates, CAST(10 AS BIGINT) AS hits "
+        "UNION ALL "
+        f"SELECT 'lsh', ({_ANN_LSH_CTES} SELECT count(*) FROM cand), "
+        f"(SELECT count(*) FROM ({_ANN_LSH_SQL}) l WHERE l.vec_id IN "
+        f"(SELECT vec_id FROM ({_COSINE_TOPK_SQL}) x1)) "
+        "UNION ALL "
+        f"SELECT 'ivf', ({_ANN_IVF_CTES} SELECT count(*) FROM cand), "
+        f"(SELECT count(*) FROM ({_ANN_IVF_SQL}) v2 WHERE v2.vec_id IN "
+        f"(SELECT vec_id FROM ({_COSINE_TOPK_SQL}) x2))"
+        ") t",
     ),
     "q_quality_threshold_sweep": (
         q_quality_threshold_sweep,

@@ -299,6 +299,9 @@ def test_registry_plans_lint_clean(spark):
         # NDCG audit: inherits the three retrievers' bounded broadcasts
         # (q_ann_recall shape) + the 10-row relevance table
         "q_ann_ndcg",
+        # cost/recall frontier: 1-row count + hit aggregates per method,
+        # over the retrievers' own bounded-broadcast candidate sets
+        "q_ann_frontier",
         # Kneser-Ney: 1-row bigram-type-count broadcast
         "q_kn_bigram",
     }
