@@ -407,3 +407,59 @@ def test_zorder_buckets_are_tighter_than_scan_order(spark):
         for r in row_buckets
     ) / sum(r["n"] for r in row_buckets)
     assert z_area * 4 <= naive_area, (z_area, naive_area)
+
+
+def test_mmr_diversifies_planted_redundant_topk(spark):
+    """Quantitative MMR property on planted redundancy: three EXACT
+    copies sit closest to the query (sim 1e6 to each other), one
+    genuinely different candidate sits on the query's other side.
+    Plain top-2 by relevance returns two copies; equal-weight MMR must
+    escape the copy cluster at rank 2 — its selection's max pairwise
+    similarity drops to the cross-cluster band.  Pins that the integer
+    greedy buys diversity, not just that it matches its oracle."""
+    import math
+
+    from pyspark.sql import Row
+
+    from kafkastreamsjavachallenge_spark.operators.retrieval import mmr_select
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 62
+
+    vecs = {
+        0: unit(0.0),       # query
+        10: unit(0.2),      # copy cluster
+        11: unit(0.2),
+        12: unit(0.2),
+        20: unit(-0.5),     # the diverse alternative, other side
+    }
+
+    def cos_e6(a, b):
+        d = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        na = math.sqrt(sum(x * x for x in vecs[a]))
+        nb = math.sqrt(sum(x * x for x in vecs[b]))
+        return int(math.floor(d / (na * nb) * 1_000_000))
+
+    cand_ids = [10, 11, 12, 20]
+    cand = spark.createDataFrame(
+        [Row(qid=0, vec_id=v, cos_e6=cos_e6(0, v)) for v in cand_ids],
+        "qid bigint, vec_id bigint, cos_e6 bigint",
+    )
+    pairs = spark.createDataFrame(
+        [
+            Row(qid=0, id_a=a, id_b=b, sim_e6=cos_e6(a, b))
+            for a in cand_ids
+            for b in cand_ids
+            if a != b
+        ],
+        "qid bigint, id_a bigint, id_b bigint, sim_e6 bigint",
+    )
+    got = {
+        r["mmr_rank"]: r["vec_id"]
+        for r in mmr_select(cand, pairs, k=2).collect()
+    }
+    # plain top-2 by (relevance, id) would be the copies {10, 11}
+    assert got == {1: 10, 2: 20}, got
+    mmr_pair = cos_e6(10, 20)
+    copy_pair = cos_e6(10, 11)
+    assert mmr_pair < 990_000 <= copy_pair
