@@ -432,6 +432,43 @@ def q_stream_funnel(spark, sf_dir):
     )
 
 
+
+def q_stream_rollup(spark, sf_dir):
+    """Chained multi-stateful streaming (Spark's multiple-stateful-
+    operator support): a per-minute windowed count re-windowed into
+    5-minute totals INSIDE one streaming query — two stateful
+    aggregations back to back in append mode, the hierarchical-rollup
+    topology (minute pre-agg feeding coarser dashboards) that needed two
+    separate jobs before Spark 3.4.  The horizon sentinel closes every
+    real window at both levels; its own minute window never passes the
+    watermark, so it is suppressed upstream of the rollup.  One
+    availableNow drain equals the batch double-grouping → full SQL
+    oracle."""
+    from pyspark.sql import functions as F
+
+    stream = _event_stream(spark, sf_dir, horizon_sentinel=True)
+    per_min = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 minute").alias("window"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rolled = per_min.groupBy(
+        F.window(F.col("window"), "5 minutes").alias("w5")
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_minutes"),
+    )
+    out = run_to_memory(
+        rolled.select(
+            F.col("w5.start").alias("window_start"),
+            F.col("n_events"),
+            F.col("n_minutes"),
+        ),
+        output_mode="append",
+        state_partitions=8,
+    )
+    return out
+
 QUERIES = {
     "q_stream_anomaly": (
         q_stream_anomaly,
@@ -455,6 +492,14 @@ QUERIES = {
         "(CAST(s AS DOUBLE) / k)), 4) END, 0.0)) >= 2 THEN 1 ELSE 0 END "
         "AS is_anomaly "
         "FROM daily JOIN st USING (event_type)",
+    ),
+    "q_stream_rollup": (
+        q_stream_rollup,
+        "WITH m AS (SELECT date_trunc('minute', ts) AS wm, count(*) AS n "
+        "FROM events GROUP BY 1) "
+        "SELECT wm - (minute(wm) % 5) * INTERVAL 1 MINUTE AS window_start, "
+        "CAST(sum(n) AS BIGINT) AS n_events, count(*) AS n_minutes "
+        "FROM m GROUP BY 1",
     ),
     "q_stream_funnel": (
         q_stream_funnel,
