@@ -316,6 +316,32 @@ _SKEW_SQL = (
 )
 
 
+
+def q_hits(spark, sf_dir):
+    """HITS hubs on the bipartite user -> event-type graph, one unrolled
+    mutual-reinforcement round kept UNNORMALIZED so every score stays an
+    exact integer (authority_1 = distinct-user in-degree, hub_1 = sum of
+    the authorities a user touches) — no float normalization step, so
+    the oracle is hash-exact with no rounding gate (the normalized
+    variant divides each iteration by a constant and ranks identically).
+    Top-10 hubs by (hub_1 DESC, user_id).
+
+    Scale: edges collapse to DISTINCT (user, type) first; each iteration
+    is one broadcast-size join (|event types| rows) + one user-keyed
+    aggregate — the classic bipartite shape where one side is tiny."""
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select("user_id", "event_type").distinct()
+    a1 = edges.groupBy("event_type").agg(F.count(F.lit(1)).alias("auth1"))
+    h1 = (
+        edges.join(F.broadcast(a1), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("auth1").alias("hub1"),
+        )
+    )
+    return h1.orderBy(F.col("hub1").desc(), "user_id").limit(10)
+
 QUERIES = {
     "q_triangle_count": (
         q_triangle_count,
@@ -354,6 +380,15 @@ QUERIES = {
     # sides (and ordering by the rounded rank) absorbs ulp drift — if a
     # rank ever sat exactly on a rounding boundary the deterministic
     # parity test would catch it, not flake.
+    "q_hits": (
+        q_hits,
+        "WITH e AS (SELECT DISTINCT user_id, event_type FROM events), "
+        "a1 AS (SELECT event_type, count(*) AS auth1 FROM e GROUP BY 1) "
+        "SELECT user_id, count(*) AS n_types, "
+        "CAST(sum(auth1) AS BIGINT) AS hub1 "
+        "FROM e JOIN a1 USING (event_type) GROUP BY user_id "
+        "ORDER BY hub1 DESC, user_id LIMIT 10",
+    ),
     "q_pagerank": (
         q_pagerank,
         _EDGE_CTE
