@@ -3266,6 +3266,49 @@ def q_ann_frontier(spark, sf_dir):
     )
 
 
+
+_LANG_ID_SQL = (
+    f"WITH toks AS (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents), "
+    "tf AS (SELECT lang AS l2, tok, count(*) AS c FROM toks GROUP BY l2, tok), "
+    "top AS (SELECT l2, tok FROM (SELECT l2, tok, row_number() OVER "
+    "(PARTITION BY l2 ORDER BY c DESC, tok) AS rn FROM tf) WHERE rn <= 20), "
+    "score AS (SELECT t.doc_id, p.l2, count(*) AS overlap FROM toks t "
+    "JOIN top p ON t.tok = p.tok GROUP BY t.doc_id, p.l2), "
+    "pred AS (SELECT doc_id, l2 AS pred_lang FROM (SELECT doc_id, l2, "
+    "row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, l2) AS rn "
+    "FROM score) WHERE rn = 1) "
+    "SELECT d.doc_id, p.pred_lang, d.lang AS true_lang, "
+    "CAST(p.pred_lang = d.lang AS INTEGER) AS is_correct "
+    "FROM documents d JOIN pred p ON d.doc_id = p.doc_id"
+)
+
+
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: the corpus-trained classifier
+    (q_lang_id) evaluated against the labeled lang column — per
+    (true, predicted) pair counts and the row-share in integer basis
+    points, the error-analysis artifact a curation run reads before
+    trusting lang-based routing.  One aggregate + one tiny window over
+    the classifier output; at scale the matrix is |langs|**2 rows."""
+    from pyspark.sql import Window
+
+    pred = q_lang_id(spark, sf_dir)
+    c = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        c.withColumn(
+            "row_total", F.sum("n").over(Window.partitionBy("true_lang"))
+        )
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            F.expr("(n * 10000) DIV row_total").alias("share_bp"),
+        )
+    )
+
+
 QUERIES = {
     "q_doc_dedup": (
         q_doc_dedup,
@@ -3481,21 +3524,7 @@ QUERIES = {
         "* 10000) AS BIGINT) AS score_e4 "
         f"FROM (SELECT doc_id, {_TOKS} AS l FROM documents)",
     ),
-    "q_lang_id": (
-        q_lang_id,
-        f"WITH toks AS (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents), "
-        "tf AS (SELECT lang AS l2, tok, count(*) AS c FROM toks GROUP BY l2, tok), "
-        "top AS (SELECT l2, tok FROM (SELECT l2, tok, row_number() OVER "
-        "(PARTITION BY l2 ORDER BY c DESC, tok) AS rn FROM tf) WHERE rn <= 20), "
-        "score AS (SELECT t.doc_id, p.l2, count(*) AS overlap FROM toks t "
-        "JOIN top p ON t.tok = p.tok GROUP BY t.doc_id, p.l2), "
-        "pred AS (SELECT doc_id, l2 AS pred_lang FROM (SELECT doc_id, l2, "
-        "row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, l2) AS rn "
-        "FROM score) WHERE rn = 1) "
-        "SELECT d.doc_id, p.pred_lang, d.lang AS true_lang, "
-        "CAST(p.pred_lang = d.lang AS INTEGER) AS is_correct "
-        "FROM documents d JOIN pred p ON d.doc_id = p.doc_id",
-    ),
+    "q_lang_id": (q_lang_id, _LANG_ID_SQL),
     "q_udf_text": (
         q_udf_text,
         f"SELECT doc_id, len({_TOKS}) AS tok_cnt FROM documents",
@@ -4195,6 +4224,15 @@ QUERIES = {
         "(CAST(sum(CASE WHEN jac.jac_e4 >= g.threshold_e4 THEN 1 ELSE 0 END) "
         "AS BIGINT) * 10000) // count(*) AS dup_share_bp "
         "FROM jac CROSS JOIN g GROUP BY g.threshold_e4",
+    ),
+    "q_lang_confusion": (
+        q_lang_confusion,
+        f"WITH p AS (SELECT * FROM ({_LANG_ID_SQL}) x), "
+        "c AS (SELECT true_lang, pred_lang, count(*) AS n FROM p "
+        "GROUP BY 1, 2) "
+        "SELECT true_lang, pred_lang, n, (n * 10000) // "
+        "CAST(sum(n) OVER (PARTITION BY true_lang) AS BIGINT) AS share_bp "
+        "FROM c",
     ),
     "q_ann_frontier": (
         q_ann_frontier,
