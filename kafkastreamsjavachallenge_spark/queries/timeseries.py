@@ -311,7 +311,90 @@ def _ts_motif_sql() -> str:
 _TS_MOTIF_SQL = _ts_motif_sql()
 
 
+
+def q_changepoint(spark, sf_dir):
+    """CUSUM changepoint monitor over the monthly order series: the
+    one-sided cumulative sum S_i = max(0, S_{i-1} + (x_i - mu)) with an
+    integer mean and an integer alarm gate (2*S >= mu) — level-shift
+    detection for ingest-volume monitoring, entirely in integers so the
+    recurrence is cross-engine exact.
+
+    The max() breaks prefix-sum linearity, so this cannot be a window
+    frame; and a WITH RECURSIVE chain re-executes its anchor subtree per
+    level in Spark (measured 33 s at sf0.1 for 80 levels — a scan per
+    month).  The right shape for a BOUNDED series is the ts-motif one:
+    collapse the corpus to |months| rows, collect the sorted sequence
+    into ONE row, and run the recurrence as a single sequential HOF fold
+    — one corpus scan, one job, the fold itself 80 steps on one core.
+    The oracle keeps the recursive-CTE form, pinning that fold == chain."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    stats = monthly.agg(
+        F.expr("sum(x) DIV count(*)").alias("mu")
+    )
+    seq = monthly.agg(
+        F.array_sort(F.collect_list(F.struct("month", "x"))).alias("seq")
+    )
+    elem_t = "array<struct<month:timestamp,x:bigint,s:bigint>>"
+    folded = seq.crossJoin(F.broadcast(stats)).select(
+        "mu",
+        F.aggregate(
+            "seq",
+            F.struct(
+                F.lit(0).cast("bigint").alias("s"),
+                F.expr(f"CAST(array() AS {elem_t})").alias("out"),
+            ),
+            lambda acc, e: F.struct(
+                F.greatest(
+                    F.lit(0).cast("bigint"), acc["s"] + e["x"] - F.col("mu")
+                ).alias("s"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            e["month"].alias("month"),
+                            e["x"].alias("x"),
+                            F.greatest(
+                                F.lit(0).cast("bigint"),
+                                acc["s"] + e["x"] - F.col("mu"),
+                            ).alias("s"),
+                        )
+                    ),
+                ).alias("out"),
+            ),
+            lambda acc: acc["out"],
+        ).alias("cs"),
+    )
+    return folded.select("mu", F.explode("cs").alias("e")).select(
+        F.col("e.month").alias("month"),
+        F.col("e.x").alias("n_orders"),
+        F.col("e.s").alias("cusum"),
+        (F.col("e.s") * 2 >= F.col("mu")).cast("int").alias("is_alarm"),
+    )
+
+
 QUERIES = {
+    "q_changepoint": (
+        q_changepoint,
+        "WITH RECURSIVE m AS (SELECT date_trunc('month', o_orderdate) "
+        "AS month, count(*) AS x FROM orders GROUP BY 1), "
+        "r AS (SELECT month, x, row_number() OVER (ORDER BY month) AS rn "
+        "FROM m), "
+        "st AS (SELECT CAST(sum(x) AS BIGINT) // count(*) AS mu FROM m), "
+        "c(rn, month, x, s) AS ("
+        "SELECT r.rn, r.month, r.x, "
+        "greatest(CAST(0 AS BIGINT), r.x - st.mu) "
+        "FROM r CROSS JOIN st WHERE r.rn = 1 "
+        "UNION ALL "
+        "SELECT r.rn, r.month, r.x, "
+        "greatest(CAST(0 AS BIGINT), c.s + r.x - st.mu) "
+        "FROM c JOIN r ON r.rn = c.rn + 1 CROSS JOIN st) "
+        "SELECT c.month, c.x AS n_orders, c.s AS cusum, "
+        "CAST(CASE WHEN c.s * 2 >= st.mu THEN 1 ELSE 0 END AS INTEGER) "
+        "AS is_alarm FROM c CROSS JOIN st",
+    ),
     "q_ts_motif": (
         q_ts_motif,
         _TS_MOTIF_SQL,
