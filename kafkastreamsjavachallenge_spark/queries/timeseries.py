@@ -375,7 +375,65 @@ def q_changepoint(spark, sf_dir):
     )
 
 
+
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend over the monthly order series: the exact
+    median of all pairwise slopes ((x_j - x_i)·1e6 DIV (j - i) over
+    month-index pairs) — the slope estimator that shrugs off the
+    outlier months a least-squares fit (q_regr) chases.  Slopes are
+    integer e6 rationals and the median is rank-exact ((n+1) DIV 2 over
+    (slope, i, j)), so the whole estimate is cross-engine exact.
+
+    Scale: the corpus collapses to |months| rows FIRST; the pair join is
+    |months|² ≈ 3k rows — bounded by calendar length, not corpus size
+    (at decade scale, sample month pairs or switch to the repeated-
+    median variant; same two-stage shape)."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    r = monthly.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy("month"))
+        .alias("rn"),
+    )
+    a = r.select(F.col("rn").alias("i"), F.col("x").alias("xi"))
+    b = r.select(F.col("rn").alias("j"), F.col("x").alias("xj"))
+    slopes = (
+        a.join(b, F.col("i") < F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.expr("((xj - xi) * 1000000) DIV (j - i)").alias("slope_e6"),
+        )
+    )
+    n = slopes.agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = Window.orderBy("slope_e6", "i", "j")
+    med = (
+        slopes.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(n.withColumnRenamed("n_pairs", "__n")))
+        .filter(F.col("rk") == F.expr("(__n + 1) DIV 2"))
+        .select(F.col("slope_e6").alias("median_slope_e6"))
+    )
+    return n.crossJoin(F.broadcast(med)).select("n_pairs", "median_slope_e6")
+
 QUERIES = {
+    "q_theil_sen": (
+        q_theil_sen,
+        "WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, "
+        "count(*) AS x FROM orders GROUP BY 1), "
+        "r AS (SELECT x, row_number() OVER (ORDER BY month) AS rn FROM m), "
+        "sl AS (SELECT a.rn AS i, b.rn AS j, "
+        "((b.x - a.x) * 1000000) // (b.rn - a.rn) AS slope_e6 "
+        "FROM r a JOIN r b ON a.rn < b.rn), "
+        "n AS (SELECT count(*) AS n_pairs FROM sl), "
+        "md AS (SELECT slope_e6 AS median_slope_e6 FROM "
+        "(SELECT slope_e6, row_number() OVER "
+        "(ORDER BY slope_e6, i, j) AS rk FROM sl) x CROSS JOIN n "
+        "WHERE rk = (n_pairs + 1) // 2) "
+        "SELECT n_pairs, median_slope_e6 FROM n CROSS JOIN md",
+    ),
     "q_changepoint": (
         q_changepoint,
         "WITH RECURSIVE m AS (SELECT date_trunc('month', o_orderdate) "

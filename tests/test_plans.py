@@ -302,6 +302,10 @@ def test_registry_plans_lint_clean(spark):
         # cost/recall frontier: 1-row count + hit aggregates per method,
         # over the retrievers' own bounded-broadcast candidate sets
         "q_ann_frontier",
+        # Theil-Sen: 1-row pair-count and 1-row exact-median broadcasts
+        "q_theil_sen",
+        # CUSUM: 1-row integer-mean broadcast onto the 1-row folded series
+        "q_changepoint",
         # Kneser-Ney: 1-row bigram-type-count broadcast
         "q_kn_bigram",
     }
