@@ -418,7 +418,63 @@ def q_theil_sen(spark, sf_dir):
     )
     return n.crossJoin(F.broadcast(med)).select("n_pairs", "median_slope_e6")
 
+
+def q_mad(spark, sf_dir):
+    """Median absolute deviation of the monthly order series — the
+    robust scale estimate that pairs with q_theil_sen's robust slope
+    (outlier months move a stddev, not a MAD): two rank-exact medians
+    (values, then absolute deviations from the first), both integers,
+    so the whole report is cross-engine exact.
+
+    Scale: |months| rows after the one corpus aggregate; each median is
+    a rank filter against a 1-row count broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    n = monthly.agg(F.count(F.lit(1)).alias("__n"))
+
+    def exact_median(df, col, order_extra):
+        w = Window.orderBy(col, *order_extra)
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .crossJoin(F.broadcast(n))
+            .filter(F.col("rk") == F.expr("(__n + 1) DIV 2"))
+            .select(F.col(col).alias("med"))
+        )
+
+    med = exact_median(monthly, "x", ["month"])
+    dev = monthly.crossJoin(F.broadcast(med)).select(
+        "month", F.abs(F.col("x") - F.col("med")).alias("d")
+    )
+    mad = exact_median(dev, "d", ["month"]).withColumnRenamed("med", "mad")
+    return (
+        n.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            F.col("__n").alias("n_months"),
+            F.col("med").alias("median_orders"),
+            F.col("mad").alias("mad_orders"),
+        )
+    )
+
 QUERIES = {
+    "q_mad": (
+        q_mad,
+        "WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, "
+        "count(*) AS x FROM orders GROUP BY 1), "
+        "n AS (SELECT count(*) AS nn FROM m), "
+        "med AS (SELECT x AS med FROM (SELECT x, month, row_number() OVER "
+        "(ORDER BY x, month) AS rk FROM m) r CROSS JOIN n "
+        "WHERE rk = (nn + 1) // 2), "
+        "dev AS (SELECT m.month, abs(m.x - med.med) AS d "
+        "FROM m CROSS JOIN med), "
+        "mad AS (SELECT d AS mad FROM (SELECT d, month, row_number() OVER "
+        "(ORDER BY d, month) AS rk FROM dev) r CROSS JOIN n "
+        "WHERE rk = (nn + 1) // 2) "
+        "SELECT n.nn AS n_months, med.med AS median_orders, "
+        "mad.mad AS mad_orders FROM n CROSS JOIN med CROSS JOIN mad",
+    ),
     "q_theil_sen": (
         q_theil_sen,
         "WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, "

@@ -306,6 +306,8 @@ def test_registry_plans_lint_clean(spark):
         "q_theil_sen",
         # CUSUM: 1-row integer-mean broadcast onto the 1-row folded series
         "q_changepoint",
+        # MAD: 1-row count / median / deviation-median broadcasts
+        "q_mad",
         # Kneser-Ney: 1-row bigram-type-count broadcast
         "q_kn_bigram",
     }
