@@ -2352,8 +2352,13 @@ def q_edit_distance(spark, sf_dir):
     pairs = D.lsh_candidate_pairs(
         D.minhash_signatures(d, n_perm=8), bands=4, rows_per_band=2
     )
-    ta = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
-    tb = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    # per-pair cost is O(len_a * len_b): cap the compared prefix at 4096
+    # chars (the oracle applies the same cap) so one pathological
+    # million-char near-dup pair cannot go quadratic — beyond the cap,
+    # prefix distance is the verify signal curation actually acts on
+    cap = F.substring(F.col("text"), 1, 4096)
+    ta = d.select(F.col("doc_id").alias("id_a"), cap.alias("ta"))
+    tb = d.select(F.col("doc_id").alias("id_b"), cap.alias("tb"))
     return (
         pairs.join(ta, "id_a")
         .join(tb, "id_b")
@@ -4029,10 +4034,13 @@ QUERIES = {
         "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a "
         "JOIN bands c ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id) "
         "SELECT id_a, id_b, "
-        "CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist, "
-        "((greatest(length(da.text), length(db.text)) "
-        "- levenshtein(da.text, db.text)) * 10000) "
-        "// greatest(length(da.text), length(db.text)) AS sim_bp "
+        "CAST(levenshtein(substr(da.text, 1, 4096), "
+        "substr(db.text, 1, 4096)) AS BIGINT) AS dist, "
+        "((greatest(length(substr(da.text, 1, 4096)), "
+        "length(substr(db.text, 1, 4096))) "
+        "- levenshtein(substr(da.text, 1, 4096), substr(db.text, 1, 4096))) "
+        "* 10000) // greatest(length(substr(da.text, 1, 4096)), "
+        "length(substr(db.text, 1, 4096))) AS sim_bp "
         "FROM pairs p JOIN documents da ON da.doc_id = p.id_a "
         "JOIN documents db ON db.doc_id = p.id_b",
     ),
