@@ -3314,6 +3314,41 @@ def q_lang_confusion(spark, sf_dir):
     )
 
 
+
+def q_source_hhi(spark, sf_dir):
+    """Corpus concentration (Herfindahl-Hirschman index) over source
+    token shares: HHI = sum(share_bp^2) DIV 10000 — the single number a
+    mixture review reads first (10000 = one source owns the corpus,
+    10000/n = perfectly even).  Shares in integer basis points, so the
+    index is cross-engine exact; reported next to the top source's share
+    and the effective source count ceiling 10000*10000 DIV HHI (the
+    integer "equivalent number of equal sources").
+
+    Scale: one map-side-combinable aggregate to |sources| rows, then
+    arithmetic."""
+    per = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum(F.size(T.tokens("text"))).alias("n_tok"))
+    )
+    tot = per.agg(F.sum("n_tok").alias("tot"))
+    shares = per.crossJoin(F.broadcast(tot)).select(
+        "source", F.expr("(n_tok * 10000) DIV tot").alias("share_bp")
+    )
+    return shares.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.expr("CAST(sum(share_bp * share_bp) DIV 10000 AS BIGINT)").alias(
+            "hhi_bp"
+        ),
+        F.max("share_bp").alias("top_share_bp"),
+    ).select(
+        "n_sources",
+        "hhi_bp",
+        "top_share_bp",
+        F.expr("(10000 * 10000) DIV hhi_bp").alias("effective_sources_e4"),
+    )
+
+
 QUERIES = {
     "q_doc_dedup": (
         q_doc_dedup,
@@ -4305,6 +4340,19 @@ QUERIES = {
         "FROM t, (SELECT unnest(range(0, 4)) AS i) g) "
         "SELECT media_id, frame_index, octet_length(encode(fr)) "
         "AS n_frame_bytes, md5(fr) AS frame_md5 FROM f",
+    ),
+    "q_source_hhi": (
+        q_source_hhi,
+        f"WITH per AS (SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) "
+        "AS n_tok FROM documents GROUP BY source), "
+        "t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot FROM per), "
+        "sh AS (SELECT source, (n_tok * 10000) // tot AS share_bp "
+        "FROM per CROSS JOIN t), "
+        "h AS (SELECT count(*) AS n_sources, "
+        "CAST(CAST(sum(share_bp * share_bp) AS BIGINT) // 10000 AS BIGINT) "
+        "AS hhi_bp, max(share_bp) AS top_share_bp FROM sh) "
+        "SELECT n_sources, hhi_bp, top_share_bp, "
+        "(10000 * 10000) // hhi_bp AS effective_sources_e4 FROM h",
     ),
     "q_dataset_card": (
         q_dataset_card,

@@ -308,6 +308,8 @@ def test_registry_plans_lint_clean(spark):
         "q_changepoint",
         # MAD: 1-row count / median / deviation-median broadcasts
         "q_mad",
+        # HHI: 1-row corpus-total broadcast onto |sources| rows
+        "q_source_hhi",
         # Kneser-Ney: 1-row bigram-type-count broadcast
         "q_kn_bigram",
     }
