@@ -1081,3 +1081,52 @@ def test_mmr_select_on_10k_query_groups(spark):
         ).count()
         assert n_ok == nq, f"rank {rank}: {n_ok}/{nq}"
     assert elapsed < 90, f"MMR took {elapsed:.1f}s on {nq} query groups"
+
+
+def test_source_overlap_on_100k_docs(spark, tmp_path):
+    """The source-pair shingle-overlap matrix at 100k docs over 20
+    sources, with a closed-form plant: every source shares the SAME
+    1000 common bigrams (a planted syndication block) and owns 1000
+    private ones, so all 190 source pairs must report exactly the
+    planted intersection with jaccard = 1000/(1000+1000+1000-...):
+    n_common = 1001 per pair (1000 planted + the seam bigram is private
+    per doc — see below), and the pair join's fan-out stays bounded by
+    source-df (20), not corpus size."""
+    from kafkastreamsjavachallenge_spark.queries.llm import q_source_overlap
+
+    n = 100_000
+    src = F.concat(F.lit("s"), (F.col("id") % 20).cast("string"))
+    # per-doc text = [shared run of 1001 tokens] — same for every doc of
+    # every source — plus a per-source private run of 1001 tokens:
+    # shared bigrams: 1000; private bigrams per source: 1000; the seam
+    # bigram (last shared token, first private token) is per-source too
+    shared = F.transform(
+        F.sequence(F.lit(0), F.lit(1000)),
+        lambda j: F.concat(F.lit("c"), j),
+    )
+    private = F.transform(
+        F.sequence(F.lit(0), F.lit(1000)),
+        lambda j: F.concat(F.lit("p"), (F.col("id") % 20) * 2000 + j),
+    )
+    text = F.concat_ws(" ", F.concat(shared, private))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+        src.alias("source"),
+        F.length(text).alias("n_chars"),
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    t0 = time.time()
+    out = q_source_overlap(spark, str(tmp_path)).localCheckpoint()
+    elapsed = time.time() - t0
+    assert out.count() == 190  # all 20-choose-2 pairs present
+    # every pair: common = the 1000 shared bigrams + 1 seam? The seam
+    # bigram "c1000 p<base>" differs per source, so common is exactly
+    # 1000; per-source distinct = 1000 shared + 1000 private + 1 seam
+    row = out.collect()
+    assert all(r["n_common"] == 1000 for r in row), row[:3]
+    # jaccard = 1000 / (2001 + 2001 - 1000) = 1000/3002 -> 3331 bp
+    assert all(r["jaccard_bp"] == (1000 * 10000) // 3002 for r in row)
+    assert elapsed < 120, f"source overlap took {elapsed:.1f}s on {n} docs"
