@@ -3349,6 +3349,35 @@ def q_source_hhi(spark, sf_dir):
     )
 
 
+
+def q_length_deciles(spark, sf_dir):
+    """Per-language document-length distribution audit: decile buckets
+    over token counts (ntile(10) on the (n_tok, doc_id) total order —
+    rank-based, so entirely integer) with per-decile doc counts, token
+    bounds, and token mass — the table a length-filter review reads
+    instead of a mean ± stddev that hides the tail.
+
+    Scale: one projection + one per-language window; at corpus scale the
+    same buckets come from approx quantile cutpoints, the rank form is
+    the exact spec."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.size(T.tokens("text")).alias("n_tok")
+    )
+    w = Window.partitionBy("lang").orderBy("n_tok", "doc_id")
+    return (
+        d.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+
+
 QUERIES = {
     "q_doc_dedup": (
         q_doc_dedup,
@@ -4340,6 +4369,16 @@ QUERIES = {
         "FROM t, (SELECT unnest(range(0, 4)) AS i) g) "
         "SELECT media_id, frame_index, octet_length(encode(fr)) "
         "AS n_frame_bytes, md5(fr) AS frame_md5 FROM f",
+    ),
+    "q_length_deciles": (
+        q_length_deciles,
+        f"WITH d AS (SELECT doc_id, lang, len({_TOKS}) AS n_tok "
+        "FROM documents), "
+        "t AS (SELECT lang, n_tok, ntile(10) OVER (PARTITION BY lang "
+        "ORDER BY n_tok, doc_id) AS decile FROM d) "
+        "SELECT lang, decile, count(*) AS n_docs, min(n_tok) AS min_tok, "
+        "max(n_tok) AS max_tok, CAST(sum(n_tok) AS BIGINT) "
+        "AS total_tokens FROM t GROUP BY lang, decile",
     ),
     "q_source_hhi": (
         q_source_hhi,
