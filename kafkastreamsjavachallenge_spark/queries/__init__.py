@@ -52,13 +52,13 @@ _MODULES = (
 # r04 red rows re-checked after their oracle CAST fix, every oracle touched
 # this round, the late-r04 additions, and 25 more never-checked ids
 # (lifetime 180/231 if green).  Remaining ids follow in module order;
-# never-checked after r05: ~51 pre-r05 ids plus the 28 round-5 additions
+# never-checked after r05: ~51 pre-r05 ids plus the 29 round-5 additions
 # (q_edit_distance q_cdc_chunks q_temperature_mix q_vocab_coverage
 # q_perplexity_bucket q_cluster_canonical q_mmr_rerank q_template_detect
 # q_lsh_tuning q_dup_threshold_curve q_kn_bigram q_ann_ndcg
 # q_filter_funnel q_source_overlap q_stream_funnel q_dataset_card
 # q_token_budget q_frame_sample q_quality_threshold_sweep
-# q_embed_norm_audit q_ann_frontier q_stream_rollup q_hits q_lang_confusion q_changepoint q_theil_sen q_mad q_source_hhi) — the r06
+# q_embed_norm_audit q_ann_frontier q_stream_rollup q_hits q_lang_confusion q_changepoint q_theil_sen q_mad q_source_hhi q_length_deciles) — the r06
 # slate should lead with the round-5 additions (newest code first; all
 # fuzz-hardened across ≥3 regenerated seeds this round), then keep
 # draining the module-order tail.
