@@ -82,6 +82,17 @@ class CorpusPipeline:
             out,
         )
 
+    def filter(self, predicate, name: str = "filter") -> "CorpusPipeline":
+        """Generic predicate gate (a Column or SQL string) — for one-off
+        corpus rules that don't warrant a named step (allowed-license
+        gates, per-run source blocklists).  Pure filter: fuses into the
+        scan like quality_filter; the manifest records the predicate
+        text so provenance stays complete."""
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        return self._push(
+            name, {"predicate": str(cond)}, self._df.filter(cond)
+        )
+
     def exact_dedup(self) -> "CorpusPipeline":
         """One row per distinct content (min-id representative); one
         shuffle on the content digest (q_doc_dedup is the group view)."""
@@ -373,8 +384,14 @@ class CorpusPipeline:
                 "n_in",
                 (F.col("n_in") - F.col("n_out")).alias("n_removed"),
                 "n_out",
-                F.expr("((n_in - n_out) * 10000) DIV n_in").alias(
-                    "removal_bp"
-                ),
+                # n_in = 0 (an upstream stage emptied the pipeline) would
+                # make DIV yield NULL; report 0-removed-of-0 as rate 0
+                F.when(
+                    F.col("n_in") > 0,
+                    F.expr("((n_in - n_out) * 10000) DIV n_in"),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("removal_bp"),
             )
         )

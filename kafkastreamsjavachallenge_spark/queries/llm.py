@@ -3234,6 +3234,18 @@ def q_ann_frontier(spark, sf_dir):
     exact_ids = q_cosine_topk(spark, sf_dir).select("vec_id").localCheckpoint(
         eager=True
     )
+    # recall denominator derived from the exact scan itself (not a
+    # hard-coded k): stays correct if k or the corpus size changes, and
+    # a sub-k corpus reports honest numbers instead of fabricated 10s
+    n_exact = F.broadcast(
+        exact_ids.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    recall_bp = (
+        F.when(F.col("n_exact") > 0, F.expr("(hits * 10000) DIV n_exact"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("recall_bp")
+    )
 
     def row(method, cand_df, topk_df):
         n_c = cand_df.agg(F.count(F.lit(1)).alias("n_candidates"))
@@ -3244,19 +3256,24 @@ def q_ann_frontier(spark, sf_dir):
         )
         return (
             n_c.crossJoin(F.broadcast(hits))
+            .crossJoin(n_exact)
             .select(
                 F.lit(method).alias("method"),
                 "n_candidates",
                 "hits",
-                (F.col("hits") * 1000).alias("recall_bp"),
+                recall_bp,
             )
         )
 
-    exact_row = corpus.agg(F.count(F.lit(1)).alias("n_candidates")).select(
-        F.lit("exact").alias("method"),
-        "n_candidates",
-        F.lit(10).cast("bigint").alias("hits"),
-        F.lit(10000).cast("bigint").alias("recall_bp"),
+    exact_row = (
+        corpus.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(n_exact)
+        .select(
+            F.lit("exact").alias("method"),
+            "n_candidates",
+            F.col("n_exact").alias("hits"),
+            recall_bp,
+        )
     )
     lsh_c = S.lsh_candidates(corpus, query)
     ivf_c = S.ivf_assign(corpus, centroids).join(
@@ -4188,10 +4205,14 @@ QUERIES = {
         "range(1, 65), i -> vec[i] * vec[i]))) AS nrm FROM v), "
         "q AS (SELECT vec_id AS qid, vec AS qv, nrm AS qn FROM n "
         "WHERE vec_id < 3), "
+        # n.nrm > 0 / q.qn > 0 mirror the Spark isNotNull(cos_e6) filter:
+        # a zero-norm embedding makes cosine NULL on both engines, and the
+        # oracle must not let a NULL-scored row enter the candidate pool
         "s0 AS (SELECT q.qid, n.vec_id, CAST(floor(list_sum("
         "list_transform(range(1, 65), i -> n.vec[i] * q.qv[i])) "
         "/ (n.nrm * q.qn) * 1000000) AS BIGINT) AS cos_e6 "
-        "FROM n CROSS JOIN q WHERE n.vec_id >= 3), "
+        "FROM n CROSS JOIN q WHERE n.vec_id >= 3 "
+        "AND n.nrm > 0 AND q.qn > 0), "
         "cand AS (SELECT qid, vec_id, cos_e6 FROM (SELECT qid, vec_id, "
         "cos_e6, row_number() OVER (PARTITION BY qid "
         "ORDER BY cos_e6 DESC, vec_id) AS rn FROM s0) x WHERE rn <= 8), "
@@ -4201,7 +4222,8 @@ QUERIES = {
         "CAST(floor(list_sum(list_transform(range(1, 65), "
         "i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm) * 1000000) "
         "AS BIGINT) AS sim_e6 FROM cv a JOIN cv b "
-        "ON a.qid = b.qid AND a.vec_id <> b.vec_id), "
+        "ON a.qid = b.qid AND a.vec_id <> b.vec_id "
+        "WHERE a.nrm > 0 AND b.nrm > 0), "
         "r1 AS (SELECT qid, vec_id, cos_e6 AS score_e6 FROM (SELECT qid, "
         "vec_id, cos_e6, row_number() OVER (PARTITION BY qid "
         "ORDER BY cos_e6 DESC, vec_id) AS rn FROM cand) x WHERE rn = 1), "
@@ -4309,12 +4331,18 @@ QUERIES = {
     "q_ann_frontier": (
         q_ann_frontier,
         # per-branch WITH subqueries reuse the retrievers' own candidate
-        # CTEs, so the counted set IS the scored set
-        "SELECT method, n_candidates, hits, hits * 1000 AS recall_bp "
+        # CTEs, so the counted set IS the scored set; the exact row's
+        # hits and every recall denominator come from the exact scan
+        # itself (no hard-coded k)
+        f"WITH ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact "
+        f"FROM ({_COSINE_TOPK_SQL}) x0) "
+        "SELECT method, n_candidates, hits, "
+        "CASE WHEN n_exact > 0 THEN (hits * 10000) // n_exact "
+        "ELSE CAST(0 AS BIGINT) END AS recall_bp "
         "FROM ("
         "SELECT 'exact' AS method, "
         "(SELECT count(*) FROM embeddings WHERE vec_id <> 0) "
-        "AS n_candidates, CAST(10 AS BIGINT) AS hits "
+        "AS n_candidates, (SELECT n_exact FROM ne) AS hits "
         "UNION ALL "
         f"SELECT 'lsh', ({_ANN_LSH_CTES} SELECT count(*) FROM cand), "
         f"(SELECT count(*) FROM ({_ANN_LSH_SQL}) l WHERE l.vec_id IN "
@@ -4323,7 +4351,7 @@ QUERIES = {
         f"SELECT 'ivf', ({_ANN_IVF_CTES} SELECT count(*) FROM cand), "
         f"(SELECT count(*) FROM ({_ANN_IVF_SQL}) v2 WHERE v2.vec_id IN "
         f"(SELECT vec_id FROM ({_COSINE_TOPK_SQL}) x2))"
-        ") t",
+        ") t CROSS JOIN ne",
     ),
     "q_quality_threshold_sweep": (
         q_quality_threshold_sweep,

@@ -78,6 +78,23 @@ def test_pipeline_manifest_and_audit_funnel(spark):
         assert r["removal_bp"] == (n_in - n_out) * 10000 // n_in
 
 
+def test_pipeline_funnel_report_survives_emptied_pipeline(spark):
+    """A stage that empties the pipeline must not poison the next stage's
+    removal rate with a DIV-by-zero NULL: 0-removed-of-0 reports rate 0."""
+    docs = load_table(spark, SF_DIR, "documents")
+    pipe = (
+        CorpusPipeline(docs)
+        .filter(F.col("n_chars") < -1, name="empty_all")  # removes everything
+        .exact_dedup()
+    )
+    rows = {r["stage"]: r for r in pipe.funnel_report().collect()}
+    assert rows["empty_all"]["n_out"] == 0
+    assert rows["empty_all"]["removal_bp"] == 10000
+    after = rows["exact_dedup"]
+    assert (after["n_in"], after["n_out"], after["n_removed"]) == (0, 0, 0)
+    assert after["removal_bp"] == 0  # not NULL
+
+
 def test_pipeline_decontaminate_matches_query_semantics(spark):
     """Facade decontamination equals q_decontaminate's result on the same
     benchmark split (source='src0' as the eval suite)."""

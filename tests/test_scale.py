@@ -1089,8 +1089,8 @@ def test_source_overlap_on_100k_docs(spark, tmp_path):
     1000 common bigrams (a planted syndication block) and owns 1000
     private ones, so all 190 source pairs must report exactly the
     planted intersection with jaccard = 1000/(1000+1000+1000-...):
-    n_common = 1001 per pair (1000 planted + the seam bigram is private
-    per doc — see below), and the pair join's fan-out stays bounded by
+    n_common = 1000 per pair (the seam bigram is per-source private, not
+    shared — see below), and the pair join's fan-out stays bounded by
     source-df (20), not corpus size."""
     from kafkastreamsjavachallenge_spark.queries.llm import q_source_overlap
 
