@@ -47,21 +47,22 @@ _MODULES = (
 # each round: a handful of flagship constants stay pinned (regression
 # canaries for the reference-parity core) and the rest are ids that have
 # never had a driver-checked row — r01 covered the module-order head, r03
-# a cross-section, r04 44 first-time ids (TPC-H tail, window functions,
-# curation ops, ANN; lifetime 138/231 after r04), r05 (this slate) the two
-# r04 red rows re-checked after their oracle CAST fix, every oracle touched
-# this round, the late-r04 additions, and 25 more never-checked ids
-# (lifetime 180/231 if green).  Remaining ids follow in module order;
-# never-checked after r05: ~51 pre-r05 ids plus the 29 round-5 additions
-# (q_edit_distance q_cdc_chunks q_temperature_mix q_vocab_coverage
-# q_perplexity_bucket q_cluster_canonical q_mmr_rerank q_template_detect
-# q_lsh_tuning q_dup_threshold_curve q_kn_bigram q_ann_ndcg
-# q_filter_funnel q_source_overlap q_stream_funnel q_dataset_card
-# q_token_budget q_frame_sample q_quality_threshold_sweep
-# q_embed_norm_audit q_ann_frontier q_stream_rollup q_hits q_lang_confusion q_changepoint q_theil_sen q_mad q_source_hhi q_length_deciles) — the r06
-# slate should lead with the round-5 additions (newest code first; all
-# fuzz-hardened across ≥3 regenerated seeds this round), then keep
-# draining the module-order tail.
+# a cross-section, r04 44 first-time ids, r05 the re-checked r04 reds +
+# touched oracles + 25 more (lifetime 180/260 after r05, all green).
+# r06 (this slate): the 29 round-5 additions lead (newest code first; all
+# fuzz-hardened across ≥3 regenerated seeds in round 5, ADVICE-touched
+# oracles re-verified this round), then 15 more module-order tail ids.
+# Lifetime 224/260 if green.  Never-checked after r06 (~36, for r07):
+# q_iqr_outliers q_hash_fns q_variant_extract q_recursive_cte
+# q_json_props_stats q_anomaly_zscore q_gini q_benford q_moving_median
+# q_pareto q_haversine q_zorder_layout q_skew_advisor q_ts_motif
+# q_url_parse q_crosscorpus_dedup q_hll_union q_semdedup q_udf_text
+# q_multimodal_decode q_binary_meta q_contamination_report
+# q_ngram_novelty q_unigram_logprob q_bigram_logprob q_domain_cap_scaled
+# q_export_manifest q_ann_recall q_tokenizer_fertility q_maxsim
+# q_stream_anomaly q_stream_unique_users_append q_stream_enrich
+# q_stream_dedup q_stream_topk q_stream_sliding — plus whatever round 6
+# adds.
 _PRIORITY = (
     # flagship constants — every round
     "q_source_scan",
@@ -70,56 +71,52 @@ _PRIORITY = (
     "q_minhash_pairs",
     "q_curation_pipeline",
     "q_stream_unique_users",
-    # r04 red rows re-checked after the HUGEINT->BIGINT oracle casts
-    # (values were verified identical; only the oracle type was wrong)
-    "q_tpch_q12",
-    "q_pack_sequences",
-    # oracles touched this round (lint-found HUGEINT casts + ADVICE items)
-    # get driver validation first
-    "q_chi_square",
-    "q_reagg_merge",
-    "q_hist_quantile",
-    "q_bpe_train",
-    "q_dup_rate_by_source",
-    "q_minhash_estimate",
-    "q_fasttext_score",
-    # late-r04 additions + displaced ids named in VERDICT r04 item 3
-    "q_graph_degree",
-    "q_ann_ivfpq",
-    "q_inverted_index",
-    "q_dedup_recall",
-    "q_stream_neardup",
-    "q_topic_labels",
-    "q_winnow_fingerprint",
-    "q_pmi_collocations",
-    "q_rouge_overlap",
-    "q_batch_padding",
-    # never-driver-checked tail, module order (extended/analytics packs)
-    "q_posexplode",
-    "q_pivot",
-    "q_histogram",
-    "q_unpivot",
-    "q_profile",
-    "q_group_normalize",
-    "q_percentile",
-    "q_exists_subquery",
-    "q_scalar_subquery",
-    "q_regexp_fns",
-    "q_date_arith",
-    "q_array_fns",
-    "q_map_fns",
-    "q_time_to_convert",
-    "q_stats_agg",
-    "q_median",
-    "q_autocorr",
-    "q_null_fns",
-    "q_scd2",
-    "q_regr",
-    "q_bit_agg",
-    "q_bool_agg",
-    "q_string_agg",
-    "q_lateral_topn",
-    "q_sessionize_gap",
+    # round-5 additions, never driver-checked (ADVICE-touched first)
+    "q_mmr_rerank",
+    "q_ann_frontier",
+    "q_filter_funnel",
+    "q_temperature_mix",
+    "q_embed_norm_audit",
+    "q_edit_distance",
+    "q_cdc_chunks",
+    "q_vocab_coverage",
+    "q_perplexity_bucket",
+    "q_cluster_canonical",
+    "q_template_detect",
+    "q_lsh_tuning",
+    "q_dup_threshold_curve",
+    "q_kn_bigram",
+    "q_ann_ndcg",
+    "q_source_overlap",
+    "q_stream_funnel",
+    "q_dataset_card",
+    "q_token_budget",
+    "q_frame_sample",
+    "q_quality_threshold_sweep",
+    "q_stream_rollup",
+    "q_hits",
+    "q_lang_confusion",
+    "q_changepoint",
+    "q_theil_sen",
+    "q_mad",
+    "q_source_hhi",
+    "q_length_deciles",
+    # never-driver-checked tail, module order
+    "q_sequence",
+    "q_try_cast",
+    "q_hof_filter",
+    "q_embed_centroid",
+    "q_salted_agg",
+    "q_salted_join",
+    "q_bigram_freq",
+    "q_doc_freq",
+    "q_entropy",
+    "q_mode_det",
+    "q_count_if",
+    "q_keep_latest",
+    "q_markov",
+    "q_interarrival",
+    "q_winsorize",
 )
 
 
