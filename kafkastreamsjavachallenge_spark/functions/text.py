@@ -136,7 +136,14 @@ def minhash_perm(v: Column, s: int) -> Column:
 
 def hex4_to_int(hex_col: Column) -> Column:
     """First 4 hex chars → int 0..65535 (portable: DuckDB uses strpos math)."""
-    return F.conv(F.substring(hex_col, 1, 4), 16, 10).cast("bigint")
+    return hexn_to_int(hex_col, 4)
+
+
+def hexn_to_int(hex_col: Column, n_chars: int) -> Column:
+    """First ``n_chars`` hex chars → bigint (n_chars ≤ 15 keeps the value
+    inside signed 64-bit).  DuckDB: ('0x' || substr(x, 1, n))::BIGINT."""
+    assert 1 <= n_chars <= 15, "15 hex chars = 60 bits, the signed-64 cap"
+    return F.conv(F.substring(hex_col, 1, n_chars), 16, 10).cast("bigint")
 
 
 def token_fingerprint(text: Column | str) -> Column:

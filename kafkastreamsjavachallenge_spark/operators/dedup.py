@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from kafkastreamsjavachallenge_spark.functions.text import (
     base_hash28,
-    hex4_to_int,
+    hexn_to_int,
     minhash_perm,
     shingles,
     tokens,
@@ -416,8 +416,17 @@ def crosscorpus_dedup(
     return corpus.join(dupes, id_col, "left_anti")
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
-    """SimHash fingerprint over distinct tokens (md5-derived 16-bit planes).
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    hex_chars: int = 4,
+) -> DataFrame:
+    """SimHash fingerprint over distinct tokens (md5-derived planes,
+    ``hex_chars`` hex chars of md5 per token → ``bits`` usable planes;
+    defaults give the original 16-bit fingerprint, (bits=60, hex_chars=15)
+    the banding-grade one — 15 hex chars is the signed-64 cap).
 
     Explode tokens × bit positions → per-bit ±1 vote sum → sign bits →
     integer fingerprint.  Repartitioning on id up front makes the
@@ -438,7 +447,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
             F.explode_outer(F.array_distinct(tokens(text_col))).alias("tok"),
         )
         .filter(F.col("tok").isNotNull())
-        .withColumn("v", hex4_to_int(F.md5(F.col("tok"))))
+        .withColumn("v", hexn_to_int(F.md5(F.col("tok")), hex_chars))
     )
     votes = (
         toks.select(id_col, "v", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))

@@ -19,6 +19,7 @@ from kafkastreamsjavachallenge_spark.queries import (
     applied,
     breadth,
     core,
+    corpus,
     extended,
     graphs,
     llm,
@@ -39,6 +40,7 @@ _MODULES = (
     timeseries,
     quality,
     llm,
+    corpus,
     streaming_q,
 )
 
@@ -61,8 +63,12 @@ _MODULES = (
 # q_ngram_novelty q_unigram_logprob q_bigram_logprob q_domain_cap_scaled
 # q_export_manifest q_ann_recall q_tokenizer_fertility q_maxsim
 # q_stream_anomaly q_stream_unique_users_append q_stream_enrich
-# q_stream_dedup q_stream_topk q_stream_sliding — plus whatever round 6
-# adds.
+# q_stream_dedup q_stream_topk q_stream_sliding — plus the 12 round-6
+# corpus-pack ids (q_heaps_law q_ttr_hapax q_zipf_slope
+# q_simhash_neardup q_containment q_hard_negatives q_embedding_drift
+# q_cluster_sample q_bootstrap_ci q_watermark_audit q_group_kfold
+# q_js_divergence; newest code first in the r07 slate) and whatever else
+# round 6 adds.
 _PRIORITY = (
     # flagship constants — every round
     "q_source_scan",

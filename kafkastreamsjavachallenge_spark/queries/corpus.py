@@ -1,0 +1,821 @@
+"""Round-6 corpus-health pack: vocabulary-growth / distribution-shift
+statistics, simhash near-dup banding, hard-negative mining, drift and
+watermark audits, deterministic bootstrap — the monitoring layer a
+training-data pipeline runs over every ingest batch.
+
+Reference parity note: the reference (UniqueUsersApp.java) has no analog
+for any of these; they extend SURVEY.md §2.2's LLM-pipeline north-star
+row.  Everything here follows the repo's cross-engine conventions:
+integer fixed-point (basis points / e6 floors over IEEE-exact single
+ops) wherever a float would otherwise enter the driver hash, md5-derived
+portable hashing for anything sampled, and strict-left-fold array
+arithmetic shared verbatim with the DuckDB oracles (DESIGN.md §float).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafkastreamsjavachallenge_spark.catalog import load_table
+from kafkastreamsjavachallenge_spark.functions import text as T
+from kafkastreamsjavachallenge_spark.functions.vector import dot, norm
+from kafkastreamsjavachallenge_spark.operators import dedup as D
+from kafkastreamsjavachallenge_spark.operators import similarity as S
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _toks_ne(col="text"):
+    """Non-empty tokens (trim-split drops to [''] on blank text)."""
+    return F.filter(T.tokens(col), lambda t: t != F.lit(""))
+
+
+# DuckDB twins of the helpers above (shared verbatim across oracles).
+_TOKS_NE = "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+_DOT = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+_H28 = "('0x' || substr(md5({x}), 1, 7))::BIGINT"
+
+
+def _cos(a, b):
+    d = _DOT.format(a=a, b=b)
+    return f"({d} / ({a}__nrm * {b}__nrm))"
+
+
+# ------------------------------------------------------- vocabulary growth
+
+
+def q_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve: distinct-token count after each
+    10%-of-corpus prefix (ingest order = doc_id).  The scale shape is two
+    aggregates — per-doc token counts and per-TYPE first-occurrence rank —
+    range-joined against a broadcast 10-row decile table, so cost is one
+    explode+groupBy over the corpus regardless of how many curve points
+    are requested; the global row_number is rank-over-ingest-order, which
+    at 100 TB is the (already materialized) ordered ingest offset."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _toks_ne().alias("toks")
+    )
+    r = d.select(
+        F.row_number().over(Window.orderBy("doc_id")).cast("bigint").alias("rk"),
+        F.size("toks").alias("n_tok"),
+        "toks",
+    )
+    dec = (
+        r.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"), "n")
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.expr("(n * decile) div 10").alias("cut"),
+        )
+    )
+    docs_c = (
+        dec.join(r.select("rk", "n_tok"), F.col("rk") <= F.col("cut"), "left")
+        .groupBy("decile")
+        .agg(
+            F.count("rk").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    first = (
+        r.select("rk", F.explode_outer("toks").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.min("rk").alias("frk"))
+    )
+    vocab_c = (
+        dec.join(first, F.col("frk") <= F.col("cut"), "left")
+        .groupBy("decile")
+        .agg(F.count("tok").alias("n_vocab"))
+    )
+    return docs_c.join(vocab_c, "decile")
+
+
+_HEAPS_SQL = (
+    f"WITH t AS (SELECT doc_id, {_TOKS_NE} AS l FROM documents), "
+    "r AS (SELECT row_number() OVER (ORDER BY doc_id) AS rk, len(l) AS n_tok, l "
+    "FROM t), "
+    "n AS (SELECT count(*) AS n FROM r), "
+    "d AS (SELECT k AS decile, (n.n * k) // 10 AS cut "
+    "FROM range(1, 11) s(k), n), "
+    "dc AS (SELECT d.decile, count(r.rk) AS n_docs, "
+    "CAST(coalesce(sum(r.n_tok), 0) AS BIGINT) AS n_tokens "
+    "FROM d LEFT JOIN r ON r.rk <= d.cut GROUP BY d.decile), "
+    "fo AS (SELECT tok, min(rk) AS frk FROM "
+    "(SELECT rk, unnest(l) AS tok FROM r) GROUP BY tok), "
+    "vc AS (SELECT d.decile, count(fo.tok) AS n_vocab "
+    "FROM d LEFT JOIN fo ON fo.frk <= d.cut GROUP BY d.decile) "
+    "SELECT CAST(dc.decile AS BIGINT) AS decile, "
+    "CAST(dc.n_docs AS BIGINT) AS n_docs, dc.n_tokens, "
+    "CAST(vc.n_vocab AS BIGINT) AS n_vocab "
+    "FROM dc JOIN vc USING (decile)"
+)
+
+
+def q_ttr_hapax(spark, sf_dir):
+    """Per-source lexical-diversity audit: type/token ratio and hapax
+    (frequency-1 type) rate in exact basis points — low TTR flags
+    templated or looping sources, a hapax spike flags OCR noise or
+    mojibake.  One explode + two-level aggregate; both groupBys share the
+    (source, tok) partitioning so it is one shuffle at any scale."""
+    tok = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode_outer(_toks_ne()).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    tc = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.count_if(F.col("c") == 1).alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("(n_types * 10000) div n_tokens").alias("ttr_bp"),
+            F.expr("(n_hapax * 10000) div n_types").alias("hapax_bp"),
+        )
+    )
+
+
+_TTR_SQL = (
+    f"WITH tok AS (SELECT source, unnest({_TOKS_NE}) AS tok FROM documents), "
+    "tc AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2) "
+    "SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, "
+    "CAST(count(*) AS BIGINT) AS n_types, "
+    "CAST(count(*) FILTER (c = 1) AS BIGINT) AS n_hapax, "
+    "CAST((count(*) * 10000) // sum(c) AS BIGINT) AS ttr_bp, "
+    "CAST((count(*) FILTER (c = 1) * 10000) // count(*) AS BIGINT) AS hapax_bp "
+    "FROM tc GROUP BY source"
+)
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Zipf fit over the top-100 corpus token frequencies: OLS slope and
+    intercept of ln(freq) on ln(rank) (healthy natural-language corpora sit
+    near slope −1; templated/synthetic corpora flatten).  The frequency
+    table is one map-side-combinable aggregate; the regression runs over
+    ≤100 rows, so the moment sums are a driver-scale epilogue at any
+    corpus size.  Floats: ln per-row is deterministic; the 4-dp round on
+    the ≤100-term moment aggregates absorbs summation-order noise — the
+    same budget as q_regr / q_unigram_logprob."""
+    tok = (
+        _docs(spark, sf_dir)
+        .select(F.explode_outer(_toks_ne()).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    top = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(100)
+    )
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("tok")))
+        .alias("rn"),
+        "c",
+    )
+    xy = ranked.select(F.log(F.col("rn")).alias("x"), F.log(F.col("c")).alias("y"))
+    return xy.agg(
+        F.count(F.lit(1)).alias("n_top"),
+        F.round(F.regr_slope(F.col("y"), F.col("x")), 4).alias("slope"),
+        F.round(F.regr_intercept(F.col("y"), F.col("x")), 4).alias("intercept"),
+    )
+
+
+_ZIPF_SQL = (
+    f"WITH tok AS (SELECT unnest({_TOKS_NE}) AS tok FROM documents), "
+    "f AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok "
+    "ORDER BY c DESC, tok LIMIT 100), "
+    "r AS (SELECT row_number() OVER (ORDER BY c DESC, tok) AS rn, c FROM f) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_top, "
+    "round(regr_slope(ln(c), ln(rn)), 4) AS slope, "
+    "round(regr_intercept(ln(c), ln(rn)), 4) AS intercept FROM r"
+)
+
+
+# ------------------------------------------------------ simhash banding
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs via banded buckets: 60-bit fingerprints
+    (operators/dedup.simhash, 15 md5 hex chars) split into 3 disjoint
+    20-bit bands; any pair within Hamming distance 2 differs in ≤2 bands,
+    so by pigeonhole it collides on at least one — the candidate join on
+    (band, value) finds EXACTLY the Hamming≤2 set after the bit_count
+    verify, never scoring all pairs.  The Hamming-k twin of MinHash-LSH
+    banding (q_minhash_pairs): same shuffle shape (explode bands →
+    equi-join → verify), cost bounded by per-band-value frequency."""
+    sig = D.simhash(_docs(spark, sf_dir), bits=60, hex_chars=15)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"shiftright(simhash, {b * 20}) & 1048575").alias(
+                            "bv"
+                        ),
+                    )
+                    for b in range(3)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.band", "s.bv")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bv"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+_SIMHASH_NEARDUP_SQL = (
+    "WITH toks AS (SELECT doc_id, "
+    "unnest(list_distinct(string_split(trim(text), ' '))) AS tok "
+    "FROM documents), "
+    "h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS v "
+    "FROM toks), "
+    "bits AS (SELECT doc_id, b, "
+    "sum(CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+    "FROM h, (SELECT unnest(range(0, 60)) AS b) GROUP BY doc_id, b), "
+    "sig AS (SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN "
+    "(CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh "
+    "FROM bits GROUP BY doc_id), "
+    "bands AS (SELECT doc_id, b AS band, "
+    "(sh >> CAST(b * 20 AS INTEGER)) & 1048575 AS bv "
+    "FROM sig, (SELECT unnest(range(0, 3)) AS b)), "
+    "cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b "
+    "FROM bands a JOIN bands c ON a.band = c.band AND a.bv = c.bv "
+    "AND a.doc_id < c.doc_id) "
+    "SELECT id_a, id_b, CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming "
+    "FROM cand JOIN sig sa ON sa.doc_id = cand.id_a "
+    "JOIN sig sb ON sb.doc_id = cand.id_b "
+    "WHERE bit_count(xor(sa.sh, sb.sh)) <= 2"
+)
+
+
+# ----------------------------------------------------- shingle containment
+
+
+def q_containment(spark, sf_dir):
+    """Asymmetric shingle containment: ordered pairs (a, b) where ≥80% of
+    a's distinct 3-shingles appear in b — the quote/inclusion detector
+    Jaccard misses (a short doc embedded in a long one scores low Jaccard
+    but 100% containment).  Same Σdf² inverted-shingle join as
+    exact_neardup_pairs; emitting both directions costs nothing extra
+    (the symmetric join already produces both orders)."""
+    shd = D.shingled_docs(_docs(spark, sf_dir), shingle_k=3).filter(
+        F.size("sh") > 0
+    )
+    ex = (
+        shd.select("doc_id", F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    inter = (
+        ex.select(F.col("doc_id").alias("id_a"), "g")
+        .join(ex.select(F.col("doc_id").alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz = shd.select("doc_id", F.size("sh").cast("bigint").alias("n"))
+    return (
+        inter.join(
+            sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")),
+            "id_b",
+        )
+        .withColumn(
+            "containment_bp", F.expr("(n_common * 10000) div n_a")
+        )
+        .filter(F.col("containment_bp") >= 8000)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "containment_bp")
+    )
+
+
+_CONTAINMENT_SQL = (
+    # same 3-shingle construction as llm._SHINGLES (shingled_docs twin):
+    # unfiltered trim-split tokens, len>=3 guard mirrors the []-on-short
+    "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS l "
+    "FROM documents), "
+    "s2 AS (SELECT doc_id, list_distinct([array_to_string(l[i:i+2], ' ') "
+    "for i in range(1, len(l) - 1)]) AS sh, "
+    "CAST(len(list_distinct([array_to_string(l[i:i+2], ' ') "
+    "for i in range(1, len(l) - 1)])) AS BIGINT) AS n "
+    "FROM t WHERE len(l) >= 3), "
+    "ex AS (SELECT doc_id, unnest(sh) AS g FROM s2), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common "
+    "FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id "
+    "GROUP BY 1, 2) "
+    "SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common, "
+    "sa.n AS n_a, sb.n AS n_b, "
+    "CAST((n_common * 10000) // sa.n AS BIGINT) AS containment_bp "
+    "FROM inter JOIN s2 sa ON sa.doc_id = inter.id_a "
+    "JOIN s2 sb ON sb.doc_id = inter.id_b "
+    "WHERE (n_common * 10000) // sa.n >= 8000"
+)
+
+
+# -------------------------------------------------- embedding-space audits
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: for each query vector (vec_id<5)
+    the top-5 most-similar vectors with a DIFFERENT label — the negatives
+    that actually move a contrastive loss.  The query block broadcasts
+    (bounded, like every retrieval op here); scores stay JVM-side with
+    hoisted norms; ranking runs over integer e6-floored cosines so both
+    engines order identically (DESIGN.md fold-order note).  Zero-norm
+    vectors are excluded on BOTH sides (the q_embed_norm_audit lesson)."""
+    e = _embs(spark, sf_dir).withColumn("nrm", norm(F.col("embedding")))
+    q = (
+        e.filter((F.col("vec_id") < 5) & (F.col("nrm") > 0))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    c = e.filter((F.col("vec_id") >= 5) & (F.col("nrm") > 0))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .withColumn(
+            "cos_e6",
+            F.floor(
+                dot(F.col("embedding"), F.col("qv"))
+                / (F.col("nrm") * F.col("qnrm"))
+                * 1000000
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_e6").desc(), F.col("vec_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "vec_id",
+            "label",
+            "cos_e6",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+    )
+
+
+_HARDNEG_SQL = (
+    "WITH v AS (SELECT vec_id, label, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
+    "FROM embeddings), "
+    "n AS (SELECT vec_id, label, vec, "
+    f"sqrt({_DOT.format(a='vec', b='vec')}) AS nrm FROM v), "
+    "q AS (SELECT vec_id AS query_id, label AS q_label, vec AS qv, "
+    "nrm AS qnrm FROM n WHERE vec_id < 5 AND nrm > 0), "
+    "c AS (SELECT vec_id, label, vec, nrm FROM n "
+    "WHERE vec_id >= 5 AND nrm > 0), "
+    "s AS (SELECT q.query_id, c.vec_id, c.label, "
+    f"CAST(floor({_DOT.format(a='c.vec', b='q.qv')} / (c.nrm * q.qnrm) "
+    "* 1000000) AS BIGINT) AS cos_e6 "
+    "FROM c CROSS JOIN q WHERE c.label <> q.q_label), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY cos_e6 DESC, vec_id) AS rk FROM s) "
+    "SELECT query_id, vec_id, label, cos_e6, CAST(rk AS BIGINT) AS rk "
+    "FROM r WHERE rk <= 5"
+)
+
+
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-distribution drift per label: cosine between the centroid
+    of the even-id half and the odd-id half (a deterministic A/B split of
+    the same batch — in production the two halves are consecutive ingest
+    windows).  Components are floored to e3 fixed-point BEFORE summing, so
+    the centroid sums, the dot, and the norms are exact integers on both
+    engines (the map-side-combinable trick from DESIGN.md); only the final
+    scalar cosine touches floats, and those ops (sqrt, *, /) are
+    IEEE-correctly-rounded — bit-identical cross-engine.  e3 keeps the
+    64-dim integer dot under 2^53 up to ~10M rows/label; larger shards
+    drop to e2."""
+    e = _embs(spark, sf_dir).withColumn(
+        "half", (F.col("vec_id") % 2).cast("int")
+    )
+    comp = (
+        e.select("label", "half", F.posexplode_outer("embedding"))
+        .withColumnRenamed("col", "x")
+        .filter(F.col("x").isNotNull())
+        .withColumn("qx", F.floor(F.col("x") * 1000).cast("bigint"))
+    )
+    s = comp.groupBy("label", "half", "pos").agg(F.sum("qx").alias("s"))
+    s0 = s.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("s").alias("s0")
+    )
+    s1 = s.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("s").alias("s1")
+    )
+    per = (
+        s0.join(s1, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("s0") * F.col("s1")).alias("d"),
+            F.sum(F.col("s0") * F.col("s0")).alias("na"),
+            F.sum(F.col("s1") * F.col("s1")).alias("nb"),
+        )
+    )
+    cnt = e.groupBy("label").agg(
+        F.count_if(F.col("half") == 0).alias("n_a"),
+        F.count_if(F.col("half") == 1).alias("n_b"),
+    )
+    return per.join(cnt, "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            F.floor(
+                F.col("d") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))) * 1000000
+            ).cast("bigint"),
+        ).alias("drift_cos_e6"),
+    )
+
+
+_DRIFT_SQL = (
+    "WITH e AS (SELECT vec_id, label, vec_id % 2 AS half, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
+    "FROM embeddings), "
+    "comp AS (SELECT label, half, i AS pos, "
+    "CAST(floor(vec[i] * 1000) AS BIGINT) AS qx FROM e, range(1, 65) t(i)), "
+    "s AS (SELECT label, half, pos, sum(qx) AS s FROM comp GROUP BY 1, 2, 3), "
+    "per AS (SELECT a.label, sum(a.s * b.s) AS d, sum(a.s * a.s) AS na, "
+    "sum(b.s * b.s) AS nb FROM s a JOIN s b ON a.label = b.label "
+    "AND a.pos = b.pos AND a.half = 0 AND b.half = 1 GROUP BY a.label), "
+    "c AS (SELECT label, count(*) FILTER (half = 0) AS n_a, "
+    "count(*) FILTER (half = 1) AS n_b FROM e GROUP BY label) "
+    "SELECT c.label, CAST(c.n_a AS BIGINT) AS n_a, "
+    "CAST(c.n_b AS BIGINT) AS n_b, "
+    "CASE WHEN na > 0 AND nb > 0 THEN CAST(floor(CAST(d AS DOUBLE) / "
+    "(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000000) "
+    "AS BIGINT) END AS drift_cos_e6 "
+    "FROM per JOIN c USING (label)"
+)
+
+
+def q_cluster_sample(spark, sf_dir):
+    """Cluster-balanced sampling: assign every vector to its nearest of 8
+    deterministic centroids (broadcast argmax, the SemDeDup/IVF assign),
+    then keep floor(sqrt(|cluster|)) rows per cluster by portable hash
+    order — the sqrt allocation that over-samples tail clusters relative
+    to proportional sampling (diversity-preserving, the DoReMi-adjacent
+    curation move).  floor(sqrt(n)) over exact integers is IEEE-exact;
+    the per-cluster rank is a hash order, reproducible anywhere."""
+    e = _embs(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    assigned = S.ivf_assign(e, cent, centroid_id="cid").select("cid", "vec_id")
+    tgt = (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .withColumn(
+            "target", F.floor(F.sqrt(F.col("cluster_size"))).cast("bigint")
+        )
+    )
+    w = Window.partitionBy("cid").orderBy(
+        T.base_hash28(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    ranked = assigned.select(
+        "cid", "vec_id", F.row_number().over(w).cast("bigint").alias("rk")
+    )
+    return (
+        ranked.join(F.broadcast(tgt), "cid")
+        .filter(F.col("rk") <= F.col("target"))
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "cluster_size",
+            "target",
+            "rk",
+            "vec_id",
+        )
+    )
+
+
+_CLUSTER_SAMPLE_SQL = (
+    "WITH v AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
+    "FROM embeddings), "
+    "nv AS (SELECT vec_id, vec, "
+    f"sqrt({_DOT.format(a='vec', b='vec')}) AS vec__nrm FROM v), "
+    "cent AS (SELECT vec_id AS cid, vec AS cvec, vec__nrm AS cvec__nrm "
+    "FROM nv WHERE vec_id < 8), "
+    "assigned AS (SELECT b.vec_id, "
+    f"(min(struct_pack(s := -({_DOT.format(a='b.vec', b='c.cvec')} / "
+    "(b.vec__nrm * c.cvec__nrm)), c := c.cid))).c AS cid "
+    "FROM nv b CROSS JOIN cent c GROUP BY b.vec_id), "
+    "t AS (SELECT cid, count(*) AS cluster_size, "
+    "CAST(floor(sqrt(count(*))) AS BIGINT) AS target "
+    "FROM assigned GROUP BY cid), "
+    "r AS (SELECT cid, vec_id, row_number() OVER (PARTITION BY cid "
+    f"ORDER BY {_H28.format(x='CAST(vec_id AS VARCHAR)')}, vec_id) AS rk "
+    "FROM assigned) "
+    "SELECT r.cid AS cluster_id, CAST(t.cluster_size AS BIGINT) AS "
+    "cluster_size, t.target, CAST(r.rk AS BIGINT) AS rk, r.vec_id "
+    "FROM r JOIN t USING (cid) WHERE r.rk <= t.target"
+)
+
+
+# -------------------------------------------------- deterministic bootstrap
+
+
+def q_bootstrap_ci(spark, sf_dir):
+    """Bootstrap 95% CI of mean document length, fully deterministic: 200
+    resamples whose draws come from a universal hash of (replicate, slot)
+    — reproducible across engines/runs, unlike rand().  Means are exact
+    basis points (integer sum DIV n) and the CI bounds are exact order
+    statistics (ranks 5/196 of 200), so the whole audit is
+    integer-hashable.  Scale shape: the draw grid is |docs|×B rows joined
+    to the ranked table on rank — at 100 TB you bootstrap a per-stratum
+    hash sample, not the corpus, but the plan (grid join + two-level agg)
+    is the same."""
+    d = _docs(spark, sf_dir)
+    r = d.select(
+        F.row_number().over(Window.orderBy("doc_id")).cast("bigint").alias("rk"),
+        "n_chars",
+    )
+    tot = r.agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s"))
+    b = tot.select(
+        F.explode(F.sequence(F.lit(1), F.lit(200))).alias("b"), "n", "s"
+    )
+    draws = r.select("rk").crossJoin(F.broadcast(b)).select(
+        "b",
+        "n",
+        "s",
+        (
+            (F.lit(1000003) * (F.col("b") * 65537 + F.col("rk")) + 12345)
+            % 2147483647
+            % F.col("n")
+            + 1
+        ).alias("idx"),
+    )
+    means = (
+        draws.join(
+            F.broadcast(
+                r.select(F.col("rk").alias("idx"), F.col("n_chars").alias("v"))
+            ),
+            "idx",
+        )
+        .groupBy("b", "n", "s")
+        .agg(F.sum("v").alias("bs"))
+        .select("b", "n", "s", F.expr("(bs * 10000) div n").alias("m"))
+    )
+    ranked = means.select(
+        "n",
+        "s",
+        "m",
+        F.row_number().over(Window.orderBy(F.col("m"), F.col("b"))).alias("mr"),
+    )
+    return ranked.groupBy("n", "s").agg(
+        F.count(F.lit(1)).alias("n_boot"),
+        F.min(F.when(F.col("mr") == 5, F.col("m"))).alias("ci_lo_bp"),
+        F.min(F.when(F.col("mr") == 196, F.col("m"))).alias("ci_hi_bp"),
+    ).select(
+        F.col("n").alias("n_docs"),
+        "n_boot",
+        F.expr("(s * 10000) div n").alias("mean_bp"),
+        "ci_lo_bp",
+        "ci_hi_bp",
+    )
+
+
+_BOOTSTRAP_SQL = (
+    "WITH r AS (SELECT row_number() OVER (ORDER BY doc_id) AS rk, n_chars "
+    "FROM documents), "
+    "tot AS (SELECT count(*) AS n, sum(n_chars) AS s FROM r), "
+    "draws AS (SELECT k AS b, tot.n, tot.s, "
+    "((1000003 * (k * 65537 + r.rk) + 12345) % 2147483647) % tot.n + 1 AS idx "
+    "FROM r CROSS JOIN range(1, 201) t(k) CROSS JOIN tot), "
+    "means AS (SELECT d.b, d.n, d.s, "
+    "(sum(r2.n_chars) * 10000) // d.n AS m "
+    "FROM draws d JOIN r r2 ON r2.rk = d.idx GROUP BY d.b, d.n, d.s), "
+    "mm AS (SELECT n, s, m, row_number() OVER (ORDER BY m, b) AS mr "
+    "FROM means) "
+    "SELECT CAST(n AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_boot, "
+    "CAST((s * 10000) // n AS BIGINT) AS mean_bp, "
+    "CAST(min(CASE WHEN mr = 5 THEN m END) AS BIGINT) AS ci_lo_bp, "
+    "CAST(min(CASE WHEN mr = 196 THEN m END) AS BIGINT) AS ci_hi_bp "
+    "FROM mm GROUP BY n, s"
+)
+
+
+# ------------------------------------------------------- watermark audit
+
+
+def q_watermark_audit(spark, sf_dir):
+    """Watermark-horizon audit: how late would each event be if consumed
+    in arrival order?  Arrival is modeled as the round-robin merge of 4
+    ingest shards (user_id % 4) — the mechanism that actually produces
+    out-of-orderness in a multi-partition log (a short shard drains early,
+    so its merge slots surface old timestamps late).  Lateness = running
+    max(event time) at arrival minus event time; bucketed against the
+    candidate horizons (1m / 10m).  This is the batch audit you run BEFORE
+    picking `withWatermark` for the streaming twins — 'dropped' rows are
+    what a 10-minute watermark would discard.  Per shard the plan is an
+    ordered-offset window; the global merge rank mirrors the consumer's
+    poll order."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("tus"),
+        (F.col("user_id") % 4).alias("shard"),
+    )
+    seq = ev.withColumn(
+        "seq", F.row_number().over(Window.partitionBy("shard").orderBy("event_id"))
+    )
+    wm = seq.withColumn(
+        "late_us",
+        F.max("tus").over(
+            Window.orderBy("seq", "shard").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        - F.col("tus"),
+    )
+    bucket = (
+        F.when(F.col("late_us") == 0, "on_time")
+        .when(F.col("late_us") < 60_000_000, "lt_1m")
+        .when(F.col("late_us") < 600_000_000, "lt_10m")
+        .otherwise("dropped")
+    )
+    g = wm.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("max(late_us) div 1000").alias("max_late_ms"),
+    )
+    return g.withColumn(
+        "pct_bp",
+        F.expr("(n_events * 10000) div (sum(n_events) over ())"),
+    )
+
+
+_WATERMARK_SQL = (
+    "WITH e AS (SELECT event_id, epoch_us(ts) AS tus, user_id % 4 AS shard "
+    "FROM events), "
+    "s AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY event_id) "
+    "AS seq FROM e), "
+    "a AS (SELECT tus, max(tus) OVER (ORDER BY seq, shard "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tus AS late_us "
+    "FROM s), "
+    "b AS (SELECT CASE WHEN late_us = 0 THEN 'on_time' "
+    "WHEN late_us < 60000000 THEN 'lt_1m' "
+    "WHEN late_us < 600000000 THEN 'lt_10m' ELSE 'dropped' END AS bucket, "
+    "late_us FROM a), "
+    "g AS (SELECT bucket, count(*) AS n_events, "
+    "CAST(max(late_us) // 1000 AS BIGINT) AS max_late_ms FROM b "
+    "GROUP BY bucket) "
+    "SELECT bucket, CAST(n_events AS BIGINT) AS n_events, max_late_ms, "
+    "CAST((n_events * 10000) // (SELECT sum(n_events) FROM g) AS BIGINT) "
+    "AS pct_bp FROM g"
+)
+
+
+# ------------------------------------------------------- split hygiene
+
+
+def q_group_kfold(spark, sf_dir):
+    """Group-aware k-fold assignment: the fold comes from a portable hash
+    of the exact-dup group key (md5 of content), so duplicated documents
+    land in the SAME fold by construction — the split hygiene that
+    prevents train/test leakage through duplicates (hashing doc_id
+    instead would leak every dup pair across folds).  Pure scan-side
+    map + one aggregate; no shuffle beyond the fold groupBy."""
+    d = _docs(spark, sf_dir).select(
+        F.md5(F.col("text")).alias("gk"), "source", "n_chars"
+    )
+    f = d.withColumn("fold", T.base_hash28(F.col("gk")) % 5)
+    return f.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("gk").alias("n_groups"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+_KFOLD_SQL = (
+    "WITH f AS (SELECT md5(text) AS gk, source, n_chars, "
+    f"{_H28.format(x='md5(text)')} % 5 AS fold FROM documents) "
+    "SELECT fold, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(count(DISTINCT gk) AS BIGINT) AS n_groups, "
+    "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, "
+    "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+    "FROM f GROUP BY fold"
+)
+
+
+# -------------------------------------------------- distribution shift
+
+
+def q_js_divergence(spark, sf_dir):
+    """Jensen–Shannon divergence of each source's unigram distribution
+    from the corpus distribution — the symmetric, bounded ([0, ln 2])
+    distribution-shift score for spotting off-domain sources (the
+    DSIR-adjacent diagnostic; q_dsir_weights reweights, this one ranks
+    shift).  The corpus vocabulary is one bounded aggregate broadcast
+    against per-source totals (|sources|×|vocab| grid — vocabulary is
+    language-bounded, not corpus-bounded); the 4-dp round absorbs
+    summation-order float noise per the repo convention."""
+    tok = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode_outer(_toks_ne()).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    cs = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_s"))
+    ns = cs.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    cv = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    nrow = cv.agg(F.sum("c").alias("n_tot"))
+    grid = ns.crossJoin(F.broadcast(cv.crossJoin(F.broadcast(nrow))))
+    g = grid.join(cs, ["source", "tok"], "left").select(
+        "source",
+        "n_s",
+        (F.coalesce(F.col("c_s"), F.lit(0)) / F.col("n_s")).alias("p"),
+        (F.col("c") / F.col("n_tot")).alias("q"),
+    )
+    terms = g.select(
+        "source",
+        "n_s",
+        (
+            F.when(
+                F.col("p") > 0,
+                F.lit(0.5) * F.col("p") * F.log(F.col("p") / ((F.col("p") + F.col("q")) / 2)),
+            ).otherwise(F.lit(0.0))
+            + F.lit(0.5) * F.col("q") * F.log(F.col("q") / ((F.col("p") + F.col("q")) / 2))
+        ).alias("t"),
+    )
+    return terms.groupBy("source").agg(
+        F.max("n_s").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("t"), 4).alias("js_4"),
+    )
+
+
+_JS_SQL = (
+    f"WITH tok AS (SELECT source, unnest({_TOKS_NE}) AS tok FROM documents), "
+    "cs AS (SELECT source, tok, count(*) AS c_s FROM tok GROUP BY 1, 2), "
+    "ns AS (SELECT source, sum(c_s) AS n_s FROM cs GROUP BY source), "
+    "cv AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok), "
+    "nt AS (SELECT sum(c) AS n_tot FROM cv), "
+    "g AS (SELECT ns.source, ns.n_s, "
+    "coalesce(cs.c_s, 0) / CAST(ns.n_s AS DOUBLE) AS p, "
+    "cv.c / CAST(nt.n_tot AS DOUBLE) AS q "
+    "FROM ns CROSS JOIN cv CROSS JOIN nt "
+    "LEFT JOIN cs ON cs.source = ns.source AND cs.tok = cv.tok), "
+    "terms AS (SELECT source, n_s, "
+    "(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0.0 END "
+    "+ 0.5 * q * ln(q / ((p + q) / 2))) AS t FROM g) "
+    "SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens, "
+    "round(sum(t), 4) AS js_4 FROM terms GROUP BY source"
+)
+
+
+QUERIES = {
+    "q_heaps_law": (q_heaps_law, _HEAPS_SQL),
+    "q_ttr_hapax": (q_ttr_hapax, _TTR_SQL),
+    "q_zipf_slope": (q_zipf_slope, _ZIPF_SQL),
+    "q_simhash_neardup": (q_simhash_neardup, _SIMHASH_NEARDUP_SQL),
+    "q_containment": (q_containment, _CONTAINMENT_SQL),
+    "q_hard_negatives": (q_hard_negatives, _HARDNEG_SQL),
+    "q_embedding_drift": (q_embedding_drift, _DRIFT_SQL),
+    "q_cluster_sample": (q_cluster_sample, _CLUSTER_SAMPLE_SQL),
+    "q_bootstrap_ci": (q_bootstrap_ci, _BOOTSTRAP_SQL),
+    "q_watermark_audit": (q_watermark_audit, _WATERMARK_SQL),
+    "q_group_kfold": (q_group_kfold, _KFOLD_SQL),
+    "q_js_divergence": (q_js_divergence, _JS_SQL),
+}

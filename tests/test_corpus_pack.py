@@ -1,0 +1,309 @@
+"""Closed-form planted tests for the round-6 corpus-health pack
+(queries/corpus.py): each test constructs inputs whose expected output is
+known exactly, so correctness is asserted against arithmetic, not against
+another engine.  (Cross-engine parity is covered by the oracle entries in
+the registry + scripts/verify_driver_sim.py; these tests pin semantics.)
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _write_docs(spark, path, rows):
+    """rows: list of (doc_id, text, lang, source).  n_chars derived."""
+    df = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def _write_embs(spark, path, rows):
+    """rows: list of (vec_id, embedding list[float64] of dim 64, label)."""
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    df.write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+
+def _basis(i, scale=1.0, dim=64):
+    v = [0.0] * dim
+    v[i] = scale
+    return v
+
+
+def test_heaps_law_closed_form(spark, tmp_path):
+    """Every doc introduces exactly 2 brand-new types, so the growth curve
+    is linear: at decile k (cut = 10k docs), n_vocab = 2*cut = n_tokens."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import q_heaps_law
+
+    rows = [
+        (i, f"u{2 * i} u{2 * i + 1}", "en", "s") for i in range(100)
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = {
+        r["decile"]: r for r in q_heaps_law(spark, str(tmp_path)).collect()
+    }
+    assert sorted(out) == list(range(1, 11))
+    for k in range(1, 11):
+        cut = 10 * k
+        assert out[k]["n_docs"] == cut
+        assert out[k]["n_tokens"] == 2 * cut
+        assert out[k]["n_vocab"] == 2 * cut
+
+
+def test_ttr_hapax_closed_form(spark, tmp_path):
+    from kafkastreamsjavachallenge_spark.queries.corpus import q_ttr_hapax
+
+    _write_docs(
+        spark,
+        tmp_path,
+        [(0, "a b c d", "en", "uniq"), (1, "x x x x", "en", "loop")],
+    )
+    out = {r["source"]: r for r in q_ttr_hapax(spark, str(tmp_path)).collect()}
+    assert out["uniq"]["ttr_bp"] == 10000 and out["uniq"]["hapax_bp"] == 10000
+    assert out["loop"]["n_tokens"] == 4 and out["loop"]["n_types"] == 1
+    assert out["loop"]["ttr_bp"] == 2500 and out["loop"]["hapax_bp"] == 0
+
+
+def test_zipf_slope_negative_on_real_corpus(spark):
+    from kafkastreamsjavachallenge_spark.queries.corpus import q_zipf_slope
+
+    row = q_zipf_slope(spark, SF_DIR).collect()[0]
+    assert 0 < row["n_top"] <= 100
+    assert row["slope"] < 0  # frequency decreases with rank
+
+
+def test_simhash_banding_finds_exactly_hamming2(spark, tmp_path):
+    """The banded candidate join must return EXACTLY the Hamming≤2 pair
+    set (pigeonhole: 3 disjoint 20-bit bands, ≤2 differing bits can touch
+    ≤2 bands).  Verified against a brute-force all-pairs scan of the same
+    60-bit signatures."""
+    from kafkastreamsjavachallenge_spark.operators.dedup import simhash
+    from kafkastreamsjavachallenge_spark.queries.corpus import (
+        q_simhash_neardup,
+    )
+
+    base = " ".join(f"w{j}" for j in range(30))
+    rows = []
+    for i in range(40):
+        if i % 4 == 0:
+            txt = base  # identical group -> hamming 0 pairs
+        elif i % 4 == 1:
+            txt = base + f" extra{i % 8}"  # near-identical variants
+        else:
+            txt = " ".join(f"v{i}_{j}" for j in range(25))  # distinct
+        rows.append((i, txt, "en", "s"))
+    _write_docs(spark, tmp_path, rows)
+
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(
+            spark.read.parquet(f"{tmp_path}/documents.parquet"),
+            bits=60,
+            hex_chars=15,
+        ).collect()
+    }
+    truth = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 2
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in q_simhash_neardup(spark, str(tmp_path)).collect()
+    }
+    assert {(a, b) for a, b, _ in got} == truth
+    assert all(
+        h == bin(sigs[a] ^ sigs[b]).count("1") and h <= 2 for a, b, h in got
+    )
+    assert truth, "fixture must plant at least one near-dup pair"
+
+
+def test_containment_detects_embedded_quote(spark, tmp_path):
+    """Doc 1 is a contiguous 20-token run of doc 0: every one of its
+    shingles appears in doc 0 -> containment (1,0) = 10000, while the
+    reverse direction stays far below the 80% gate (and is absent)."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import q_containment
+
+    big = " ".join(f"t{j}" for j in range(50))
+    quote = " ".join(f"t{j}" for j in range(10, 30))
+    other = " ".join(f"z{j}" for j in range(40))
+    _write_docs(
+        spark,
+        tmp_path,
+        [(0, big, "en", "s"), (1, quote, "en", "s"), (2, other, "en", "s")],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in q_containment(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {(1, 0)}
+    r = out[(1, 0)]
+    assert r["containment_bp"] == 10000
+    assert r["n_common"] == r["n_a"] == 18 and r["n_b"] == 48
+
+
+def test_hard_negatives_excludes_same_label(spark, tmp_path):
+    from kafkastreamsjavachallenge_spark.queries.corpus import (
+        q_hard_negatives,
+    )
+
+    rows = [
+        (0, _basis(0), 0),  # the query
+        (5, [x * 0.9 for x in _basis(0)], 1),  # nearest, different label
+        (6, _basis(0), 0),  # nearest of all but SAME label -> excluded
+        (7, _basis(1), 2),  # orthogonal
+    ]
+    _write_embs(spark, tmp_path, rows)
+    out = q_hard_negatives(spark, str(tmp_path)).collect()
+    by_rank = {r["rk"]: r for r in out}
+    assert all(r["query_id"] == 0 for r in out)
+    assert 6 not in {r["vec_id"] for r in out}
+    assert by_rank[1]["vec_id"] == 5 and by_rank[1]["cos_e6"] == 1000000
+    assert by_rank[2]["vec_id"] == 7 and by_rank[2]["cos_e6"] == 0
+
+
+def test_embedding_drift_identical_halves(spark, tmp_path):
+    """Even/odd halves hold the SAME vectors -> per-component sums are
+    equal integers -> drift cosine is 1.0 up to one ulp (d/(sqrt(d)*
+    sqrt(d)) is not exactly 1 in IEEE), so the e6 floor is 999999 or
+    1000000 — identically on both engines (same single-op sequence)."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import (
+        q_embedding_drift,
+    )
+
+    rows = []
+    for i in range(10):
+        v = [((i * 13 + j) % 7) * 0.25 - 0.75 for j in range(64)]
+        rows.append((2 * i, v, i % 3))
+        rows.append((2 * i + 1, v, i % 3))
+    _write_embs(spark, tmp_path, rows)
+    for r in q_embedding_drift(spark, str(tmp_path)).collect():
+        assert r["n_a"] == r["n_b"]
+        assert r["drift_cos_e6"] in (999999, 1000000)
+
+
+def test_cluster_sample_sqrt_allocation(spark, tmp_path):
+    """8 orthogonal clusters with different sizes: the sample must keep
+    exactly floor(sqrt(size)) rows per cluster."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import (
+        q_cluster_sample,
+    )
+
+    rows = [(c, _basis(c), 0) for c in range(8)]  # centroids, 1 per axis
+    nxt = 8
+    sizes = {}
+    for c in range(8):
+        extra = 2 + 3 * c  # members beyond the centroid vector itself
+        for _ in range(extra):
+            rows.append((nxt, _basis(c, scale=2.0), 0))
+            nxt += 1
+        sizes[c] = extra + 1
+    _write_embs(spark, tmp_path, rows)
+    out = q_cluster_sample(spark, str(tmp_path)).collect()
+    per = {}
+    for r in out:
+        per[r["cluster_id"]] = per.get(r["cluster_id"], 0) + 1
+        assert r["cluster_size"] == sizes[r["cluster_id"]]
+        assert r["rk"] <= r["target"]
+    assert per == {c: int(sizes[c] ** 0.5) for c in range(8)}
+
+
+def test_bootstrap_ci_constant_column(spark, tmp_path):
+    """With a constant n_chars every resampled mean equals the true mean,
+    so CI collapses to a point: lo == mean == hi, 200 replicates."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import q_bootstrap_ci
+
+    _write_docs(
+        spark,
+        tmp_path,
+        [(i, "x" * 42, "en", "s") for i in range(50)],
+    )
+    r = q_bootstrap_ci(spark, str(tmp_path)).collect()[0]
+    assert r["n_docs"] == 50 and r["n_boot"] == 200
+    assert r["mean_bp"] == r["ci_lo_bp"] == r["ci_hi_bp"] == 420000
+
+
+def test_bootstrap_ci_brackets_mean_on_real_data(spark):
+    from kafkastreamsjavachallenge_spark.queries.corpus import q_bootstrap_ci
+
+    r = q_bootstrap_ci(spark, SF_DIR).collect()[0]
+    assert r["ci_lo_bp"] <= r["mean_bp"] <= r["ci_hi_bp"]
+    assert r["ci_lo_bp"] < r["ci_hi_bp"]  # real data has variance
+
+
+def test_watermark_audit_ordered_single_shard(spark, tmp_path):
+    """One shard, event time monotone in arrival order -> everything is
+    on_time and the histogram is a single 100% bucket."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import (
+        q_watermark_audit,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i), 0, "click", 1.0, "{}")
+        for i in range(100)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = q_watermark_audit(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["bucket"] == "on_time" and r["n_events"] == 100
+    assert r["max_late_ms"] == 0 and r["pct_bp"] == 10000
+
+
+def test_group_kfold_keeps_dup_groups_together(spark, tmp_path):
+    """4 exact copies of each of 50 texts: every fold must hold complete
+    groups, i.e. n_docs == 4 * n_groups in every fold."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import q_group_kfold
+
+    rows = []
+    i = 0
+    for g in range(50):
+        for _ in range(4):
+            rows.append((i, f"text of group {g} " * 3, "en", f"src{i % 7}"))
+            i += 1
+    _write_docs(spark, tmp_path, rows)
+    out = q_group_kfold(spark, str(tmp_path)).collect()
+    assert sum(r["n_docs"] for r in out) == 200
+    assert sum(r["n_groups"] for r in out) == 50
+    for r in out:
+        assert r["n_docs"] == 4 * r["n_groups"], "dup group split across folds"
+
+
+def test_js_divergence_zero_for_identical_distributions(spark, tmp_path):
+    """Two sources with the same unigram distribution == the corpus
+    distribution -> JS divergence exactly 0 (every log term is ln 1)."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import (
+        q_js_divergence,
+    )
+
+    text = "alpha beta beta gamma"
+    _write_docs(
+        spark,
+        tmp_path,
+        [(0, text, "en", "a"), (1, text, "en", "b")],
+    )
+    out = {r["source"]: r for r in q_js_divergence(spark, str(tmp_path)).collect()}
+    assert out["a"]["js_4"] == 0.0 and out["b"]["js_4"] == 0.0
+    # disjoint vocabularies -> strictly positive, bounded by ln 2
+    _write_docs(
+        spark,
+        tmp_path,
+        [(0, "a1 a2 a3 a4", "en", "a"), (1, "b1 b2 b3 b4", "en", "b")],
+    )
+    out2 = q_js_divergence(spark, str(tmp_path)).collect()
+    for r in out2:
+        assert 0 < r["js_4"] <= 0.6932

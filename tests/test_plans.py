@@ -244,6 +244,14 @@ def test_registry_plans_lint_clean(spark):
         "q_unigram_logprob",
         # BM25 / DSIR: 1-row corpus-stats and 64-row bucket-model
         # broadcasts — bounded by vocabulary/bucket count, not corpus
+        # round-6 corpus pack: 5-row query block (hard negatives),
+        # 8-centroid assign (cluster sample), 200-replicate grid
+        # (bootstrap), |vocab|-row corpus-distribution broadcast (JS) —
+        # all bounded by constants or vocabulary, never the corpus
+        "q_hard_negatives",
+        "q_cluster_sample",
+        "q_bootstrap_ci",
+        "q_js_divergence",
         "q_bm25",
         "q_dsir_weights",
         # RRF fusion: both retriever lists carry their own bounded
