@@ -59,16 +59,18 @@ def q_heaps_law(spark, sf_dir):
     explode+groupBy over the corpus regardless of how many curve points
     are requested; the global row_number is rank-over-ingest-order, which
     at 100 TB is the (already materialized) ordered ingest offset."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", _toks_ne().alias("toks")
-    )
-    r = d.select(
+    d = _docs(spark, sf_dir)
+    # rank the NARROW id column only, then join the rank back: dragging
+    # the token arrays through the single-partition global window is the
+    # slow shape (6.9s -> this form at sf0.1); the rank frame is one
+    # bigint pair per doc
+    rk = d.select("doc_id").select(
+        "doc_id",
         F.row_number().over(Window.orderBy("doc_id")).cast("bigint").alias("rk"),
-        F.size("toks").alias("n_tok"),
-        "toks",
     )
+    r = d.select("doc_id", _toks_ne().alias("toks")).join(rk, "doc_id")
     dec = (
-        r.agg(F.count(F.lit(1)).alias("n"))
+        rk.agg(F.count(F.lit(1)).alias("n"))
         .select(F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"), "n")
         .select(
             F.col("decile").cast("bigint").alias("decile"),
@@ -76,7 +78,11 @@ def q_heaps_law(spark, sf_dir):
         )
     )
     docs_c = (
-        dec.join(r.select("rk", "n_tok"), F.col("rk") <= F.col("cut"), "left")
+        dec.join(
+            r.select("rk", F.size("toks").alias("n_tok")),
+            F.col("rk") <= F.col("cut"),
+            "left",
+        )
         .groupBy("decile")
         .agg(
             F.count("rk").alias("n_docs"),
@@ -297,16 +303,29 @@ def q_containment(spark, sf_dir):
     shd = D.shingled_docs(_docs(spark, sf_dir), shingle_k=3).filter(
         F.size("sh") > 0
     )
+    # the shingle subtree feeds both the inverted join and the size table
+    # — materialize it once (the q_dedup_recall lesson: 3.2x there)
+    shd = shd.localCheckpoint(eager=False)
     ex = (
         shd.select("doc_id", F.explode_outer("sh").alias("g"))
         .filter(F.col("g").isNotNull())
     )
-    inter = (
+    # aggregate the UNDIRECTED pairs (a < b: half the join fan-out), then
+    # mirror the aggregate — the directed containment check needs both
+    # orders but the expensive Σdf² stage does not
+    half = (
         ex.select(F.col("doc_id").alias("id_a"), "g")
         .join(ex.select(F.col("doc_id").alias("id_b"), "g"), "g")
-        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    inter = half.unionByName(
+        half.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "n_common",
+        )
     )
     sz = shd.select("doc_id", F.size("sh").cast("bigint").alias("n"))
     return (
