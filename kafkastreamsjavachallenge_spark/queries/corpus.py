@@ -824,6 +824,306 @@ _JS_SQL = (
 )
 
 
+# ------------------------------------------------- retrieval agreement
+
+
+# RBO(p=0.9) truncated at depth 10, as exact integers: the per-depth
+# weight (1-p)·p^(d-1)/d is rational with denominator D = 2520·10^10
+# (2520 = lcm(1..10)), so w_d = (2520/d)·9^(d-1)·10^(10-d) and
+# RBO·D = Σ w_d·X_d where X_d = |A_1..d ∩ B_1..d|.  The weights are
+# pinned literals shared verbatim with the oracle (the q_ann_ndcg
+# integer-discount move).
+_RBO_D = 2520 * 10**10
+_RBO_W = {d: (2520 // d) * 9 ** (d - 1) * 10 ** (10 - d) for d in range(1, 11)}
+
+
+def q_rank_biased_overlap(spark, sf_dir):
+    """Rank-biased overlap (Webber et al. 2010) between the exact cosine
+    top-10 and the LSH-probed top-10 for the query vector — the
+    top-weighted agreement score a retrieval deployment tracks per index
+    rebuild (recall@k treats rank 1 and rank 10 alike; RBO does not).
+    Both rankings order by integer e6-floored cosine (deterministic
+    cross-engine), the weights are exact integer rationals, and the
+    output is exact basis points — the whole audit is integer-hashable.
+    Cost: one exact scan + one LSH retrieval + joins over two 10-row
+    lists."""
+    e = _embs(spark, sf_dir).withColumn("nrm", norm(F.col("embedding")))
+    q = e.filter((F.col("vec_id") == 0) & (F.col("nrm") > 0)).select(
+        F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    base = e.filter((F.col("vec_id") != 0) & (F.col("nrm") > 0))
+
+    def top10(df):
+        scored = df.crossJoin(F.broadcast(q)).withColumn(
+            "cos_e6",
+            F.floor(
+                dot(F.col("embedding"), F.col("qv"))
+                / (F.col("nrm") * F.col("qnrm"))
+                * 1000000
+            ).cast("bigint"),
+        )
+        w = Window.orderBy(F.col("cos_e6").desc(), F.col("vec_id"))
+        return (
+            scored.select(
+                "vec_id", F.row_number().over(w).cast("bigint").alias("r")
+            )
+            .filter(F.col("r") <= 10)
+        )
+    ra = top10(base)
+    rb = top10(
+        S.lsh_candidates(base, q.select(F.col("qv").alias("embedding")))
+        .withColumn("nrm", norm(F.col("embedding")))
+    )
+    joined = ra.select("vec_id", F.col("r").alias("ra")).join(
+        rb.select("vec_id", F.col("r").alias("rb")), "vec_id"
+    ).select(F.greatest("ra", "rb").alias("m"))
+    depths = spark.range(1, 11).select(
+        F.col("id").alias("d"),
+        F.element_at(
+            F.array(*[F.lit(_RBO_W[d]) for d in range(1, 11)]), F.col("id").cast("int")
+        ).alias("w"),
+    )
+    xd = depths.join(joined, F.col("m") <= F.col("d"), "left").groupBy(
+        "d", "w"
+    ).agg(F.count("m").alias("x"))
+    return xd.agg(
+        F.max(F.when(F.col("d") == 10, F.col("x"))).alias("overlap_at_10"),
+        F.expr(f"(sum(w * x) * 10000) div {_RBO_D}").alias("rbo_bp"),
+    )
+
+
+def _rbo_sql():
+    from kafkastreamsjavachallenge_spark.queries.llm import _ANN_LSH_CTES
+
+    dot_cq = _DOT.format(a="c.vec", b="q.qv")
+    nrm_c = f"sqrt({_DOT.format(a='c.vec', b='c.vec')})"
+    weights = ", ".join(f"({d}, {_RBO_W[d]})" for d in range(1, 11))
+    return (
+        _ANN_LSH_CTES
+        + ", qe AS (SELECT qv, qnorm FROM qn WHERE qnorm > 0), "
+        "sa AS (SELECT b.vec_id, "
+        f"CAST(floor({_DOT.format(a='b.vec', b='q.qv')} / "
+        f"(sqrt({_DOT.format(a='b.vec', b='b.vec')}) * q.qnorm) * 1000000) "
+        "AS BIGINT) AS cos_e6 FROM bk b CROSS JOIN qe q "
+        f"WHERE b.vec_id <> 0 AND sqrt({_DOT.format(a='b.vec', b='b.vec')}) > 0), "
+        "ra AS (SELECT vec_id, row_number() OVER (ORDER BY cos_e6 DESC, "
+        "vec_id) AS r FROM sa QUALIFY r <= 10), "
+        "sb AS (SELECT c.vec_id, "
+        f"CAST(floor({dot_cq} / ({nrm_c} * q.qnorm) * 1000000) AS BIGINT) "
+        "AS cos_e6 FROM cand c CROSS JOIN qe q "
+        f"WHERE {nrm_c} > 0), "
+        "rb AS (SELECT vec_id, row_number() OVER (ORDER BY cos_e6 DESC, "
+        "vec_id) AS r FROM sb QUALIFY r <= 10), "
+        "j AS (SELECT greatest(ra.r, rb.r) AS m FROM ra JOIN rb "
+        "USING (vec_id)), "
+        f"w(d, w) AS (VALUES {weights}), "
+        "xd AS (SELECT w.d, w.w, count(j.m) AS x FROM w "
+        "LEFT JOIN j ON j.m <= w.d GROUP BY w.d, w.w) "
+        "SELECT CAST(max(CASE WHEN d = 10 THEN x END) AS BIGINT) "
+        "AS overlap_at_10, "
+        f"CAST((sum(w * x) * 10000) // {_RBO_D} AS BIGINT) AS rbo_bp "
+        "FROM xd"
+    )
+
+
+def q_cosine_histogram(spark, sf_dir):
+    """Pairwise-cosine distribution over a deterministic 20% hash sample —
+    the embedding-space health profile (a collapsed histogram = mode
+    collapse / duplicated embeddings; healthy spaces spread).  The
+    quadratic stage is capped by the sample rate, never the corpus:
+    at 100 TB the sample is a scan-side filter and the pair join stays
+    |sample|², with buckets from IEEE-exact floor(cos·10)."""
+    e = _embs(spark, sf_dir).withColumn("nrm", norm(F.col("embedding")))
+    s = e.filter(
+        (T.base_hash28(F.col("vec_id").cast("string")) % 100 < 20)
+        & (F.col("nrm") > 0)
+    ).select("vec_id", "embedding", "nrm")
+    a = s.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn(
+            "cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+    )
+    return (
+        pairs.groupBy(
+            F.floor(F.col("cos") * 10).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.floor(F.col("cos") * 1000000).cast("bigint")).alias(
+                "min_cos_e6"
+            ),
+            F.max(F.floor(F.col("cos") * 1000000).cast("bigint")).alias(
+                "max_cos_e6"
+            ),
+        )
+    )
+
+
+_COS_HIST_SQL = (
+    "WITH v AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
+    "FROM embeddings), "
+    "n AS (SELECT vec_id, vec, "
+    f"sqrt({_DOT.format(a='vec', b='vec')}) AS nrm FROM v), "
+    "s AS (SELECT vec_id, vec, nrm FROM n WHERE "
+    f"{_H28.format(x='CAST(vec_id AS VARCHAR)')} % 100 < 20 AND nrm > 0), "
+    "p AS (SELECT "
+    f"{_DOT.format(a='a.vec', b='b.vec')} / (a.nrm * b.nrm) AS cos "
+    "FROM s a JOIN s b ON a.vec_id < b.vec_id) "
+    "SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket, "
+    "CAST(count(*) AS BIGINT) AS n_pairs, "
+    "CAST(min(floor(cos * 1000000)) AS BIGINT) AS min_cos_e6, "
+    "CAST(max(floor(cos * 1000000)) AS BIGINT) AS max_cos_e6 "
+    "FROM p GROUP BY 1"
+)
+
+
+def q_bigram_entropy(spark, sf_dir):
+    """Per-language bigram conditional entropy H(next | prev) =
+    -Σ p(ab)·ln(c_ab/c_a) — the sequence-predictability health metric
+    (near-zero = templated/looping text, the generation analog of
+    q_gopher_repetition).  Everything aggregates at bigram-TYPE level
+    (bounded by vocabulary², not corpus); the 4-dp round absorbs
+    summation-order float noise per the q_unigram_logprob convention."""
+    d = _docs(spark, sf_dir).withColumn("toks", _toks_ne())
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("toks", 1, n1),
+        F.slice("toks", 2, n1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    bg = d.select("lang", F.explode(bigrams).alias("s")).select(
+        "lang", F.col("s.a").alias("a"), F.col("s.b").alias("b")
+    )
+    cab = bg.groupBy("lang", "a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = cab.groupBy("lang", "a").agg(F.sum("c_ab").alias("c_a"))
+    n = cab.groupBy("lang").agg(F.sum("c_ab").alias("n_bigrams"))
+    terms = cab.join(ca, ["lang", "a"]).join(n, "lang").select(
+        "lang",
+        "n_bigrams",
+        (
+            F.col("c_ab")
+            / F.col("n_bigrams")
+            * F.log(F.col("c_a") / F.col("c_ab"))
+        ).alias("t"),
+    )
+    return terms.groupBy("lang").agg(
+        F.max("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("t"), 4).alias("cond_entropy_4"),
+    )
+
+
+_BIGRAM_ENTROPY_SQL = (
+    f"WITH t AS (SELECT lang, {_TOKS_NE} AS l FROM documents), "
+    "bg AS (SELECT lang, unnest([struct_pack(a := l[i], b := l[i+1]) "
+    "for i in range(1, len(l))]) AS s FROM t WHERE len(l) >= 2), "
+    "cab AS (SELECT lang, s.a AS a, s.b AS b, count(*) AS c_ab "
+    "FROM bg GROUP BY 1, 2, 3), "
+    "ca AS (SELECT lang, a, sum(c_ab) AS c_a FROM cab GROUP BY 1, 2), "
+    "n AS (SELECT lang, sum(c_ab) AS n_bigrams FROM cab GROUP BY lang), "
+    "terms AS (SELECT cab.lang, n.n_bigrams, "
+    "cab.c_ab / CAST(n.n_bigrams AS DOUBLE) * "
+    "ln(ca.c_a / CAST(cab.c_ab AS DOUBLE)) AS t "
+    "FROM cab JOIN ca USING (lang, a) JOIN n USING (lang)) "
+    "SELECT lang, CAST(max(n_bigrams) AS BIGINT) AS n_bigrams, "
+    "round(sum(t), 4) AS cond_entropy_4 FROM terms GROUP BY lang"
+)
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch reshuffle: each training epoch orders the
+    corpus by a portable hash of (epoch, doc_id) — reproducible shuffling
+    without rand() state, the property a distributed data loader needs so
+    every worker derives the same epoch order independently (resume from
+    any step without replaying the shuffle).  Emits the first 5 positions
+    of epochs 1-3; the full-order materialization at 100 TB is a sort by
+    the same hash key within each output shard."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    epochs = spark.range(1, 4).select(F.col("id").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(epochs)).withColumn(
+        "k",
+        T.base_hash28(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+    w = Window.partitionBy("epoch").orderBy("k", "doc_id")
+    return (
+        keyed.select(
+            "epoch",
+            "doc_id",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+        .filter(F.col("pos") <= 5)
+    )
+
+
+_EPOCH_SHUFFLE_SQL = (
+    "WITH k AS (SELECT e.epoch, d.doc_id, "
+    + _H28.format(
+        x="CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)"
+    )
+    + " AS k FROM documents d CROSS JOIN "
+    "(SELECT unnest(range(1, 4)) AS epoch) e), "
+    "r AS (SELECT epoch, doc_id, row_number() OVER (PARTITION BY epoch "
+    "ORDER BY k, doc_id) AS pos FROM k) "
+    "SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, "
+    "CAST(pos AS BIGINT) AS pos FROM r WHERE pos <= 5"
+)
+
+
+def q_dup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster size histogram: the release-report view of
+    q_neardup_components (how much of the corpus sits in 2-dup / 3-dup /
+    k-dup clusters — the number that decides whether dedup is worth a
+    full pass).  Composition over the components operator: two extra
+    aggregates on its (doc_id, component) output."""
+    from kafkastreamsjavachallenge_spark.queries.llm import (
+        q_neardup_components,
+    )
+
+    comp = q_neardup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )
+
+
+def _dup_cluster_sizes_sql():
+    from kafkastreamsjavachallenge_spark.queries import llm
+
+    components = llm.QUERIES["q_neardup_components"][1]
+    return (
+        f"SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, "
+        "CAST(cluster_size * count(*) AS BIGINT) AS n_docs FROM "
+        "(SELECT component, CAST(count(*) AS BIGINT) AS cluster_size "
+        f"FROM ({components}) GROUP BY component) GROUP BY cluster_size"
+    )
+
+
 QUERIES = {
     "q_heaps_law": (q_heaps_law, _HEAPS_SQL),
     "q_ttr_hapax": (q_ttr_hapax, _TTR_SQL),
@@ -837,4 +1137,9 @@ QUERIES = {
     "q_watermark_audit": (q_watermark_audit, _WATERMARK_SQL),
     "q_group_kfold": (q_group_kfold, _KFOLD_SQL),
     "q_js_divergence": (q_js_divergence, _JS_SQL),
+    "q_rank_biased_overlap": (q_rank_biased_overlap, _rbo_sql()),
+    "q_cosine_histogram": (q_cosine_histogram, _COS_HIST_SQL),
+    "q_bigram_entropy": (q_bigram_entropy, _BIGRAM_ENTROPY_SQL),
+    "q_epoch_shuffle": (q_epoch_shuffle, _EPOCH_SHUFFLE_SQL),
+    "q_dup_cluster_sizes": (q_dup_cluster_sizes, _dup_cluster_sizes_sql()),
 }

@@ -283,6 +283,110 @@ def test_group_kfold_keeps_dup_groups_together(spark, tmp_path):
         assert r["n_docs"] == 4 * r["n_groups"], "dup group split across folds"
 
 
+def test_rbo_identical_rankings_hits_truncated_max(spark, tmp_path):
+    """All candidates colinear with the query -> every LSH bucket matches
+    the query's, both retrievers return the identical ranking, X_d = d,
+    and RBO hits the exact truncated maximum Σ w_d·d / D."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import (
+        _RBO_D,
+        _RBO_W,
+        q_rank_biased_overlap,
+    )
+
+    vec = [0.5] * 64
+    rows = [(i, [x * (1.0 + i) for x in vec], 0) for i in range(12)]
+    _write_embs(spark, tmp_path, rows)
+    r = q_rank_biased_overlap(spark, str(tmp_path)).collect()[0]
+    expected = sum(_RBO_W[d] * d for d in range(1, 11)) * 10000 // _RBO_D
+    assert r["overlap_at_10"] == 10
+    assert r["rbo_bp"] == expected  # 6513 bp for p=0.9 truncated at 10
+
+
+def test_cosine_histogram_orthogonal_sample(spark, tmp_path):
+    """Only hash-sampled ids participate; orthogonal vectors put every
+    pair in bucket 0 with cosine exactly 0."""
+    import hashlib
+
+    from kafkastreamsjavachallenge_spark.queries.corpus import (
+        q_cosine_histogram,
+    )
+
+    def h28(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:7], 16)
+
+    sampled = [i for i in range(400) if h28(i) % 100 < 20][:6]
+    skipped = [i for i in range(400) if h28(i) % 100 >= 20][:4]
+    rows = [(vid, _basis(j % 64), 0) for j, vid in enumerate(sampled)]
+    # non-sampled rows point in a shared direction: if they leaked into
+    # the pair join they would create nonzero-cosine buckets
+    rows += [(vid, [1.0] * 64, 0) for vid in skipped]
+    _write_embs(spark, tmp_path, rows)
+    out = q_cosine_histogram(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["bucket"] == 0
+    assert r["n_pairs"] == len(sampled) * (len(sampled) - 1) // 2
+    assert r["min_cos_e6"] == r["max_cos_e6"] == 0
+
+
+def test_bigram_entropy_closed_forms(spark, tmp_path):
+    """Perfectly predictable alternation -> H = 0; a 2-way branching
+    continuation after 'a' -> H = (4/7)·ln 2."""
+    import math
+
+    from kafkastreamsjavachallenge_spark.queries.corpus import (
+        q_bigram_entropy,
+    )
+
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "a b a b a b", "det", "s"),
+            (1, "a b a c a b a c", "mix", "s"),
+        ],
+    )
+    out = {r["lang"]: r for r in q_bigram_entropy(spark, str(tmp_path)).collect()}
+    assert out["det"]["n_bigrams"] == 5
+    assert out["det"]["cond_entropy_4"] == 0.0
+    assert out["mix"]["n_bigrams"] == 7
+    assert abs(out["mix"]["cond_entropy_4"] - (4 / 7) * math.log(2)) < 1e-3
+
+
+def test_epoch_shuffle_reorders_between_epochs(spark, tmp_path):
+    from kafkastreamsjavachallenge_spark.queries.corpus import q_epoch_shuffle
+
+    _write_docs(
+        spark, tmp_path, [(i, f"tok{i}", "en", "s") for i in range(100)]
+    )
+    out = q_epoch_shuffle(spark, str(tmp_path)).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["epoch"], {})[r["pos"]] = r["doc_id"]
+    assert sorted(per) == [1, 2, 3]
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per.values())
+    # the hash reshuffle must actually produce different epoch orders
+    assert per[1] != per[2] and per[2] != per[3]
+    # and each epoch's order is deterministic across invocations
+    again = {
+        (r["epoch"], r["pos"]): r["doc_id"]
+        for r in q_epoch_shuffle(spark, str(tmp_path)).collect()
+    }
+    assert all(again[(e, p)] == d for e, v in per.items() for p, d in v.items())
+
+
+def test_dup_cluster_sizes_conserves_docs(spark):
+    from kafkastreamsjavachallenge_spark.queries.corpus import (
+        q_dup_cluster_sizes,
+    )
+
+    out = q_dup_cluster_sizes(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in out) == n_docs
+    assert all(r["cluster_size"] >= 1 for r in out)
+    assert all(r["n_docs"] == r["cluster_size"] * r["n_clusters"] for r in out)
+
+
 def test_js_divergence_zero_for_identical_distributions(spark, tmp_path):
     """Two sources with the same unigram distribution == the corpus
     distribution -> JS divergence exactly 0 (every log term is ln 1)."""

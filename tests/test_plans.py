@@ -252,6 +252,12 @@ def test_registry_plans_lint_clean(spark):
         "q_cluster_sample",
         "q_bootstrap_ci",
         "q_js_divergence",
+        # 1-row query block × two 10-row rank lists (RBO), 20% hash
+        # sample² (cosine histogram — sample-rate bounded), 3-row epoch
+        # table (epoch shuffle)
+        "q_rank_biased_overlap",
+        "q_cosine_histogram",
+        "q_epoch_shuffle",
         "q_bm25",
         "q_dsir_weights",
         # RRF fusion: both retriever lists carry their own bounded
