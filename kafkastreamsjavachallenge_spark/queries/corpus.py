@@ -1124,6 +1124,182 @@ def _dup_cluster_sizes_sql():
     )
 
 
+# --------------------------------------------------- privacy / hygiene
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the event stream's quasi-identifier
+    (event_type, hour): for each candidate k, how many rows sit in an
+    equivalence class smaller than k — the release gate for telemetry
+    data (classes of 1 are directly re-identifiable).  One hash
+    aggregate over the QI, then a 3-row broadcast threshold join over
+    the (bounded) class table; scales like any groupBy on the fact
+    table."""
+    ev = load_table(spark, sf_dir, "events")
+    cls = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    tot = cls.agg(F.sum("sz").alias("n_total"))
+    ks = tot.select(
+        F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("k"),
+        "n_total",
+    ).select(F.col("k").cast("bigint").alias("k"), "n_total")
+    return (
+        ks.join(cls, F.col("sz") < F.col("k"), "left")
+        .groupBy("k", "n_total")
+        .agg(
+            F.count("sz").alias("n_classes"),
+            F.coalesce(F.sum("sz"), F.lit(0)).cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "k",
+            "n_classes",
+            "n_rows",
+            F.expr("(n_rows * 10000) div n_total").alias("pct_bp"),
+        )
+    )
+
+
+_KANON_SQL = (
+    "WITH cls AS (SELECT event_type, date_trunc('hour', ts) AS hr, "
+    "count(*) AS sz FROM events GROUP BY 1, 2), "
+    "tot AS (SELECT sum(sz) AS n_total FROM cls), "
+    "ks AS (SELECT k, n_total FROM (SELECT unnest([2, 5, 10]) AS k) "
+    "CROSS JOIN tot) "
+    "SELECT CAST(k AS BIGINT) AS k, CAST(count(cls.sz) AS BIGINT) "
+    "AS n_classes, CAST(coalesce(sum(cls.sz), 0) AS BIGINT) AS n_rows, "
+    "CAST((coalesce(sum(cls.sz), 0) * 10000) // ks.n_total AS BIGINT) "
+    "AS pct_bp "
+    "FROM ks LEFT JOIN cls ON cls.sz < ks.k GROUP BY ks.k, ks.n_total"
+)
+
+
+def q_split_leakage(spark, sf_dir):
+    """Train/test shingle-leakage audit: using the SAME 80/10/10 hash
+    split as q_train_test_split, the top-5 test documents by how much of
+    their distinct-3-shingle set also appears in some train document —
+    the contamination check run on the split itself (doc-level hash
+    splits do NOT prevent near-dup leakage; this measures it).  The join
+    is the df-bounded inverted-shingle shape: test shingles semi-join the
+    distinct train shingle set, never doc×doc."""
+    shd = D.shingled_docs(_docs(spark, sf_dir), shingle_k=3).filter(
+        F.size("sh") > 0
+    )
+    b = T.base_hash28(F.col("doc_id").cast("string")) % 100
+    shd = shd.withColumn("is_test", b >= 90)
+    train_g = (
+        shd.filter(~F.col("is_test"))
+        .select(F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    test_ex = (
+        shd.filter(F.col("is_test"))
+        .select("doc_id", F.size("sh").alias("n_shingles"), F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    shared = (
+        test_ex.join(train_g, "g", "left_semi")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    scored = (
+        shd.filter(F.col("is_test"))
+        .select("doc_id", F.size("sh").cast("bigint").alias("n_shingles"))
+        .join(
+            shared.select("doc_id", "n_shared"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias(
+                "n_shared"
+            ),
+        )
+        .withColumn("shared_bp", F.expr("(n_shared * 10000) div n_shingles"))
+    )
+    w = Window.orderBy(
+        F.col("shared_bp").desc(), F.col("n_shared").desc(), F.col("doc_id")
+    )
+    return (
+        scored.select(
+            "*", F.row_number().over(w).cast("bigint").alias("rk")
+        )
+        .filter(F.col("rk") <= 5)
+    )
+
+
+_SPLIT_LEAK_SQL = (
+    "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS l "
+    "FROM documents), "
+    "d AS (SELECT doc_id, list_distinct([array_to_string(l[i:i+2], ' ') "
+    "for i in range(1, len(l) - 1)]) AS sh, "
+    f"{_H28.format(x='CAST(doc_id AS VARCHAR)')} % 100 >= 90 AS is_test "
+    "FROM t WHERE len(l) >= 3), "
+    "tg AS (SELECT DISTINCT unnest(sh) AS g FROM d WHERE NOT is_test), "
+    "te AS (SELECT doc_id, unnest(sh) AS g FROM d WHERE is_test), "
+    "sh2 AS (SELECT te.doc_id, count(*) AS n_shared FROM te "
+    "WHERE te.g IN (SELECT g FROM tg) GROUP BY te.doc_id), "
+    "sc AS (SELECT d.doc_id, CAST(len(d.sh) AS BIGINT) AS n_shingles, "
+    "CAST(coalesce(sh2.n_shared, 0) AS BIGINT) AS n_shared "
+    "FROM d LEFT JOIN sh2 ON sh2.doc_id = d.doc_id WHERE d.is_test), "
+    "r AS (SELECT *, (n_shared * 10000) // n_shingles AS shared_bp, "
+    "row_number() OVER (ORDER BY (n_shared * 10000) // n_shingles DESC, "
+    "n_shared DESC, doc_id) AS rk FROM sc) "
+    "SELECT doc_id, n_shingles, n_shared, CAST(shared_bp AS BIGINT) "
+    "AS shared_bp, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5"
+)
+
+
+def q_score_calibration(spark, sf_dir):
+    """Cross-source score calibration: where does each source's median
+    document (by length score, exact ceil(n/2) rank) land on the CORPUS
+    percentile scale — the comparability check before mixing per-source
+    quality thresholds (a 6000bp source median means its scores run hot
+    relative to the pool).  Both ranks are exact order statistics, so the
+    whole table is integer."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    wc = Window.orderBy(F.col("n_chars"), F.col("doc_id"))
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(wc).cast("bigint").alias("crk"),
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("n_corpus"))
+    ws = Window.partitionBy("source").orderBy(F.col("n_chars"), F.col("doc_id"))
+    per = ranked.select(
+        "source",
+        "n_chars",
+        "crk",
+        F.row_number().over(ws).cast("bigint").alias("srk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).cast("bigint").alias("n_docs"),
+    )
+    med = per.filter(F.col("srk") == F.expr("(n_docs + 1) div 2"))
+    return med.crossJoin(F.broadcast(n)).select(
+        "source",
+        "n_docs",
+        F.col("n_chars").alias("median_score"),
+        F.coalesce(
+            F.expr("((crk - 1) * 10000) div (n_corpus - 1)"), F.lit(0)
+        ).alias("corpus_pct_bp"),
+    )
+
+
+_CALIBRATION_SQL = (
+    "WITH r AS (SELECT doc_id, source, n_chars, "
+    "row_number() OVER (ORDER BY n_chars, doc_id) AS crk, "
+    "row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) "
+    "AS srk, count(*) OVER (PARTITION BY source) AS n_docs FROM documents), "
+    "n AS (SELECT count(*) AS n_corpus FROM documents) "
+    "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+    "n_chars AS median_score, "
+    "CAST(coalesce(((crk - 1) * 10000) // (n.n_corpus - 1), 0) AS BIGINT) "
+    "AS corpus_pct_bp "
+    "FROM r CROSS JOIN n WHERE srk = (n_docs + 1) // 2"
+)
+
+
 QUERIES = {
     "q_heaps_law": (q_heaps_law, _HEAPS_SQL),
     "q_ttr_hapax": (q_ttr_hapax, _TTR_SQL),
@@ -1142,4 +1318,7 @@ QUERIES = {
     "q_bigram_entropy": (q_bigram_entropy, _BIGRAM_ENTROPY_SQL),
     "q_epoch_shuffle": (q_epoch_shuffle, _EPOCH_SHUFFLE_SQL),
     "q_dup_cluster_sizes": (q_dup_cluster_sizes, _dup_cluster_sizes_sql()),
+    "q_k_anonymity": (q_k_anonymity, _KANON_SQL),
+    "q_split_leakage": (q_split_leakage, _SPLIT_LEAK_SQL),
+    "q_score_calibration": (q_score_calibration, _CALIBRATION_SQL),
 }

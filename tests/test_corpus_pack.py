@@ -387,6 +387,79 @@ def test_dup_cluster_sizes_conserves_docs(spark):
     assert all(r["n_docs"] == r["cluster_size"] * r["n_clusters"] for r in out)
 
 
+def test_k_anonymity_counts_small_classes(spark, tmp_path):
+    """Classes: (A, h0) size 1, (B, h0) size 5, (C, h0) size 12 ->
+    k=2 flags only A; k=5 likewise (B is exactly 5, not below); k=10
+    flags A and B."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import q_k_anonymity
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 30)
+    rows = (
+        [(0, t0, 1, "A", 1.0, "{}")]
+        + [(10 + i, t0, 1, "B", 1.0, "{}") for i in range(5)]
+        + [(20 + i, t0, 1, "C", 1.0, "{}") for i in range(12)]
+    )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r["k"]: r for r in q_k_anonymity(spark, str(tmp_path)).collect()}
+    assert out[2]["n_classes"] == 1 and out[2]["n_rows"] == 1
+    assert out[5]["n_classes"] == 1 and out[5]["n_rows"] == 1
+    assert out[10]["n_classes"] == 2 and out[10]["n_rows"] == 6
+    assert out[10]["pct_bp"] == 6 * 10000 // 18
+
+
+def test_split_leakage_flags_duplicated_test_doc(spark, tmp_path):
+    """A test-bucket doc that duplicates a train-bucket doc leaks 100% of
+    its shingles; an unrelated test doc leaks none."""
+    import hashlib
+
+    from kafkastreamsjavachallenge_spark.queries.corpus import q_split_leakage
+
+    def bucket(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:7], 16) % 100
+
+    train_ids = [i for i in range(500) if bucket(i) < 80]
+    test_ids = [i for i in range(500) if bucket(i) >= 90]
+    leaked, clean = test_ids[0], test_ids[1]
+    shared = " ".join(f"w{j}" for j in range(20))
+    rows = [(train_ids[0], shared, "en", "s")]
+    rows += [(train_ids[1], "other train text here", "en", "s")]
+    rows += [(leaked, shared, "en", "s")]
+    rows += [(clean, " ".join(f"q{j}" for j in range(15)), "en", "s")]
+    _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in q_split_leakage(spark, str(tmp_path)).collect()}
+    assert out[leaked]["shared_bp"] == 10000 and out[leaked]["rk"] == 1
+    assert out[clean]["shared_bp"] == 0 and out[clean]["n_shared"] == 0
+
+
+def test_score_calibration_maps_medians_to_corpus_percentile(spark, tmp_path):
+    from kafkastreamsjavachallenge_spark.queries.corpus import (
+        q_score_calibration,
+    )
+
+    rows = [
+        (0, "x" * 10, "en", "short"),
+        (1, "x" * 20, "en", "short"),
+        (2, "x" * 30, "en", "short"),
+        (3, "x" * 40, "en", "long"),
+        (4, "x" * 50, "en", "long"),
+        (5, "x" * 60, "en", "long"),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = {
+        r["source"]: r
+        for r in q_score_calibration(spark, str(tmp_path)).collect()
+    }
+    # medians: 20 (corpus rank 2 of 6 -> 2000bp), 50 (rank 5 -> 8000bp)
+    assert out["short"]["median_score"] == 20
+    assert out["short"]["corpus_pct_bp"] == (2 - 1) * 10000 // 5
+    assert out["long"]["median_score"] == 50
+    assert out["long"]["corpus_pct_bp"] == (5 - 1) * 10000 // 5
+
+
 def test_js_divergence_zero_for_identical_distributions(spark, tmp_path):
     """Two sources with the same unigram distribution == the corpus
     distribution -> JS divergence exactly 0 (every log term is ln 1)."""

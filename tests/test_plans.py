@@ -258,6 +258,10 @@ def test_registry_plans_lint_clean(spark):
         "q_rank_biased_overlap",
         "q_cosine_histogram",
         "q_epoch_shuffle",
+        # 3-row k-threshold table over the bounded class aggregate /
+        # 1-row corpus-count broadcast
+        "q_k_anonymity",
+        "q_score_calibration",
         "q_bm25",
         "q_dsir_weights",
         # RRF fusion: both retriever lists carry their own bounded
