@@ -1130,3 +1130,85 @@ def test_source_overlap_on_100k_docs(spark, tmp_path):
     # jaccard = 1000 / (2001 + 2001 - 1000) = 1000/3002 -> 3331 bp
     assert all(r["jaccard_bp"] == (1000 * 10000) // 3002 for r in row)
     assert elapsed < 120, f"source overlap took {elapsed:.1f}s on {n} docs"
+
+
+def test_simhash_banding_on_50k_docs(spark, tmp_path):
+    """Banded 60-bit SimHash near-dup at 50k docs with a realistic
+    5000-word vocabulary: 50 planted exact-duplicate pairs must all come
+    back at hamming 0, every returned pair must satisfy the <=2 gate,
+    and the whole pipeline (explode x 60 bits -> vote sums -> band join
+    -> verify) stays minutes-not-hours because band-value frequency, not
+    corpus size, bounds the candidate join."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import (
+        q_simhash_neardup,
+    )
+
+    n = 50_000
+    planted = 50
+    # doc i (i < planted) and doc n+i are identical; everything else is a
+    # distinct 20-token draw from a 5000-word vocabulary
+    base_id = F.when(
+        F.col("id") >= n, F.col("id") - n
+    ).otherwise(F.col("id"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda i: F.concat(F.lit("w"), (base_id * 37 + i * 11) % 5000),
+    )
+    text = F.concat_ws(" ", words)
+    docs = (
+        spark.range(n + planted)
+        .select(
+            F.col("id").alias("doc_id"),
+            text.alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("s").alias("source"),
+            F.length(text).alias("n_chars"),
+        )
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    t0 = time.time()
+    out = q_simhash_neardup(spark, str(tmp_path)).localCheckpoint()
+    elapsed = time.time() - t0
+    rows = out.collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    for i in range(planted):
+        assert got.get((i, n + i)) == 0, f"planted dup ({i},{n+i}) missing"
+    assert all(h <= 2 for h in got.values())
+    assert elapsed < 150, f"simhash banding took {elapsed:.1f}s on {n} docs"
+
+
+def test_containment_on_50k_docs(spark, tmp_path):
+    """Asymmetric containment at 50k docs: 50 planted quote docs (each a
+    contiguous 12-token slice of its 40-token host) must report
+    containment 10000 toward their host; the inverted-shingle join is
+    df-bounded so unrelated docs never pair."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import q_containment
+
+    n = 50_000
+    planted = 50
+    host_id = F.when(F.col("id") >= n, F.col("id") - n).otherwise(F.col("id"))
+    length = F.when(F.col("id") >= n, F.lit(11)).otherwise(F.lit(39))
+    words = F.transform(
+        F.sequence(F.lit(0), length),
+        lambda i: F.concat(F.lit("w"), (host_id * 53 + i * 17) % 20000),
+    )
+    text = F.concat_ws(" ", words)
+    docs = spark.range(n + planted).select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("s").alias("source"),
+        F.length(text).alias("n_chars"),
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    t0 = time.time()
+    out = q_containment(spark, str(tmp_path)).localCheckpoint()
+    elapsed = time.time() - t0
+    rows = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    for i in range(planted):
+        r = rows.get((n + i, i))
+        assert r is not None, f"planted quote ({n+i},{i}) missing"
+        assert r["containment_bp"] == 10000 and r["n_common"] == 10
+    assert elapsed < 150, f"containment took {elapsed:.1f}s on {n} docs"
