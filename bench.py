@@ -77,6 +77,12 @@ HEADLINE = [
     # the pruned pair-join shapes cannot silently regress
     "q_mmr_rerank",
     "q_edit_distance",
+    # round-6: the two corpus-pack queries that needed plan surgery
+    # (narrow-rank window; halved+mirrored containment join) and the
+    # exact-integer RBO audit (pinned so the broadcast-rank shape holds)
+    "q_heaps_law",
+    "q_containment",
+    "q_rank_biased_overlap",
 ]
 
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl")

@@ -340,6 +340,74 @@ class CorpusPipeline:
             "split", {"train_pct": train_pct, "valid_pct": valid_pct}, out
         )
 
+    def group_split(self, folds: int = 5) -> "CorpusPipeline":
+        """Add a group-aware fold column: the fold comes from a portable
+        hash of md5(text) — the exact-dup GROUP key — so duplicated
+        documents always land in the same fold (q_group_kfold's leakage
+        guarantee; hashing the row id instead would leak every dup pair
+        across folds)."""
+        col = _h28(F.md5(F.col(self._text))) % folds
+        out = self._df.withColumn("fold", col.cast("bigint"))
+        return self._push("group_split", {"folds": folds}, out)
+
+    def leakage_report(self, shingle_k: int = 3, top: int = 5) -> DataFrame:
+        """Shingle-leakage audit of the split() column on the CURRENT
+        composed frame (q_split_leakage shape): the ``top`` test docs by
+        distinct-k-shingle overlap with the non-test side.  Terminal
+        (returns a report DataFrame, not a pipeline stage); requires
+        .split() to have run.  The join is the df-bounded inverted-
+        shingle shape — test shingles semi-join the distinct non-test
+        shingle set, never doc×doc."""
+        from pyspark.sql import Window
+
+        from kafkastreamsjavachallenge_spark.operators.dedup import (
+            shingled_docs,
+        )
+
+        assert "split" in self._df.columns, "leakage_report needs .split()"
+        shd = (
+            shingled_docs(self._df, self._text, self._id, shingle_k)
+            .join(self._df.select(self._id, "split"), self._id)
+            .filter(F.size("sh") > 0)
+        )
+        non_test = (
+            shd.filter(F.col("split") != "test")
+            .select(F.explode_outer("sh").alias("g"))
+            .filter(F.col("g").isNotNull())
+            .distinct()
+        )
+        test_ex = (
+            shd.filter(F.col("split") == "test")
+            .select(self._id, F.explode_outer("sh").alias("g"))
+            .filter(F.col("g").isNotNull())
+        )
+        shared = (
+            test_ex.join(non_test, "g", "left_semi")
+            .groupBy(self._id)
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+        scored = (
+            shd.filter(F.col("split") == "test")
+            .select(self._id, F.size("sh").cast("bigint").alias("n_shingles"))
+            .join(shared, self._id, "left")
+            .select(
+                self._id,
+                "n_shingles",
+                F.coalesce(F.col("n_shared"), F.lit(0))
+                .cast("bigint")
+                .alias("n_shared"),
+            )
+            .withColumn(
+                "shared_bp", F.expr("(n_shared * 10000) div n_shingles")
+            )
+        )
+        w = Window.orderBy(
+            F.col("shared_bp").desc(), F.col("n_shared").desc(), self._id
+        )
+        return scored.select(
+            "*", F.row_number().over(w).cast("bigint").alias("rk")
+        ).filter(F.col("rk") <= top)
+
     # ----------------------------------------------------------- access
 
     def df(self) -> DataFrame:

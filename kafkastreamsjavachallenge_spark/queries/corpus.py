@@ -1175,13 +1175,14 @@ _KANON_SQL = (
 
 
 def q_split_leakage(spark, sf_dir):
-    """Train/test shingle-leakage audit: using the SAME 80/10/10 hash
-    split as q_train_test_split, the top-5 test documents by how much of
-    their distinct-3-shingle set also appears in some train document —
-    the contamination check run on the split itself (doc-level hash
-    splits do NOT prevent near-dup leakage; this measures it).  The join
-    is the df-bounded inverted-shingle shape: test shingles semi-join the
-    distinct train shingle set, never doc×doc."""
+    """Held-out-split shingle-leakage audit: using the SAME 80/10/10 hash
+    split as q_train_test_split, the top-5 TEST documents by how much of
+    their distinct-3-shingle set also appears on the non-test (train +
+    valid) side — the contamination check run on the split itself
+    (doc-level hash splits do NOT prevent near-dup leakage; this measures
+    it).  The join is the df-bounded inverted-shingle shape: test
+    shingles semi-join the distinct non-test shingle set, never
+    doc×doc."""
     shd = D.shingled_docs(_docs(spark, sf_dir), shingle_k=3).filter(
         F.size("sh") > 0
     )

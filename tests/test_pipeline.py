@@ -264,3 +264,38 @@ def test_release_publish_roundtrip(spark, tmp_path):
     # every declared shard directory exists on disk
     dirs = {d for d in os.listdir(out) if d.startswith("shard=")}
     assert dirs == {f"shard={s}" for s in want}
+
+
+def test_group_split_keeps_dup_groups_in_one_fold(spark):
+    """group_split hashes md5(text): exact duplicates must share a fold;
+    fold values stay inside [0, folds)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    # plant duplicates: union the corpus with a re-keyed copy of itself
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    out = CorpusPipeline(docs.unionByName(dup)).group_split(folds=5).df()
+    assert out.filter((F.col("fold") < 0) | (F.col("fold") >= 5)).count() == 0
+    spread = (
+        out.groupBy(F.md5("text"))
+        .agg(F.countDistinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .count()
+    )
+    assert spread == 0, "an exact-dup group crossed folds"
+
+
+def test_leakage_report_matches_query_twin(spark):
+    """CorpusPipeline.split().leakage_report() over the raw corpus must
+    reproduce q_split_leakage exactly (same hash split, same shingle
+    join, same ranking)."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import q_split_leakage
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = sorted(
+        (r["doc_id"], r["n_shingles"], r["n_shared"], r["shared_bp"], r["rk"])
+        for r in CorpusPipeline(docs).split().leakage_report().collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["n_shingles"], r["n_shared"], r["shared_bp"], r["rk"])
+        for r in q_split_leakage(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) == 5
