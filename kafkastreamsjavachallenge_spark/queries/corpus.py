@@ -224,6 +224,9 @@ def q_simhash_neardup(spark, sf_dir):
     banding (q_minhash_pairs): same shuffle shape (explode bands →
     equi-join → verify), cost bounded by per-band-value frequency."""
     sig = D.simhash(_docs(spark, sf_dir), bits=60, hex_chars=15)
+    # the 60-plane vote pipeline feeds three consumers (band explode +
+    # both sides of the verify join) — materialize it once
+    sig = sig.localCheckpoint(eager=False)
     bands = sig.select(
         "doc_id",
         F.explode(
