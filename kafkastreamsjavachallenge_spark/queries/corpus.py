@@ -43,11 +43,6 @@ _DOT = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
 _H28 = "('0x' || substr(md5({x}), 1, 7))::BIGINT"
 
 
-def _cos(a, b):
-    d = _DOT.format(a=a, b=b)
-    return f"({d} / ({a}__nrm * {b}__nrm))"
-
-
 # ------------------------------------------------------- vocabulary growth
 
 
