@@ -470,6 +470,115 @@ def simhash(
     )
 
 
+def write_band_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the MinHash LSH band index on disk: (id, band, bucket)
+    rows PARTITIONED BY (band, bucket-prefix) — bands × 16 directories.
+    This is the build step of INCREMENTAL dedup at 100 TB: the corpus
+    index is written once (and appended per ingest batch with
+    mode='append'); each nightly batch then probes only the directories
+    its own band buckets hash into (`band_index_matches`), reading
+    batch-proportional bytes instead of rescanning the corpus.  The
+    bucket md5 is uniform, so the 16-way prefix split is balanced by
+    construction — the same directory-pruning contract as
+    ``similarity.write_ivf_partitioned``."""
+    sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_k)
+    rows = lsh_band_buckets(sigs, id_col, bands, rows_per_band)
+    rows.withColumn("bp", F.substring("bucket", 1, 1)).write.mode(
+        mode
+    ).partitionBy("band", "bp").parquet(path)
+
+
+def band_index_matches(
+    new_docs: DataFrame,
+    spark,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH candidate matches of a NEW batch against the persisted band
+    index: distinct (new_id, indexed_id) pairs sharing any band bucket —
+    the cross-corpus candidate semantics of ``crosscorpus_dedup``, but
+    the corpus side is a DIRECTORY-PRUNED scan: the batch's distinct
+    (band, bucket-prefix) pairs (≤ bands×16 scalars — the documented
+    bounded driver-side fetch, like IVF probe ids) become literal
+    partition predicates, so only the touched index directories are read.
+    A small batch against a huge index reads O(|batch| directories), not
+    the index."""
+    sigs = minhash_signatures(new_docs, text_col, id_col, n_perm, shingle_k)
+    nb = lsh_band_buckets(sigs, id_col, bands, rows_per_band).withColumn(
+        "bp", F.substring("bucket", 1, 1)
+    )
+    nb = nb.localCheckpoint(eager=False)  # feeds the probe list AND the join
+    probes = [
+        (int(r["band"]), str(r["bp"]))
+        for r in nb.select("band", "bp").distinct().collect()
+    ]
+    if not probes:
+        return (
+            nb.select(F.col(id_col).alias("new_id"))
+            .withColumn("indexed_id", F.col("new_id"))
+            .limit(0)
+        )
+    pred = None
+    for band, bp in probes:
+        term = (F.col("band") == band) & (F.col("bp") == bp)
+        pred = term if pred is None else (pred | term)
+    scan = spark.read.parquet(path).filter(pred)
+    return (
+        nb.join(
+            scan.select(
+                F.col(id_col).alias("indexed_id"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select(F.col(id_col).alias("new_id"), "indexed_id")
+        .distinct()
+    )
+
+
+def dedup_against_band_index(
+    new_docs: DataFrame,
+    spark,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Incremental-ingest dedup: keep only the new-batch rows with NO LSH
+    band collision against the persisted index (``band_index_matches``'s
+    candidates; verify with ``ngram_jaccard`` before dropping when the
+    band config is loose).  The production loop is: dedup today's batch
+    against the index, then ``write_band_index(mode='append')`` the
+    survivors — the index grows monotonically and each day's cost tracks
+    the batch, not the corpus."""
+    matches = band_index_matches(
+        new_docs, spark, path, text_col, id_col, n_perm, bands,
+        rows_per_band, shingle_k,
+    )
+    return new_docs.join(
+        matches.select(F.col("new_id").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
