@@ -537,7 +537,10 @@ def band_index_matches(
     for band, bp in probes:
         term = (F.col("band") == band) & (F.col("bp") == bp)
         pred = term if pred is None else (pred | term)
-    scan = spark.read.parquet(path).filter(pred)
+    # the explicit schema (same fields the index writer produced) keeps
+    # the read total on an EMPTY index — a fresh deployment's first batch
+    # has nothing to collide with, not a schema-inference error
+    scan = spark.read.schema(nb.schema).parquet(path).filter(pred)
     return (
         nb.join(
             scan.select(

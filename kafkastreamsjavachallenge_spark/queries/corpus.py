@@ -1122,6 +1122,47 @@ def _dup_cluster_sizes_sql():
     )
 
 
+# ----------------------------------------------- incremental ingest dedup
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """The persisted-band-index ingest path, hash-checked end to end:
+    write the MinHash band index of the standing corpus (doc_id % 5 != 0)
+    to a real partitioned parquet layout, then dedup the 'nightly batch'
+    (doc_id % 5 == 0) against it via directory-pruned probe reads
+    (operators/dedup.write_band_index / dedup_against_band_index) — the
+    disk twin of q_crosscorpus_dedup's in-memory candidate semantics, so
+    the oracle computes the same band collisions in pure SQL while Spark
+    actually round-trips the index through the partitioned layout.
+    Pruning itself is pinned in tests/test_plans.py
+    ::test_band_index_probe_prunes_directories."""
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="band_index_") + "/idx"
+    D.write_band_index(d.filter(F.col("doc_id") % 5 != 0), path)
+    kept = D.dedup_against_band_index(
+        d.filter(F.col("doc_id") % 5 == 0), spark, path
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
+def _incremental_dedup_sql():
+    from kafkastreamsjavachallenge_spark.queries.llm import _MINHASH_SIG_CTE
+
+    return (
+        _MINHASH_SIG_CTE.format(nperm=8)
+        + ", bands AS (SELECT doc_id, b, "
+        "md5(array_to_string(sigl[b*2+1:b*2+2], '|')) AS bucket "
+        "FROM sig, (SELECT unnest(range(0, 4)) AS b)), "
+        "m AS (SELECT DISTINCT nb.doc_id FROM bands nb JOIN bands ib "
+        "ON nb.b = ib.b AND nb.bucket = ib.bucket "
+        "AND nb.doc_id % 5 = 0 AND ib.doc_id % 5 <> 0) "
+        "SELECT doc_id, lang, source FROM documents "
+        "WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM m)"
+    )
+
+
 # --------------------------------------------------- privacy / hygiene
 
 
@@ -1317,6 +1358,7 @@ QUERIES = {
     "q_bigram_entropy": (q_bigram_entropy, _BIGRAM_ENTROPY_SQL),
     "q_epoch_shuffle": (q_epoch_shuffle, _EPOCH_SHUFFLE_SQL),
     "q_dup_cluster_sizes": (q_dup_cluster_sizes, _dup_cluster_sizes_sql()),
+    "q_incremental_dedup": (q_incremental_dedup, _incremental_dedup_sql()),
     "q_k_anonymity": (q_k_anonymity, _KANON_SQL),
     "q_split_leakage": (q_split_leakage, _SPLIT_LEAK_SQL),
     "q_score_calibration": (q_score_calibration, _CALIBRATION_SQL),
