@@ -484,3 +484,40 @@ def test_js_divergence_zero_for_identical_distributions(spark, tmp_path):
     out2 = q_js_divergence(spark, str(tmp_path)).collect()
     for r in out2:
         assert 0 < r["js_4"] <= 0.6932
+
+
+def test_rbo_integer_weights_match_exact_rationals():
+    """Property: for ANY overlap profile X_1..X_10 (monotone, X_d <= d,
+    steps <= 1), the integer-weight formula (sum w_d*X_d * 10^4) // D
+    equals floor(10^4 * RBO) computed in exact rational arithmetic —
+    i.e. the pinned weight table IS truncated RBO(p=9/10), not an
+    approximation of it."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafkastreamsjavachallenge_spark.queries.corpus import _RBO_D, _RBO_W
+
+    @st.composite
+    def overlap_profiles(draw):
+        xs, x = [], 0
+        for d in range(1, 11):
+            step = draw(st.integers(min_value=0, max_value=1))
+            x = min(x + step, d)
+            xs.append(x)
+        return xs
+
+    @given(overlap_profiles())
+    @settings(max_examples=200, deadline=None)
+    def check(xs):
+        p = Fraction(9, 10)
+        exact = sum(
+            (1 - p) * p ** (d - 1) * Fraction(xs[d - 1], d)
+            for d in range(1, 11)
+        )
+        want = (exact * 10000).__floor__()
+        got = (sum(_RBO_W[d] * xs[d - 1] for d in range(1, 11)) * 10000) // _RBO_D
+        assert got == want, (xs, got, want)
+
+    check()
