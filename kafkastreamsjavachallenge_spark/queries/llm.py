@@ -2355,8 +2355,16 @@ def q_edit_distance(spark, sf_dir):
     # per-pair cost is O(len_a * len_b): cap the compared prefix at 4096
     # chars (the oracle applies the same cap) so one pathological
     # million-char near-dup pair cannot go quadratic — beyond the cap,
-    # prefix distance is the verify signal curation actually acts on
-    cap = F.substring(F.col("text"), 1, 4096)
+    # prefix distance is the verify signal curation actually acts on.
+    # Non-ASCII codepoints collapse to a single '?' FIRST ([^ -~] is the
+    # same class in Java regex and RE2, one match per codepoint even for
+    # astral chars): Spark's levenshtein counts characters but DuckDB's
+    # counts UTF-8 bytes, so a multi-byte codepoint in a candidate pair
+    # would otherwise shift the distance by bytes-per-char minus one
+    # (found by fuzz seed 206: an emoji near-dup pair, 125 vs 127)
+    cap = F.regexp_replace(
+        F.substring(F.col("text"), 1, 4096), "[^ -~]", "?"
+    )
     ta = d.select(F.col("doc_id").alias("id_a"), cap.alias("ta"))
     tb = d.select(F.col("doc_id").alias("id_b"), cap.alias("tb"))
     return (
@@ -4114,16 +4122,16 @@ QUERIES = {
         "FROM sig, (SELECT unnest(range(0, 4)) AS b)), "
         "pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a "
         "JOIN bands c ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id) "
+        ", ct AS (SELECT doc_id, "
+        "regexp_replace(substr(text, 1, 4096), '[^ -~]', '?', 'g') AS t "
+        "FROM documents) "
         "SELECT id_a, id_b, "
-        "CAST(levenshtein(substr(da.text, 1, 4096), "
-        "substr(db.text, 1, 4096)) AS BIGINT) AS dist, "
-        "((greatest(length(substr(da.text, 1, 4096)), "
-        "length(substr(db.text, 1, 4096))) "
-        "- levenshtein(substr(da.text, 1, 4096), substr(db.text, 1, 4096))) "
-        "* 10000) // greatest(length(substr(da.text, 1, 4096)), "
-        "length(substr(db.text, 1, 4096))) AS sim_bp "
-        "FROM pairs p JOIN documents da ON da.doc_id = p.id_a "
-        "JOIN documents db ON db.doc_id = p.id_b",
+        "CAST(levenshtein(da.t, db.t) AS BIGINT) AS dist, "
+        "((greatest(length(da.t), length(db.t)) "
+        "- levenshtein(da.t, db.t)) "
+        "* 10000) // greatest(length(da.t), length(db.t)) AS sim_bp "
+        "FROM pairs p JOIN ct da ON da.doc_id = p.id_a "
+        "JOIN ct db ON db.doc_id = p.id_b",
     ),
     "q_cdc_chunks": (
         q_cdc_chunks,
