@@ -492,8 +492,14 @@ def write_band_index(
     construction — the same directory-pruning contract as
     ``similarity.write_ivf_partitioned``."""
     sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_k)
-    rows = lsh_band_buckets(sigs, id_col, bands, rows_per_band)
-    rows.withColumn("bp", F.substring("bucket", 1, 1)).write.mode(
+    rows = lsh_band_buckets(sigs, id_col, bands, rows_per_band).withColumn(
+        "bp", F.substring("bucket", 1, 1)
+    )
+    # cluster rows by their target directory before the partitioned
+    # write: each task then writes whole directories (one file per dir
+    # per task that owns it) instead of every task opening every dir —
+    # fewer, larger files, which is also what the probe reads want
+    rows.repartition(F.col("band"), F.col("bp")).write.mode(
         mode
     ).partitionBy("band", "bp").parquet(path)
 
