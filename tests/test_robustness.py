@@ -93,6 +93,15 @@ _ADVERSARIAL_TEXT = [
     "zero​width and nbsp space",
     "rtl שלום مرحبا text",
     "math ∞ ∑ ∫ symbols",
+    # a NEAR-DUP unicode pair: enough shared 3-shingles to collide in
+    # MinHash banding, differing by one emoji token — forces the
+    # edit-distance / containment verify stages onto multi-byte text
+    # (the class of bug fuzz seed 206 caught: char-counting Spark
+    # levenshtein vs byte-counting DuckDB)
+    "日本語 emoji \U0001F600 shared run of tokens alpha beta gamma delta "
+    "epsilon zeta eta theta iota kappa",
+    "日本語 emoji \U0001F680 shared run of tokens alpha beta gamma delta "
+    "epsilon zeta eta theta iota kappa",
 ]
 
 
@@ -126,6 +135,11 @@ _UNICODE_CHECK = [
     "q_fingerprint", "q_token_count", "q_text_stats", "q_bpe_tokenize",
     "q_remove_dup_spans", "q_bm25", "q_dsir_weights", "q_chunk_dedup",
     "q_lang_id", "q_unigram_logprob",
+    # verify stages that now see a planted unicode near-dup PAIR (the
+    # last two adversarial texts collide in MinHash banding)
+    "q_edit_distance", "q_neardup_verified", "q_minhash_estimate",
+    "q_containment", "q_simhash_neardup", "q_ttr_hapax", "q_heaps_law",
+    "q_incremental_dedup", "q_split_leakage", "q_group_kfold",
 ]
 
 
