@@ -69,8 +69,9 @@ _MODULES = (
 # q_cluster_sample q_bootstrap_ci q_watermark_audit q_group_kfold
 # q_js_divergence q_rank_biased_overlap q_cosine_histogram
 # q_bigram_entropy q_epoch_shuffle q_dup_cluster_sizes q_k_anonymity
-# q_split_leakage q_score_calibration q_incremental_dedup; newest code
-# first in the r07 slate) and whatever else round 6 adds.
+# q_split_leakage q_score_calibration q_incremental_dedup q_ann_batch
+# q_rejection_sample; newest code first in the r07 slate) and whatever
+# else round 6 adds.
 _PRIORITY = (
     # flagship constants — every round
     "q_source_scan",

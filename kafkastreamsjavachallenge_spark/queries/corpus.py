@@ -1163,6 +1163,121 @@ def _incremental_dedup_sql():
     )
 
 
+def q_ann_batch(spark, sf_dir):
+    """BATCH LSH retrieval: top-3 neighbors for EIGHT query vectors in one
+    plan — the production retrieval shape (the other q_ann_* ids retrieve
+    for one query; a serving/mining workload joins a query BATCH against
+    the bucketed corpus).  Every query's probe set (own bucket ∪ 8
+    Hamming-1 flips, the lsh_ann_topk probe rule) explodes into one
+    broadcast (query_id, bucket) table; candidates come from ONE
+    equi-join on bucket — per-query work is the probe fan-out, never a
+    corpus scan per query.  Ranking is over integer e6 cosines, zero-norm
+    vectors excluded both sides."""
+    e = _embs(spark, sf_dir).withColumn("nrm", norm(F.col("embedding")))
+    corpus = S.lsh_buckets(e.filter(F.col("vec_id") >= 8)).filter(
+        F.col("nrm") > 0
+    )
+    qb = S.lsh_buckets(e.filter((F.col("vec_id") < 8) & (F.col("nrm") > 0)))
+    probes = qb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.explode(
+            F.concat(
+                F.array(F.col("bucket")),
+                F.array(
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                        for p in range(8)
+                    ]
+                ),
+            )
+        ).alias("bucket"),
+    )
+    scored = corpus.join(F.broadcast(probes), "bucket").withColumn(
+        "cos_e6",
+        F.floor(
+            dot(F.col("embedding"), F.col("qv"))
+            / (F.col("nrm") * F.col("qnrm"))
+            * 1000000
+        ).cast("bigint"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_e6").desc(), F.col("vec_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "vec_id",
+            "cos_e6",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+def _ann_batch_sql():
+    from kafkastreamsjavachallenge_spark.queries.llm import _LSH_BK_CTES
+
+    d = _DOT
+    return (
+        _LSH_BK_CTES
+        + "n AS (SELECT vec_id, vec, bucket, "
+        f"sqrt({d.format(a='vec', b='vec')}) AS nrm FROM bk), "
+        "q AS (SELECT vec_id AS query_id, vec AS qv, nrm AS qnrm, bucket "
+        "FROM n WHERE vec_id < 8 AND nrm > 0), "
+        "pr AS (SELECT query_id, qv, qnrm, bucket FROM q "
+        "UNION ALL SELECT query_id, qv, qnrm, "
+        "xor(bucket, 1::BIGINT << t.p) FROM q CROSS JOIN range(0, 8) t(p)), "
+        "c AS (SELECT vec_id, vec, nrm, bucket FROM n "
+        "WHERE vec_id >= 8 AND nrm > 0), "
+        "s AS (SELECT pr.query_id, c.vec_id, "
+        f"CAST(floor({d.format(a='c.vec', b='pr.qv')} / (c.nrm * pr.qnrm) "
+        "* 1000000) AS BIGINT) AS cos_e6 FROM c JOIN pr USING (bucket)), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos_e6 DESC, vec_id) AS rk FROM s) "
+        "SELECT query_id, vec_id, cos_e6, CAST(rk AS BIGINT) AS rk "
+        "FROM r WHERE rk <= 3"
+    )
+
+
+def q_rejection_sample(spark, sf_dir):
+    """Weight-proportional rejection sampling: each document is accepted
+    with probability n_chars / max(n_chars) via the portable hash
+    threshold h28(doc_id) % 10^4 < rate_bp — per-row CONTINUOUS
+    acceptance rates, completing the sampling family (q_sample_hash =
+    uniform, q_stratified_sample = per-stratum rates, q_priority_sample
+    = top-k).  Stateless scan-side filter plus a 1-row max broadcast;
+    deterministic, so re-runs accept the identical set."""
+    d = _docs(spark, sf_dir)
+    mx = d.agg(F.max("n_chars").alias("mx"))
+    scored = d.crossJoin(F.broadcast(mx)).select(
+        "source",
+        F.expr("(n_chars * 10000) div mx").alias("rate_bp"),
+        (T.base_hash28(F.col("doc_id").cast("string")) % 10000).alias("h"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("h") < F.col("rate_bp")).alias("n_accepted"),
+        )
+        .withColumn("acc_bp", F.expr("(n_accepted * 10000) div n_docs"))
+    )
+
+
+_REJECTION_SQL = (
+    "WITH mx AS (SELECT max(n_chars) AS mx FROM documents), "
+    "s AS (SELECT source, (n_chars * 10000) // mx.mx AS rate_bp, "
+    f"{_H28.format(x='CAST(doc_id AS VARCHAR)')} % 10000 AS h "
+    "FROM documents CROSS JOIN mx) "
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(count(*) FILTER (h < rate_bp) AS BIGINT) AS n_accepted, "
+    "CAST((count(*) FILTER (h < rate_bp) * 10000) // count(*) AS BIGINT) "
+    "AS acc_bp FROM s GROUP BY source"
+)
+
+
 # --------------------------------------------------- privacy / hygiene
 
 
@@ -1359,6 +1474,8 @@ QUERIES = {
     "q_epoch_shuffle": (q_epoch_shuffle, _EPOCH_SHUFFLE_SQL),
     "q_dup_cluster_sizes": (q_dup_cluster_sizes, _dup_cluster_sizes_sql()),
     "q_incremental_dedup": (q_incremental_dedup, _incremental_dedup_sql()),
+    "q_ann_batch": (q_ann_batch, _ann_batch_sql()),
+    "q_rejection_sample": (q_rejection_sample, _REJECTION_SQL),
     "q_k_anonymity": (q_k_anonymity, _KANON_SQL),
     "q_split_leakage": (q_split_leakage, _SPLIT_LEAK_SQL),
     "q_score_calibration": (q_score_calibration, _CALIBRATION_SQL),

@@ -1792,7 +1792,10 @@ _COSINE_TOPK_SQL = (
     "ORDER BY cos_sim DESC, a.vec_id LIMIT 10"
 )
 
-_ANN_LSH_CTES = (
+# (v, pl, bk): the md5-derived hyperplanes and every vector's sign-bit
+# bucket — shared by the single-query retriever below and the batch
+# retriever oracle (queries/corpus._ann_batch_sql)
+_LSH_BK_CTES = (
     "WITH v AS (SELECT vec_id, "
     "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
     "FROM embeddings), "
@@ -1805,7 +1808,10 @@ _ANN_LSH_CTES = (
     f"range(1, {_LSH_DIM + 1}), i -> v.vec[i] * pl.wv[i])) >= 0 "
     "THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS bucket "
     "FROM v CROSS JOIN pl GROUP BY v.vec_id, v.vec), "
-    "qb AS (SELECT bucket, vec FROM bk WHERE vec_id = 0), "
+)
+_ANN_LSH_CTES = (
+    _LSH_BK_CTES
+    + "qb AS (SELECT bucket, vec FROM bk WHERE vec_id = 0), "
     "probes AS (SELECT bucket FROM qb UNION "
     "SELECT xor(qb.bucket, 1::BIGINT << t.p) FROM qb "
     f"CROSS JOIN range(0, {_LSH_PLANES}) t(p)), "

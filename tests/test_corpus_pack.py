@@ -521,3 +521,51 @@ def test_rbo_integer_weights_match_exact_rationals():
         assert got == want, (xs, got, want)
 
     check()
+
+
+def test_ann_batch_finds_colinear_neighbors(spark, tmp_path):
+    """8 axis-aligned queries, each with colinear corpus members: every
+    query's own-bucket probe must surface its axis family, rank 1 per
+    query is the lowest-id member at cosine exactly 1 (2a/(1*2) = 1.0
+    -> e6 floor 1000000)."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import q_ann_batch
+
+    rows = [(a, _basis(a), 0) for a in range(8)]  # the queries
+    first_member = {}
+    nxt = 8
+    for a in range(8):
+        for m in range(3):
+            rows.append((nxt, _basis(a, scale=2.0 + m), 0))
+            first_member.setdefault(a, nxt)
+            nxt += 1
+    _write_embs(spark, tmp_path, rows)
+    out = q_ann_batch(spark, str(tmp_path)).collect()
+    top1 = {r["query_id"]: r for r in out if r["rk"] == 1}
+    assert sorted(top1) == list(range(8))
+    for a in range(8):
+        assert top1[a]["vec_id"] == first_member[a]
+        assert top1[a]["cos_e6"] == 1000000
+    assert all(1 <= r["rk"] <= 3 for r in out)
+
+
+def test_rejection_sample_rates(spark, tmp_path):
+    """Docs at max length are always accepted (rate 10000); 1-char docs
+    are accepted only when their hash lands on exactly h=0 — computed
+    explicitly so the expected count is exact."""
+    import hashlib
+
+    from kafkastreamsjavachallenge_spark.queries.corpus import (
+        q_rejection_sample,
+    )
+
+    def h(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:7], 16) % 10000
+
+    rows = [(i, "x" * 5000, "en", "full") for i in range(20)]
+    rows += [(100 + i, "y", "en", "tiny") for i in range(50)]
+    _write_docs(spark, tmp_path, rows)
+    out = {r["source"]: r for r in q_rejection_sample(spark, str(tmp_path)).collect()}
+    assert out["full"]["n_accepted"] == 20 and out["full"]["acc_bp"] == 10000
+    # tiny docs: rate_bp = (1*10000)//5000 = 2 -> accepted iff h < 2
+    want_tiny = sum(1 for i in range(50) if h(100 + i) < 2)
+    assert out["tiny"]["n_accepted"] == want_tiny

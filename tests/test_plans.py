@@ -262,6 +262,8 @@ def test_registry_plans_lint_clean(spark):
         # 1-row corpus-count broadcast
         "q_k_anonymity",
         "q_score_calibration",
+        # 1-row max(n_chars) broadcast (rejection sampling)
+        "q_rejection_sample",
         "q_bm25",
         "q_dsir_weights",
         # RRF fusion: both retriever lists carry their own bounded
