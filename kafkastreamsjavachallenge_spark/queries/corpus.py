@@ -1455,6 +1455,274 @@ _CALIBRATION_SQL = (
 )
 
 
+def q_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov distance of each source's doc-length
+    distribution against the REST of the corpus — the classical drift
+    test to q_js_divergence's token-level one; a high KS flags a source
+    whose length profile (truncation, boilerplate, concatenation bugs)
+    diverges from the pool.  Both step-CDFs jump only at observed values,
+    so evaluating |F_s - F_rest| at every distinct length is the exact
+    supremum; the statistic is the integer e6 floor of a rational with
+    denominator n_s*n_rest, computed entirely in bigints so both engines
+    agree bit-for-bit.
+
+    Scale: the grid is |sources| x |distinct lengths| — lengths are
+    domain-bounded (and would be bucketed to a fixed grid at 100 TB,
+    keeping the window tiny); the corpus-sized work is the two
+    counting aggregates.  The cross-multiplied numerator stays under
+    2^63 up to ~3e6 docs per source; beyond that, pre-normalize to a
+    fixed 1e9 grid before the compare."""
+    d = _docs(spark, sf_dir).select("source", "n_chars")
+    cs = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c_s"))
+    cv = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    ns = cs.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    nt = cv.agg(F.sum("c").alias("n_tot"))
+    grid = (
+        ns.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(cv))
+        .join(cs, ["source", "n_chars"], "left")
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "source",
+        "n_s",
+        "n_tot",
+        F.sum(F.coalesce(F.col("c_s"), F.lit(0))).over(wc).alias("cum_s"),
+        F.sum("c").over(wc).alias("cum_t"),
+    )
+    return (
+        cum.select(
+            "source",
+            "n_s",
+            F.expr(
+                "abs(cum_s * (n_tot - n_s) - (cum_t - cum_s) * n_s) * 1000000"
+                " DIV (n_s * (n_tot - n_s))"
+            ).alias("gap_e6"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_docs"),
+            F.max("gap_e6").cast("bigint").alias("ks_e6"),
+        )
+    )
+
+
+_KS_SQL = (
+    "WITH d AS (SELECT source, n_chars FROM documents), "
+    "cs AS (SELECT source, n_chars, count(*) AS c_s FROM d GROUP BY 1, 2), "
+    "cv AS (SELECT n_chars, count(*) AS c FROM d GROUP BY 1), "
+    "ns AS (SELECT source, sum(c_s) AS n_s FROM cs GROUP BY source), "
+    "nt AS (SELECT sum(c) AS n_tot FROM cv), "
+    "cum AS (SELECT ns.source, ns.n_s, nt.n_tot, "
+    "sum(coalesce(cs.c_s, 0)) OVER (PARTITION BY ns.source "
+    "ORDER BY cv.n_chars ROWS UNBOUNDED PRECEDING) AS cum_s, "
+    "sum(cv.c) OVER (PARTITION BY ns.source "
+    "ORDER BY cv.n_chars ROWS UNBOUNDED PRECEDING) AS cum_t "
+    "FROM ns CROSS JOIN nt CROSS JOIN cv "
+    "LEFT JOIN cs ON cs.source = ns.source AND cs.n_chars = cv.n_chars) "
+    "SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs, "
+    "CAST(max(abs(cum_s * (n_tot - n_s) - (cum_t - cum_s) * n_s) * 1000000 "
+    "// (n_s * (n_tot - n_s))) AS BIGINT) AS ks_e6 "
+    "FROM cum GROUP BY source"
+)
+
+
+def q_spearman(spark, sf_dir):
+    """Per-source Spearman rank correlation between doc length (chars)
+    and token count — the monotone-association audit that catches
+    tokenizer pathologies (a source whose char length decouples from its
+    token count has encoding damage, CJK segmentation issues, or
+    markup).  Ranks are pinned to min-rank tie semantics (rank(), the
+    same on both engines) so sum_d2 is an exact bigint; rho applies the
+    classical 1 - 6*sum(d^2)/(n^3-n) map as two IEEE ops over exact
+    integers + a 4-dp round (repo float convention; the min-rank tie
+    pin makes this a deterministic definition, documented rather than
+    the midrank textbook variant).
+
+    Scale: two per-source sort-ranks over narrow (source, value) pairs —
+    the same shape as q_score_calibration; no corpus-wide window."""
+    d = _docs(spark, sf_dir).select(
+        "source", "n_chars", F.size(_toks_ne()).alias("n_tok")
+    )
+    r = d.select(
+        "source",
+        F.rank()
+        .over(Window.partitionBy("source").orderBy("n_chars"))
+        .cast("bigint")
+        .alias("r1"),
+        F.rank()
+        .over(Window.partitionBy("source").orderBy("n_tok"))
+        .cast("bigint")
+        .alias("r2"),
+    )
+    agg = r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2")))
+        .cast("bigint")
+        .alias("sum_d2"),
+    )
+    return agg.filter(F.col("n") > 1).select(
+        "source",
+        "n",
+        "sum_d2",
+        F.round(
+            F.lit(1.0)
+            - (F.lit(6.0) * F.col("sum_d2").cast("double"))
+            / (F.col("n") * F.col("n") * F.col("n") - F.col("n")).cast("double"),
+            4,
+        ).alias("rho_4"),
+    )
+
+
+_SPEARMAN_SQL = (
+    "WITH d AS (SELECT source, n_chars, "
+    f"len({_TOKS_NE}) AS n_tok FROM documents), "
+    "r AS (SELECT source, "
+    "rank() OVER (PARTITION BY source ORDER BY n_chars) AS r1, "
+    "rank() OVER (PARTITION BY source ORDER BY n_tok) AS r2 FROM d), "
+    "a AS (SELECT source, count(*) AS n, "
+    "CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2 "
+    "FROM r GROUP BY source) "
+    "SELECT source, CAST(n AS BIGINT) AS n, sum_d2, "
+    "round(1.0 - (6.0 * CAST(sum_d2 AS DOUBLE)) "
+    "/ CAST(n * n * n - n AS DOUBLE), 4) AS rho_4 "
+    "FROM a WHERE n > 1"
+)
+
+
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-space decontamination: q_decontaminate removes training
+    docs sharing exact benchmark n-grams, but paraphrased leakage slips
+    through — this op scores every corpus vector against a broadcast
+    benchmark block (vec_id<20) by max cosine and flags rows at or above
+    0.35 for removal, reporting the argmax benchmark id (deterministic
+    min-id tie-break) as removal evidence.  Cosines are e6-floored
+    integers over the shared strict-left-fold dot (DESIGN.md), zero-norm
+    vectors excluded on both sides (the q_embed_norm_audit lesson).
+
+    Scale: benchmark blocks are small by nature — one broadcast, one
+    corpus scan, map-side max; the same shape as q_decontaminate's
+    broadcast gram filter.  A 100 TB corpus adds an LSH/IVF pre-filter
+    from the existing operators to skip obviously-far vectors."""
+    e = _embs(spark, sf_dir).withColumn("nrm", norm(F.col("embedding")))
+    b = e.filter((F.col("vec_id") < 20) & (F.col("nrm") > 0)).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    )
+    c = e.filter((F.col("vec_id") >= 20) & (F.col("nrm") > 0))
+    scored = c.crossJoin(F.broadcast(b)).withColumn(
+        "cos_e6",
+        F.floor(
+            dot(F.col("embedding"), F.col("bv"))
+            / (F.col("nrm") * F.col("bnrm"))
+            * 1000000
+        ).cast("bigint"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_e6").desc(), "bench_id")
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            "bench_id",
+            "cos_e6",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            "bench_id",
+            "cos_e6",
+            (F.col("cos_e6") >= 350000).alias("contaminated"),
+        )
+    )
+
+
+_SEMDECON_SQL = (
+    "WITH v AS (SELECT vec_id, label, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
+    "FROM embeddings), "
+    "n AS (SELECT vec_id, label, vec, "
+    f"sqrt({_DOT.format(a='vec', b='vec')}) AS nrm FROM v), "
+    "b AS (SELECT vec_id AS bench_id, vec AS bv, nrm AS bnrm FROM n "
+    "WHERE vec_id < 20 AND nrm > 0), "
+    "c AS (SELECT vec_id, label, vec, nrm FROM n "
+    "WHERE vec_id >= 20 AND nrm > 0), "
+    "s AS (SELECT c.vec_id, c.label, b.bench_id, "
+    f"CAST(floor({_DOT.format(a='c.vec', b='b.bv')} "
+    "/ (c.nrm * b.bnrm) * 1000000) AS BIGINT) AS cos_e6 "
+    "FROM c CROSS JOIN b), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id "
+    "ORDER BY cos_e6 DESC, bench_id) AS rn FROM s) "
+    "SELECT vec_id, label, bench_id, cos_e6, "
+    "cos_e6 >= 350000 AS contaminated FROM r WHERE rn = 1"
+)
+
+
+def q_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition of the hourly event-value series:
+    hour-of-day seasonal indices after removing a centered 24-hour
+    moving-average trend — the load-shape audit behind capacity planning
+    and anomaly baselines (q_anomaly_zscore scores points; this explains
+    the daily cycle they sit on).  Values enter as e4-floored integers,
+    the trend window keeps its SUM (not mean) so the detrended series
+    24*y - trend_sum is an exact bigint; only the final per-hour mean
+    performs float ops (two IEEE divisions over exact integers + the
+    4-dp round, repo convention).  Only full 24-row windows contribute.
+
+    Scale: the hourly rollup is the only corpus-sized stage; the trend
+    window runs over the tiny hourly series (at 100 TB, partition the
+    window by day with a 12-row overlap — the series length is bounded
+    by the calendar, not the data)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.sum(F.floor(F.col("value") * 10000).cast("bigint")).alias("y_e4")
+    )
+    w24 = Window.orderBy("h").rowsBetween(-12, 11)
+    t = hourly.select(
+        "h",
+        "y_e4",
+        F.sum("y_e4").over(w24).alias("tsum"),
+        F.count(F.lit(1)).over(w24).alias("nw"),
+    )
+    det = t.filter(F.col("nw") == 24).select(
+        F.hour("h").cast("bigint").alias("hod"),
+        (F.lit(24) * F.col("y_e4") - F.col("tsum")).alias("det24"),
+    )
+    return det.groupBy("hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.round(
+            F.sum("det24").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(240000.0),
+            4,
+        ).alias("seasonal_4"),
+    )
+
+
+_SEASONAL_SQL = (
+    "WITH hourly AS (SELECT date_trunc('hour', ts) AS h, "
+    "sum(CAST(floor(value * 10000) AS BIGINT)) AS y_e4 "
+    "FROM events GROUP BY 1), "
+    "t AS (SELECT h, y_e4, "
+    "sum(y_e4) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) "
+    "AS tsum, "
+    "count(*) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) "
+    "AS nw FROM hourly), "
+    "det AS (SELECT CAST(hour(h) AS BIGINT) AS hod, "
+    "24 * y_e4 - tsum AS det24 FROM t WHERE nw = 24) "
+    "SELECT hod, CAST(count(*) AS BIGINT) AS n_hours, "
+    "round(CAST(sum(det24) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
+    "/ 240000.0, 4) AS seasonal_4 "
+    "FROM det GROUP BY hod"
+)
+
+
 QUERIES = {
     "q_heaps_law": (q_heaps_law, _HEAPS_SQL),
     "q_ttr_hapax": (q_ttr_hapax, _TTR_SQL),
@@ -1479,4 +1747,8 @@ QUERIES = {
     "q_k_anonymity": (q_k_anonymity, _KANON_SQL),
     "q_split_leakage": (q_split_leakage, _SPLIT_LEAK_SQL),
     "q_score_calibration": (q_score_calibration, _CALIBRATION_SQL),
+    "q_ks_test": (q_ks_test, _KS_SQL),
+    "q_spearman": (q_spearman, _SPEARMAN_SQL),
+    "q_semantic_decontaminate": (q_semantic_decontaminate, _SEMDECON_SQL),
+    "q_seasonal_decompose": (q_seasonal_decompose, _SEASONAL_SQL),
 }

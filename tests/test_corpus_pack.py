@@ -569,3 +569,115 @@ def test_rejection_sample_rates(spark, tmp_path):
     # tiny docs: rate_bp = (1*10000)//5000 = 2 -> accepted iff h < 2
     want_tiny = sum(1 for i in range(50) if h(100 + i) < 2)
     assert out["tiny"]["n_accepted"] == want_tiny
+
+
+def test_ks_test_disjoint_and_overlap(spark, tmp_path):
+    """Two fully disjoint length distributions give the supremum KS of
+    1.0 (e6 = 1000000); a half-overlapping pair gives exactly 0.5."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import q_ks_test
+
+    rows = [(i, "x" * (10 + i), "en", "a") for i in range(10)]
+    rows += [(100 + i, "x" * (30 + i), "en", "b") for i in range(10)]
+    _write_docs(spark, tmp_path, rows)
+    out = {r["source"]: r for r in q_ks_test(spark, str(tmp_path)).collect()}
+    assert out["a"]["n_docs"] == 10 and out["b"]["n_docs"] == 10
+    assert out["a"]["ks_e6"] == 1000000
+    assert out["b"]["ks_e6"] == 1000000
+
+    rows = [
+        (0, "x" * 10, "en", "a"),
+        (1, "x" * 20, "en", "a"),
+        (2, "x" * 10, "en", "b"),
+        (3, "x" * 30, "en", "b"),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = {r["source"]: r for r in q_ks_test(spark, str(tmp_path)).collect()}
+    # CDFs agree at 10 (.5 vs .5); at 20 F_a=1 vs F_b=.5 -> sup = .5
+    assert out["a"]["ks_e6"] == 500000
+    assert out["b"]["ks_e6"] == 500000
+
+
+def test_spearman_perfect_and_reversed(spark, tmp_path):
+    """A source where token count rises with char length has rho = 1
+    (sum_d2 = 0); a source where they move in opposite directions has
+    rho = -1 with the exact reversal sum_d2 = n(n^2-1)/3 = 40 at n=5."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import q_spearman
+
+    mono = [(i, " ".join(["aa"] * (i + 1)), "en", "mono") for i in range(5)]
+    # lengths k*(L+1)-1 strictly decreasing while n_tok = k increases
+    anti = [
+        (10 + k, " ".join(["z" * L] * k), "en", "anti")
+        for k, L in [(1, 100), (2, 40), (3, 20), (4, 10), (5, 5)]
+    ]
+    _write_docs(spark, tmp_path, mono + anti)
+    out = {r["source"]: r for r in q_spearman(spark, str(tmp_path)).collect()}
+    assert out["mono"]["sum_d2"] == 0 and out["mono"]["rho_4"] == 1.0
+    assert out["anti"]["sum_d2"] == 40 and out["anti"]["rho_4"] == -1.0
+
+
+def test_semantic_decontaminate_flags_paraphrase_twin(spark, tmp_path):
+    """A corpus vector equal to a benchmark vector is flagged with cosine
+    exactly 1e6 against that benchmark id; a 3-4-5 mixture points at its
+    dominant benchmark with cos_e6 = 800000; an orthogonal vector scores
+    0 and survives (bench_id 0 on the all-tied-at-zero row via the
+    min-id tie-break)."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import (
+        q_semantic_decontaminate,
+    )
+
+    rows = [
+        (0, _basis(0), 0),
+        (1, _basis(1), 0),
+        (20, _basis(0), 1),
+        (21, [3.0 if i == 0 else (4.0 if i == 1 else 0.0) for i in range(64)], 1),
+        (22, _basis(5), 1),
+    ]
+    _write_embs(spark, tmp_path, rows)
+    out = {
+        r["vec_id"]: r
+        for r in q_semantic_decontaminate(spark, str(tmp_path)).collect()
+    }
+    assert sorted(out) == [20, 21, 22]
+    assert out[20]["bench_id"] == 0 and out[20]["cos_e6"] == 1000000
+    assert out[20]["contaminated"] is True
+    # dot = 4, norm = 5 exactly (9+16=25): cos = 4/5 -> e6 floor 800000
+    assert out[21]["bench_id"] == 1 and out[21]["cos_e6"] == 800000
+    assert out[21]["contaminated"] is True
+    assert out[22]["cos_e6"] == 0 and out[22]["contaminated"] is False
+    assert out[22]["bench_id"] == 0
+
+
+def test_seasonal_decompose_pure_daily_cycle(spark, tmp_path):
+    """One event per hour with value = hod - 11.5 (zero-sum over a day):
+    every full 24-row window sums to 0, so the trend vanishes and the
+    seasonal index recovers hod - 11.5 exactly at every hour-of-day."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import (
+        q_seasonal_decompose,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 0, 1, 0)
+    rows = [
+        (
+            day * 24 + hod,
+            base + datetime.timedelta(hours=day * 24 + hod),
+            7,
+            "view",
+            float(hod) - 11.5,
+            "{}",
+        )
+        for day in range(4)
+        for hod in range(24)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r["hod"]: r for r in q_seasonal_decompose(spark, str(tmp_path)).collect()
+    }
+    assert sorted(out) == list(range(24))
+    for hod in range(24):
+        assert out[hod]["seasonal_4"] == pytest.approx(hod - 11.5, abs=0)
+        assert out[hod]["n_hours"] >= 2
