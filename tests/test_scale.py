@@ -1212,3 +1212,95 @@ def test_containment_on_50k_docs(spark, tmp_path):
         assert r is not None, f"planted quote ({n+i},{i}) missing"
         assert r["containment_bp"] == 10000 and r["n_common"] == 10
     assert elapsed < 150, f"containment took {elapsed:.1f}s on {n} docs"
+
+
+def test_ks_and_spearman_on_100k_docs(spark, tmp_path):
+    """The drift-stat grid queries at 100k docs / 20 sources with exact
+    closed forms.  KS: sources 0-9 draw lengths uniformly from
+    {100..109}, sources 10-19 from {200..209}; same-group CDFs cancel, so
+    every source's sup gap against the rest sits at its group boundary:
+    |m*19m - 9m*m| / (m*19m) = 10/19 -> e6 floor 526315.  Spearman: token
+    count and char length rise together inside every source -> sum_d2 = 0,
+    rho = 1.0.  Both must stay within wall-clock bounds — the grid is
+    |sources| x |distinct lengths| (20 x 20 here), never corpus-sized."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import (
+        q_ks_test,
+        q_spearman,
+    )
+
+    n = 100_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.rpad(F.lit("x"), (
+            F.when(F.col("id") % 20 < 10, F.lit(100)).otherwise(F.lit(200))
+            + (F.col("id") / 20).cast("long") % 10
+        ).cast("int"), "x").alias("text"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias("source"),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    t0 = time.time()
+    ks = q_ks_test(spark, str(tmp_path)).collect()
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"q_ks_test took {elapsed:.1f}s on {n} docs"
+    assert len(ks) == 20
+    assert all(r["n_docs"] == n // 20 for r in ks)
+    assert all(r["ks_e6"] == 526315 for r in ks)
+
+    # spearman over monotone-by-construction docs: j+1 single-char tokens
+    docs2 = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), (F.col("id") % 500).cast("int")),
+                lambda i: F.lit("a"),
+            ),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias("source"),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    docs2.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    t0 = time.time()
+    sp = q_spearman(spark, str(tmp_path)).collect()
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"q_spearman took {elapsed:.1f}s on {n} docs"
+    assert len(sp) == 20
+    # ranks tie within each (id % 500) class identically on both axes
+    assert all(r["sum_d2"] == 0 and r["rho_4"] == 1.0 for r in sp)
+
+
+def test_semantic_decontaminate_on_200k_vectors(spark, tmp_path):
+    """Benchmark-cosine decontamination at 200k vectors against a 20-row
+    benchmark block: corpus vec i is the basis vector e_{i%8}, bench j is
+    e_j — so every corpus vec hits bench i%8 with cosine exactly 1 and is
+    flagged.  The scan is one broadcast + map-side max; must finish well
+    under the ANN smokes' bound."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import (
+        q_semantic_decontaminate,
+    )
+
+    n = 200_000
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.when(
+                i
+                == F.when(F.col("id") < 20, F.col("id").cast("int")).otherwise(
+                    (F.col("id") % 8).cast("int")
+                ),
+                F.lit(2.0),
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+        (F.col("id") % 10).cast("int").alias("label"),
+    )
+    vecs.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    t0 = time.time()
+    out = q_semantic_decontaminate(spark, str(tmp_path))
+    n_flagged = out.filter("contaminated").count()
+    elapsed = time.time() - t0
+    assert elapsed < 90, f"decontaminate took {elapsed:.1f}s on {n} vectors"
+    assert n_flagged == n - 20
+    sample = out.filter(F.col("vec_id") == 21).collect()[0]
+    assert sample["bench_id"] == 5 and sample["cos_e6"] == 1000000
