@@ -71,8 +71,8 @@ _MODULES = (
 # q_bigram_entropy q_epoch_shuffle q_dup_cluster_sizes q_k_anonymity
 # q_split_leakage q_score_calibration q_incremental_dedup q_ann_batch
 # q_rejection_sample q_ks_test q_spearman q_semantic_decontaminate
-# q_seasonal_decompose; newest code first in the r07 slate) and whatever
-# else round 6 adds.
+# q_seasonal_decompose q_auc q_silhouette; newest code first in the r07
+# slate) and whatever else round 6 adds.
 _PRIORITY = (
     # flagship constants — every round
     "q_source_scan",

@@ -1723,6 +1723,174 @@ _SEASONAL_SQL = (
 )
 
 
+def q_auc(spark, sf_dir):
+    """Exact ROC-AUC of `value` as a score for predicting purchase
+    events — the Mann–Whitney U identity (AUC = U / (n1*n0)) over
+    midranks, the standard quality-classifier eval a curation pipeline
+    runs before trusting a filter's threshold sweep
+    (q_quality_threshold_sweep picks the operating point; this scores
+    the ranker itself).  Midranks are .5-granular, so everything is
+    doubled: r2 = 2*rank + ties - 1 = rank_min + rank_max is integer,
+    U2 = sum(r2 | positive) - n1*(n1+1) = 2U, and the e6 floor divides
+    once by 2*n1*n0 — bigint-exact end to end, tie handling included.
+
+    Scale: one global sort-rank over (score) plus a per-score tie count
+    — at 100 TB, pre-bucket scores to a fixed grid (the same coarsening
+    note as q_ks_test) and ranks become prefix sums over the histogram."""
+    e = load_table(spark, sf_dir, "events").select(
+        (F.col("event_type") == "purchase").cast("int").alias("pos"),
+        "value",
+    )
+    r2 = (
+        F.lit(2) * F.rank().over(Window.orderBy("value"))
+        + F.count(F.lit(1)).over(Window.partitionBy("value"))
+        - F.lit(1)
+    ).cast("bigint")
+    ranked = e.select("pos", r2.alias("r2"))
+    return ranked.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("bigint").alias("n_neg"),
+        F.expr(
+            "CASE WHEN sum(pos) > 0 AND count(*) > sum(pos) THEN "
+            "(sum(CASE WHEN pos = 1 THEN r2 ELSE 0 END) "
+            "- sum(pos) * (sum(pos) + 1)) * 1000000 "
+            "DIV (2 * sum(pos) * (count(*) - sum(pos))) END"
+        )
+        .cast("bigint")
+        .alias("auc_e6"),
+    )
+
+
+_AUC_SQL = (
+    "WITH e AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
+    "AS pos, value FROM events), "
+    "r AS (SELECT pos, 2 * rank() OVER (ORDER BY value) "
+    "+ count(*) OVER (PARTITION BY value) - 1 AS r2 FROM e) "
+    "SELECT CAST(sum(pos) AS BIGINT) AS n_pos, "
+    "CAST(count(*) - sum(pos) AS BIGINT) AS n_neg, "
+    "CAST(CASE WHEN sum(pos) > 0 AND count(*) > sum(pos) THEN "
+    "(sum(CASE WHEN pos = 1 THEN r2 ELSE 0 END) - sum(pos) * (sum(pos) + 1)) "
+    "* 1000000 // (2 * sum(pos) * (count(*) - sum(pos))) END AS BIGINT) "
+    "AS auc_e6 FROM r"
+)
+
+
+def q_silhouette(spark, sf_dir):
+    """Simplified silhouette (centroid-based, Hruschka et al.) of the
+    label partition over the embedding space — the cluster-quality score
+    that validates a kmeans/SemDeDup clustering before trusting its
+    cluster-local dedup decisions.  Components floor to e3 integers
+    (the q_embedding_drift move) so per-label centroid SUMS are exact;
+    distance to a centroid avoids the mean's division entirely via
+    n^2*||x - S/n||^2 = ||n*x - S||^2 (bigint-exact), and only the final
+    sqrt(D)/n per candidate label is float (two IEEE ops over exact
+    integers — bit-identical cross-engine).  Per-vector s = (b-a) /
+    max(a,b) e6-floors, and the per-label mean is an integer DIV.
+    Singletons score 1e6 by construction (a = 0), pinned here rather
+    than the classical s = 0 convention.
+
+    Scale: centroids are one posexplode aggregate; scoring is a
+    broadcast of |labels| rows against the corpus — map-side only.
+    The bigint fold ||n*x - S||^2 stays under 2^63 to ~1e7 rows/label
+    at e3; beyond that, drop to e2 components (same guard as
+    q_embedding_drift's note)."""
+    q = _embs(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1000).cast("bigint"),
+        ).alias("qx"),
+    )
+    comp = (
+        q.select("label", F.posexplode("qx").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.sum("v").alias("s"))
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda t: t["s"]
+        ).alias("svec")
+    )
+    n_l = q.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
+    cent = cent.join(n_l, "label").select(
+        F.col("label").alias("c_label"), "svec", "n_c"
+    )
+    scored = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        (
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        "qx",
+                        "svec",
+                        lambda x, s: (F.col("n_c") * x - s)
+                        * (F.col("n_c") * x - s),
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+            )
+            / F.col("n_c").cast("double")
+        ).alias("dist"),
+    )
+    per_vec = scored.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("c_label") == F.col("label"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("c_label") != F.col("label"), F.col("dist"))).alias("b"),
+    )
+    sil = per_vec.select(
+        "label",
+        F.when(
+            F.greatest("a", "b") > 0,
+            F.floor((F.col("b") - F.col("a")) / F.greatest("a", "b") * 1000000),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("s_e6"),
+    )
+    # floor(sum/n) rather than integer DIV: s_e6 sums can be negative and
+    # Spark DIV truncates toward zero while DuckDB // floors — the double
+    # division is exact (|sum| << 2^53) and floor agrees on both engines
+    return sil.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.floor(F.sum("s_e6").cast("double") / F.count(F.lit(1)).cast("double"))
+        .cast("bigint")
+        .alias("mean_sil_e6"),
+    )
+
+
+_SIL_SQL = (
+    "WITH v AS (SELECT vec_id, label, "
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) "
+    "AS BIGINT)) AS qx FROM embeddings), "
+    "comp AS (SELECT label, i AS pos, qx[i] AS x "
+    "FROM v, range(1, 65) t(i)), "
+    "s AS (SELECT label, pos, sum(x) AS s FROM comp GROUP BY 1, 2), "
+    "cent AS (SELECT label AS c_label, "
+    "list(s ORDER BY pos) AS svec FROM s GROUP BY label), "
+    "nl AS (SELECT label AS c_label, count(*) AS n_c FROM v GROUP BY label), "
+    "sc AS (SELECT v.vec_id, v.label, cent.c_label, "
+    "sqrt(CAST(list_sum(list_transform(range(1, 65), "
+    "i -> (nl.n_c * v.qx[i] - cent.svec[i]) "
+    "* (nl.n_c * v.qx[i] - cent.svec[i]))) AS DOUBLE)) "
+    "/ CAST(nl.n_c AS DOUBLE) AS dist "
+    "FROM v CROSS JOIN cent JOIN nl ON nl.c_label = cent.c_label), "
+    "pv AS (SELECT vec_id, label, "
+    "min(CASE WHEN c_label = label THEN dist END) AS a, "
+    "min(CASE WHEN c_label <> label THEN dist END) AS b "
+    "FROM sc GROUP BY 1, 2), "
+    "sil AS (SELECT label, CASE WHEN greatest(a, b) > 0 THEN "
+    "CAST(floor((b - a) / greatest(a, b) * 1000000) AS BIGINT) "
+    "ELSE 0 END AS s_e6 FROM pv) "
+    "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, "
+    "CAST(floor(CAST(sum(s_e6) AS DOUBLE) / CAST(count(*) AS DOUBLE)) "
+    "AS BIGINT) AS mean_sil_e6 "
+    "FROM sil GROUP BY label"
+)
+
+
 QUERIES = {
     "q_heaps_law": (q_heaps_law, _HEAPS_SQL),
     "q_ttr_hapax": (q_ttr_hapax, _TTR_SQL),
@@ -1751,4 +1919,6 @@ QUERIES = {
     "q_spearman": (q_spearman, _SPEARMAN_SQL),
     "q_semantic_decontaminate": (q_semantic_decontaminate, _SEMDECON_SQL),
     "q_seasonal_decompose": (q_seasonal_decompose, _SEASONAL_SQL),
+    "q_auc": (q_auc, _AUC_SQL),
+    "q_silhouette": (q_silhouette, _SIL_SQL),
 }

@@ -681,3 +681,63 @@ def test_seasonal_decompose_pure_daily_cycle(spark, tmp_path):
     for hod in range(24):
         assert out[hod]["seasonal_4"] == pytest.approx(hod - 11.5, abs=0)
         assert out[hod]["n_hours"] >= 2
+
+
+def _write_events(spark, path, rows):
+    """rows: list of (event_id, ts, user_id, event_type, value)."""
+    df = spark.createDataFrame(
+        [(i, ts, u, et, v, "{}") for i, ts, u, et, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_auc_separation_ties_and_midranks(spark, tmp_path):
+    """Perfectly separated scores give AUC exactly 1; an all-tied score
+    column gives exactly 0.5 through the midrank path; a hand-computed
+    mixed case with one tie straddling the classes gives 5/8."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import q_auc
+
+    ts = datetime.datetime(2024, 5, 1)
+    sep = [(i, ts, 1, "purchase", 100.0 + i) for i in range(10)]
+    sep += [(100 + i, ts, 1, "view", float(i)) for i in range(10)]
+    _write_events(spark, tmp_path, sep)
+    r = q_auc(spark, str(tmp_path)).collect()[0]
+    assert r["n_pos"] == 10 and r["n_neg"] == 10
+    assert r["auc_e6"] == 1000000
+
+    tied = [(i, ts, 1, "purchase" if i < 4 else "click", 7.0) for i in range(10)]
+    _write_events(spark, tmp_path, tied)
+    r = q_auc(spark, str(tmp_path)).collect()[0]
+    assert r["auc_e6"] == 500000
+
+    # values 1,2,3,3,4 with the positive on one of the tied 3s:
+    # r2(3) = 2*3 + 2 - 1 = 7, U2 = 7 - 1*2 = 5, AUC = 5/8
+    mixed = [
+        (0, ts, 1, "view", 1.0),
+        (1, ts, 1, "view", 2.0),
+        (2, ts, 1, "purchase", 3.0),
+        (3, ts, 1, "view", 3.0),
+        (4, ts, 1, "view", 4.0),
+    ]
+    _write_events(spark, tmp_path, mixed)
+    r = q_auc(spark, str(tmp_path)).collect()[0]
+    assert r["n_pos"] == 1 and r["n_neg"] == 4
+    assert r["auc_e6"] == 625000
+
+
+def test_silhouette_perfect_clusters(spark, tmp_path):
+    """Two tight clusters on orthogonal axes: every vector sits exactly
+    on its own centroid (a = 0) with the rival centroid at positive
+    distance, so every silhouette — and both means — is exactly 1e6."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import q_silhouette
+
+    rows = [(i, _basis(0, 2.0), 0) for i in range(3)]
+    rows += [(10 + i, _basis(1, 2.0), 1) for i in range(3)]
+    _write_embs(spark, tmp_path, rows)
+    out = {r["label"]: r for r in q_silhouette(spark, str(tmp_path)).collect()}
+    assert sorted(out) == [0, 1]
+    for lbl in (0, 1):
+        assert out[lbl]["n_vecs"] == 3
+        assert out[lbl]["mean_sil_e6"] == 1000000
