@@ -332,6 +332,13 @@ def test_registry_plans_lint_clean(spark):
         "q_source_hhi",
         # Kneser-Ney: 1-row bigram-type-count broadcast
         "q_kn_bigram",
+        # KS grid: |sources| x |distinct lengths| CDF grid — 1-row total
+        # + bounded distinct-value block broadcasts
+        "q_ks_test",
+        # benchmark block (vec_id<20) broadcast against the corpus scan
+        "q_semantic_decontaminate",
+        # |labels|-row integer-centroid block broadcast (SemDeDup shape)
+        "q_silhouette",
     }
     # every comparison in the filter is over a COMPUTED expression
     # (token counts / ratios derived from split(text)) — unpushable by
