@@ -860,12 +860,16 @@ def q_rank_biased_overlap(spark, sf_dir):
                 * 1000000
             ).cast("bigint"),
         )
+        # orderBy().limit() compiles to TakeOrderedAndProject (per-partition
+        # heap + driver merge of 10-row heads) — a global row_number window
+        # here would sort the WHOLE scored table in one partition.  The
+        # rank window then runs over just the 10 surviving rows.
+        top = scored.select("vec_id", "cos_e6").orderBy(
+            F.col("cos_e6").desc(), F.col("vec_id")
+        ).limit(10)
         w = Window.orderBy(F.col("cos_e6").desc(), F.col("vec_id"))
-        return (
-            scored.select(
-                "vec_id", F.row_number().over(w).cast("bigint").alias("r")
-            )
-            .filter(F.col("r") <= 10)
+        return top.select(
+            "vec_id", F.row_number().over(w).cast("bigint").alias("r")
         )
     ra = top10(base)
     rb = top10(
