@@ -1895,6 +1895,113 @@ _SIL_SQL = (
 )
 
 
+# ------------------------------------------------- layout / privacy extras
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planner: pack each source's documents (in
+    ingest order = doc_id) into output files that roll once the running
+    size reaches 4096 chars — the bin-packing pass a lakehouse runs to
+    turn millions of tiny ingest files into scan-efficient ones.  A doc
+    is assigned to the file its PRECEDING bytes land in (exclusive
+    prefix sum DIV target), so files close after first overflowing the
+    target — the standard roll-when-full rule, exact in integers on
+    both engines.  Scale shape: the window partitions by source, so the
+    prefix sum parallelizes across sources/table-partitions (compaction
+    is always planned per partition at 100 TB — a global pack would both
+    single-thread the window and destroy partition locality)."""
+    d = _docs(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("pb"),
+    )
+    return (
+        pre.groupBy("source", F.expr("pb div 4096").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("bytes"),
+        )
+        .select(
+            "source",
+            "file_id",
+            "n_docs",
+            "bytes",
+            F.expr("(bytes * 10000) div 4096").alias("fill_bp"),
+        )
+    )
+
+
+_COMPACTION_SQL = (
+    "WITH pre AS (SELECT source, doc_id, n_chars, "
+    "coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb "
+    "FROM documents) "
+    "SELECT source, CAST(pb // 4096 AS BIGINT) AS file_id, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS bytes, "
+    "CAST((sum(n_chars) * 10000) // 4096 AS BIGINT) AS fill_bp "
+    "FROM pre GROUP BY 1, 2"
+)
+
+
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit, the companion gate to q_k_anonymity: a QI
+    class can be large (k-anonymous) yet still leak if every row in it
+    shares one sensitive value.  For the same (event_type, hour) QI,
+    counts classes whose DISTINCT-user_id count falls below each
+    candidate l — one exact-distinct aggregate over the QI, then the
+    same 3-row broadcast threshold join; scales like any two-key
+    groupBy on the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    cls = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("user_id").alias("ndv"),
+    )
+    tot = cls.agg(F.sum("sz").alias("n_total"))
+    ls = tot.select(
+        F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("l"),
+        "n_total",
+    ).select(F.col("l").cast("bigint").alias("l"), "n_total")
+    return (
+        ls.join(cls, F.col("ndv") < F.col("l"), "left")
+        .groupBy("l", "n_total")
+        .agg(
+            F.count("ndv").alias("n_classes"),
+            F.coalesce(F.sum("sz"), F.lit(0)).cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "l",
+            "n_classes",
+            "n_rows",
+            F.expr("(n_rows * 10000) div n_total").alias("pct_bp"),
+        )
+    )
+
+
+_LDIV_SQL = (
+    "WITH cls AS (SELECT event_type, date_trunc('hour', ts) AS hr, "
+    "count(*) AS sz, count(DISTINCT user_id) AS ndv "
+    "FROM events GROUP BY 1, 2), "
+    "tot AS (SELECT sum(sz) AS n_total FROM cls), "
+    "ls AS (SELECT l, n_total FROM (SELECT unnest([2, 5, 10]) AS l) "
+    "CROSS JOIN tot) "
+    "SELECT CAST(l AS BIGINT) AS l, CAST(count(cls.ndv) AS BIGINT) "
+    "AS n_classes, CAST(coalesce(sum(cls.sz), 0) AS BIGINT) AS n_rows, "
+    "CAST((coalesce(sum(cls.sz), 0) * 10000) // ls.n_total AS BIGINT) "
+    "AS pct_bp "
+    "FROM ls LEFT JOIN cls ON cls.ndv < ls.l GROUP BY ls.l, ls.n_total"
+)
+
+
 QUERIES = {
     "q_heaps_law": (q_heaps_law, _HEAPS_SQL),
     "q_ttr_hapax": (q_ttr_hapax, _TTR_SQL),
@@ -1925,4 +2032,6 @@ QUERIES = {
     "q_seasonal_decompose": (q_seasonal_decompose, _SEASONAL_SQL),
     "q_auc": (q_auc, _AUC_SQL),
     "q_silhouette": (q_silhouette, _SIL_SQL),
+    "q_compaction_plan": (q_compaction_plan, _COMPACTION_SQL),
+    "q_l_diversity": (q_l_diversity, _LDIV_SQL),
 }

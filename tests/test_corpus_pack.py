@@ -741,3 +741,54 @@ def test_silhouette_perfect_clusters(spark, tmp_path):
     for lbl in (0, 1):
         assert out[lbl]["n_vecs"] == 3
         assert out[lbl]["mean_sil_e6"] == 1000000
+
+
+def test_compaction_plan_rolls_per_source(spark, tmp_path):
+    """Source 'a': four 2048-char docs pack two-per-file at exactly the
+    4096 target (fill_bp = 10000); source 'b': three 3000-char docs roll
+    when full — the first file overflows to 6000 chars (roll-when-full
+    keeps the straddling doc), the second holds the remainder.  Sources
+    pack independently (the window partitions by source)."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import (
+        q_compaction_plan,
+    )
+
+    rows = [(i, "x" * 2048, "en", "a") for i in range(4)]
+    rows += [(10 + i, "y" * 3000, "en", "b") for i in range(3)]
+    _write_docs(spark, tmp_path, rows)
+    out = {
+        (r["source"], r["file_id"]): r
+        for r in q_compaction_plan(spark, str(tmp_path)).collect()
+    }
+    assert sorted(out) == [("a", 0), ("a", 1), ("b", 0), ("b", 1)]
+    for fid in (0, 1):
+        r = out[("a", fid)]
+        assert r["n_docs"] == 2 and r["bytes"] == 4096
+        assert r["fill_bp"] == 10000
+    r0, r1 = out[("b", 0)], out[("b", 1)]
+    assert r0["n_docs"] == 2 and r0["bytes"] == 6000
+    assert r0["fill_bp"] == 6000 * 10000 // 4096
+    assert r1["n_docs"] == 1 and r1["bytes"] == 3000
+    assert r1["fill_bp"] == 3000 * 10000 // 4096
+
+
+def test_l_diversity_thresholds(spark, tmp_path):
+    """Three QI classes with user-diversity 1, 5 and 2 over 12 rows:
+    l=2 catches only the single-user class, l=5 adds the 2-user class,
+    l=10 catches all three — counts and basis-point shares are exact."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import q_l_diversity
+
+    t = datetime.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [(i, t, 7, "view", 1.0) for i in range(5)]
+    rows += [(10 + i, t, 100 + i, "click", 1.0) for i in range(5)]
+    t2 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows += [(20 + i, t2, 200 + i, "view", 1.0) for i in range(2)]
+    _write_events(spark, tmp_path, rows)
+    out = {r["l"]: r for r in q_l_diversity(spark, str(tmp_path)).collect()}
+    assert sorted(out) == [2, 5, 10]
+    assert out[2]["n_classes"] == 1 and out[2]["n_rows"] == 5
+    assert out[2]["pct_bp"] == 5 * 10000 // 12
+    assert out[5]["n_classes"] == 2 and out[5]["n_rows"] == 7
+    assert out[5]["pct_bp"] == 7 * 10000 // 12
+    assert out[10]["n_classes"] == 3 and out[10]["n_rows"] == 12
+    assert out[10]["pct_bp"] == 10000
