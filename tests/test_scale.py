@@ -1304,3 +1304,39 @@ def test_semantic_decontaminate_on_200k_vectors(spark, tmp_path):
     assert n_flagged == n - 20
     sample = out.filter(F.col("vec_id") == 21).collect()[0]
     assert sample["bench_id"] == 5 and sample["cos_e6"] == 1000000
+
+
+def test_compaction_plan_on_1m_docs_500_sources(spark, tmp_path):
+    """Compaction planner at 1M docs across 500 sources: every doc is
+    exactly 1024 chars so each 4096-target file holds exactly 4 docs —
+    2000 docs/source -> 500 full files/source, 250k rows total, every
+    fill_bp exactly 10000.  The prefix-sum window partitions by source,
+    so the plan stays parallel (one shuffle on source, no global sort)."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import (
+        q_compaction_plan,
+    )
+
+    n = 1_000_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("x" * 1024).alias("text"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("src"), F.col("id") % 500).alias("source"),
+        F.lit(1024).cast("long").alias("n_chars"),
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    t0 = time.time()
+    out = q_compaction_plan(spark, str(tmp_path)).localCheckpoint()
+    elapsed = time.time() - t0
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.min("n_docs").alias("lo"),
+        F.max("n_docs").alias("hi"),
+        F.min("fill_bp").alias("flo"),
+        F.max("fill_bp").alias("fhi"),
+    ).collect()[0]
+    assert agg["n_files"] == 250_000
+    assert agg["lo"] == 4 and agg["hi"] == 4
+    assert agg["flo"] == 10000 and agg["fhi"] == 10000
+    assert elapsed < 90, f"compaction plan took {elapsed:.1f}s on {n} docs"
