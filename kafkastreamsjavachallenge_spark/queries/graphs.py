@@ -316,6 +316,92 @@ _SKEW_SQL = (
 )
 
 
+def q_prune_simulator(spark, sf_dir):
+    """Zone-map pruning simulator — quantifies WHY clustered layout
+    matters at 100 TB: pack events into 100 simulated files two ways
+    (ingest order = ntile over event_id; clustered = ntile over
+    user_id), build each file's min/max user_id zone map, and count how
+    many files a middle-decade range predicate on user_id can skip.
+    Ingest-order files have full-domain envelopes (nothing prunes);
+    clustered files prune ~90% — the exact effect parquet row-group /
+    Delta file stats give a sorted table.  Predicate bounds derive from
+    the key domain (umin + 45%/55% of the span, integer DIV), never from
+    baked-in values.  The ntiles rank a NARROW (event_id, user_id)
+    projection — at 100 TB file boundaries are physical metadata and
+    this simulator would rank a per-partition sample, but the plan shape
+    (rank → zone aggregate → broadcast-scalar overlap test) is the
+    same."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    b = ev.agg(
+        F.min("user_id").alias("umin"), F.max("user_id").alias("umax")
+    ).select(
+        F.expr("umin + ((umax - umin) * 45) div 100").alias("lo"),
+        F.expr("umin + ((umax - umin) * 55) div 100").alias("hi"),
+    )
+    wi = Window.orderBy("event_id")
+    wk = Window.orderBy("user_id", "event_id")
+    files = ev.select(
+        "user_id",
+        F.ntile(100).over(wi).alias("f_ingest"),
+        F.ntile(100).over(wk).alias("f_clustered"),
+    )
+    zf = files.select(
+        F.lit("ingest").alias("layout"),
+        F.col("f_ingest").alias("f"),
+        "user_id",
+    ).unionByName(
+        files.select(
+            F.lit("clustered").alias("layout"),
+            F.col("f_clustered").alias("f"),
+            "user_id",
+        )
+    )
+    zones = zf.groupBy("layout", "f").agg(
+        F.min("user_id").alias("zmin"), F.max("user_id").alias("zmax")
+    )
+    hit = F.when(
+        (F.col("zmax") >= F.col("lo")) & (F.col("zmin") <= F.col("hi")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        zones.crossJoin(F.broadcast(b))
+        .groupBy("layout", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(hit).cast("bigint").alias("n_scanned"),
+        )
+        .select(
+            "layout",
+            "n_files",
+            "n_scanned",
+            F.expr("((n_files - n_scanned) * 10000) div n_files").alias(
+                "prune_bp"
+            ),
+        )
+    )
+
+
+_PRUNE_SIM_SQL = (
+    "WITH ev AS (SELECT event_id, user_id FROM events), "
+    "b AS (SELECT umin + ((umax - umin) * 45) // 100 AS lo, "
+    "umin + ((umax - umin) * 55) // 100 AS hi FROM "
+    "(SELECT min(user_id) AS umin, max(user_id) AS umax FROM ev)), "
+    "f AS (SELECT user_id, "
+    "ntile(100) OVER (ORDER BY event_id) AS f_ingest, "
+    "ntile(100) OVER (ORDER BY user_id, event_id) AS f_clustered FROM ev), "
+    "zf AS (SELECT 'ingest' AS layout, f_ingest AS f, user_id FROM f "
+    "UNION ALL SELECT 'clustered', f_clustered, user_id FROM f), "
+    "z AS (SELECT layout, f, min(user_id) AS zmin, max(user_id) AS zmax "
+    "FROM zf GROUP BY 1, 2) "
+    "SELECT layout, CAST(count(*) AS BIGINT) AS n_files, "
+    "CAST(sum(CASE WHEN zmax >= lo AND zmin <= hi THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_scanned, "
+    "CAST(((count(*) - sum(CASE WHEN zmax >= lo AND zmin <= hi "
+    "THEN 1 ELSE 0 END)) * 10000) // count(*) AS BIGINT) AS prune_bp "
+    "FROM z CROSS JOIN b GROUP BY layout, lo, hi"
+)
+
+
 
 def q_hits(spark, sf_dir):
     """HITS hubs on the bipartite user -> event-type graph, one unrolled
@@ -440,4 +526,5 @@ QUERIES = {
     ),
     "q_zorder_layout": (q_zorder_layout, _ZORDER_SQL),
     "q_skew_advisor": (q_skew_advisor, _SKEW_SQL),
+    "q_prune_simulator": (q_prune_simulator, _PRUNE_SIM_SQL),
 }

@@ -463,3 +463,37 @@ def test_mmr_diversifies_planted_redundant_topk(spark):
     mmr_pair = cos_e6(10, 20)
     copy_pair = cos_e6(10, 11)
     assert mmr_pair < 990_000 <= copy_pair
+
+
+def test_prune_simulator_planted_permutation(spark, tmp_path):
+    """10k events whose user_id is a fixed permutation of event_id
+    (multiplier 7919, coprime to 10k): ingest-order files see a
+    near-full-domain envelope in every file (the three-distance theorem
+    bounds the largest gap of a 100-term AP mod 10000 well under the
+    1001-wide predicate window), so NOTHING prunes; clustered files each
+    cover exactly 100 consecutive user ids, so exactly the 11 files
+    straddling [4499, 5499] scan — prune_bp exactly 8900."""
+    import datetime
+
+    from kafkastreamsjavachallenge_spark.queries.graphs import (
+        q_prune_simulator,
+    )
+
+    t = datetime.datetime(2024, 1, 1)
+    df = spark.range(10_000).select(
+        F.col("id").alias("event_id"),
+        F.lit(t).cast("timestamp").alias("ts"),
+        ((F.col("id") * 7919) % 10_000).alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r["layout"]: r for r in q_prune_simulator(spark, str(tmp_path)).collect()}
+    assert sorted(out) == ["clustered", "ingest"]
+    assert out["ingest"]["n_files"] == 100
+    assert out["ingest"]["n_scanned"] == 100
+    assert out["ingest"]["prune_bp"] == 0
+    assert out["clustered"]["n_files"] == 100
+    assert out["clustered"]["n_scanned"] == 11
+    assert out["clustered"]["prune_bp"] == 8900

@@ -296,6 +296,9 @@ def test_registry_plans_lint_clean(spark):
         "q_priority_sample",
         # skew advisor: 1-row total-count broadcast into the top-10 keys
         "q_skew_advisor",
+        # prune simulator: 1-row predicate-bounds broadcast onto the
+        # 200-row zone-map table
+        "q_prune_simulator",
         # MaxSim: the multi-vector query block broadcasts (|Q| vectors)
         "q_maxsim",
         # recall audit: inherits the retrievers' bounded query broadcasts
