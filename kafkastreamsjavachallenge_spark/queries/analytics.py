@@ -355,16 +355,40 @@ def q_hof_filter(spark, sf_dir):
 
 def q_embed_centroid(spark, sf_dir):
     """Per-label centroid of embedding vectors, expressed positionally
-    (label, dim, mean) — posexplode + hash agg scales linearly in
-    rows × dims and shuffles only (labels × dims) groups."""
+    (label, dim, sum/count/mean) — posexplode + hash agg scales linearly
+    in rows × dims and shuffles only (labels × dims) groups.
+
+    Each element is floored to e6 fixed-point BEFORE the sum, so the
+    aggregate is an exact bigint on both engines regardless of partial-
+    aggregation order, and the mean is one shared double division over
+    identical integer operands.  (The earlier round(avg(val), 4) form
+    passed at sf0.01 by summation-order luck and diverged on a third of
+    the dims at sf0.001 — caught by the cross-SF sim sweep, round 6.)"""
     e = _t(spark, sf_dir, "embeddings")
     return (
         e.select(
-            "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "val")
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "i", "val"
+            ),
         )
         .withColumn("i", F.col("i") + 1)
         .groupBy("label", "i")
-        .agg(F.round(F.avg("val"), 4).alias("dim_mean"))
+        .agg(
+            F.sum(
+                F.floor(F.col("val") * 1000000).cast("bigint")
+            ).alias("dim_sum_e6"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .select(
+            "label",
+            "i",
+            "dim_sum_e6",
+            "n_vecs",
+            F.floor(F.col("dim_sum_e6") / F.col("n_vecs"))
+            .cast("bigint")
+            .alias("dim_mean_e6"),
+        )
     )
 
 
@@ -856,10 +880,15 @@ QUERIES = {
     ),
     "q_embed_centroid": (
         q_embed_centroid,
-        "SELECT label, i, round(avg(val), 4) AS dim_mean FROM ("
-        "SELECT label, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS i, "
+        "SELECT label, i, dim_sum_e6, n_vecs, "
+        "CAST(floor(CAST(dim_sum_e6 AS DOUBLE) / CAST(n_vecs AS DOUBLE)) "
+        "AS BIGINT) AS dim_mean_e6 FROM ("
+        "SELECT label, i, CAST(sum(CAST(floor(val * 1000000) AS BIGINT)) "
+        "AS BIGINT) AS dim_sum_e6, CAST(count(*) AS BIGINT) AS n_vecs "
+        "FROM (SELECT label, "
+        "CAST(generate_subscripts(embedding, 1) AS INTEGER) AS i, "
         "CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings) "
-        "GROUP BY label, i",
+        "GROUP BY label, i)",
     ),
     "q_salted_agg": (
         q_salted_agg,
