@@ -36,11 +36,14 @@ def normalize_per_group(
         std = pdf[value_col].std(ddof=ddof)
         mean = pdf[value_col].mean()
         z = (pdf[value_col] - mean) / std if std and std == std else None
+        # + 0.0 normalizes IEEE -0.0: numpy round preserves the sign of
+        # zero (unlike Spark's BigDecimal round and unlike the +0-guarded
+        # oracles), and the driver compares strings ('-0.0' != '0.0')
         return pd.DataFrame(
             {
                 id_col: pdf[id_col],
                 group_col: pdf[group_col],
-                "z": None if z is None else z.round(4),
+                "z": None if z is None else z.round(4) + 0.0,
             }
         )
 

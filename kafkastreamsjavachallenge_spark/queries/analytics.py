@@ -726,8 +726,8 @@ QUERIES = {
         q_stats_agg,
         "SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty, "
         "round(var_samp(l_quantity), 4) AS var_qty, "
-        "round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price, "
-        "round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price "
+        "round(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_qty_price, "
+        "round(covar_samp(l_quantity, l_extendedprice), 2) + 0 AS covar_qty_price "
         "FROM lineitem GROUP BY l_returnflag",
     ),
     "q_median": (
@@ -743,7 +743,7 @@ QUERIES = {
         "AS DOUBLE) AS rev FROM lineitem GROUP BY 1), "
         "series AS (SELECT rev, lag(rev) OVER (ORDER BY day) AS prev_rev "
         "FROM daily) "
-        "SELECT round(corr(rev, prev_rev), 4) AS lag1_autocorr, "
+        "SELECT round(corr(rev, prev_rev), 4) + 0 AS lag1_autocorr, "
         "count(prev_rev) AS n_days FROM series",
     ),
     "q_null_fns": (
@@ -789,8 +789,8 @@ QUERIES = {
     "q_regr": (
         q_regr,
         "SELECT l_returnflag, round(regr_slope(l_extendedprice, l_quantity), 4) "
-        "AS slope, round(regr_intercept(l_extendedprice, l_quantity), 4) "
-        "AS intercept, round(regr_r2(l_extendedprice, l_quantity), 6) AS r2, "
+        "+ 0 AS slope, round(regr_intercept(l_extendedprice, l_quantity), 4) "
+        "+ 0 AS intercept, round(regr_r2(l_extendedprice, l_quantity), 6) AS r2, "
         "regr_count(l_extendedprice, l_quantity) AS n "
         "FROM lineitem GROUP BY l_returnflag",
     ),
@@ -972,7 +972,7 @@ QUERIES = {
         "(SELECT CAST(sum(c_ab) AS BIGINT) FROM bg) AS n_bi) "
         "SELECT a || ' ' || b AS bigram, c_ab, "
         "round(ln(CAST(c_ab * n_uni * n_uni AS DOUBLE) / "
-        "CAST(n_bi * ua.c * ub.c AS DOUBLE)), 6) AS pmi "
+        "CAST(n_bi * ua.c * ub.c AS DOUBLE)), 6) + 0 AS pmi "
         "FROM bg JOIN uni ua ON ua.tok = bg.a "
         "JOIN uni ub ON ub.tok = bg.b CROSS JOIN tot "
         "WHERE c_ab >= 5 ORDER BY pmi DESC, bigram LIMIT 20",

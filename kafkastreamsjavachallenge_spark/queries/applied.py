@@ -430,7 +430,7 @@ QUERIES = {
         "(CAST(s AS DOUBLE) / k) <= 0 THEN NULL "
         "ELSE round((n - CAST(s AS DOUBLE) / k) / "
         "sqrt(CAST(ss AS DOUBLE) / k - (CAST(s AS DOUBLE) / k) * "
-        "(CAST(s AS DOUBLE) / k)), 4) END AS z, "
+        "(CAST(s AS DOUBLE) / k)), 4) + 0 END AS z, "
         "CASE WHEN abs(coalesce(CASE WHEN CAST(ss AS DOUBLE) / k - "
         "(CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k) <= 0 THEN NULL "
         "ELSE round((n - CAST(s AS DOUBLE) / k) / "

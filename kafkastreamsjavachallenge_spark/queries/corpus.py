@@ -201,8 +201,8 @@ _ZIPF_SQL = (
     "ORDER BY c DESC, tok LIMIT 100), "
     "r AS (SELECT row_number() OVER (ORDER BY c DESC, tok) AS rn, c FROM f) "
     "SELECT CAST(count(*) AS BIGINT) AS n_top, "
-    "round(regr_slope(ln(c), ln(rn)), 4) AS slope, "
-    "round(regr_intercept(ln(c), ln(rn)), 4) AS intercept FROM r"
+    "round(regr_slope(ln(c), ln(rn)), 4) + 0 AS slope, "
+    "round(regr_intercept(ln(c), ln(rn)), 4) + 0 AS intercept FROM r"
 )
 
 
@@ -1592,8 +1592,12 @@ _SPEARMAN_SQL = (
     "CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2 "
     "FROM r GROUP BY source) "
     "SELECT source, CAST(n AS BIGINT) AS n, sum_d2, "
+    # + 0 normalizes IEEE -0.0: DuckDB round() preserves the sign of
+    # zero, Spark's BigDecimal round never emits it, and the driver
+    # compares STRINGS ('-0.0' != '0.0' — the q_embed_centroid sf0.001
+    # lesson).  Applies to every rounded sign-indefinite oracle column.
     "round(1.0 - (6.0 * CAST(sum_d2 AS DOUBLE)) "
-    "/ CAST(n * n * n - n AS DOUBLE), 4) AS rho_4 "
+    "/ CAST(n * n * n - n AS DOUBLE), 4) + 0 AS rho_4 "
     "FROM a WHERE n > 1"
 )
 
@@ -1722,7 +1726,7 @@ _SEASONAL_SQL = (
     "24 * y_e4 - tsum AS det24 FROM t WHERE nw = 24) "
     "SELECT hod, CAST(count(*) AS BIGINT) AS n_hours, "
     "round(CAST(sum(det24) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
-    "/ 240000.0, 4) AS seasonal_4 "
+    "/ 240000.0, 4) + 0 AS seasonal_4 "
     "FROM det GROUP BY hod"
 )
 

@@ -348,8 +348,11 @@ QUERIES = {
     ),
     "q_group_normalize": (
         q_group_normalize,
+        # + 0 normalizes IEEE -0.0 (DuckDB round preserves signed zero,
+        # Spark round never emits it; the driver compares strings)
         "SELECT event_id, event_type, "
-        "round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z "
+        "round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) "
+        "+ 0 AS z "
         "FROM events WINDOW w AS (PARTITION BY event_type)",
     ),
     "q_percentile": (

@@ -1667,7 +1667,7 @@ def _pca_sql(iters: int = 3) -> str:
     )
     sql += (
         f", m AS (SELECT mu, v{iters} AS pc FROM {prev}) "
-        f"SELECT e.vec_id, round({sdot(centered, 'm.pc')}, 4) AS pc1 "
+        f"SELECT e.vec_id, round({sdot(centered, 'm.pc')}, 4) + 0 AS pc1 "
         "FROM embeddings e, m"
     )
     return sql
@@ -3942,7 +3942,7 @@ QUERIES = {
         "FROM range(0, 16) j(j) CROSS JOIN range(0, 64) i(i) GROUP BY j.j) "
         "SELECT v.vec_id, pl.j AS j, round(list_reduce(list_prepend("
         "CAST(0.0 AS DOUBLE), list_transform(range(1, 65), "
-        "i -> v.vec[i] * pl.wv[i])), (acc, x) -> acc + x), 4) AS val "
+        "i -> v.vec[i] * pl.wv[i])), (acc, x) -> acc + x), 4) + 0 AS val "
         "FROM v CROSS JOIN pl",
     ),
 
@@ -3989,7 +3989,7 @@ QUERIES = {
         # list_prepend(0.0, ...) + list_reduce = the same sequential
         # 0.0-seeded left fold as Spark's F.aggregate over array_sort
         "SELECT doc_id, round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        "list(contrib ORDER BY b)), (acc, x) -> acc + x), 4) AS log_weight "
+        "list(contrib ORDER BY b)), (acc, x) -> acc + x), 4) + 0 AS log_weight "
         "FROM per GROUP BY doc_id",
     ),
     "q_pack_sequences": (

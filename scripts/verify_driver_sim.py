@@ -131,6 +131,19 @@ for i, (name, fn) in enumerate(qs.items()):
             w = normalize(wp)
             assert list(g.columns) == list(w.columns), f"schema {list(g.columns)} vs {list(w.columns)}"
             assert len(g) == len(w), f"rows {len(g)} vs {len(w)}"
+            # visibility (not a failure): IEEE -0.0 in either engine's
+            # stringified output.  Spark's BigDecimal round never emits
+            # it, DuckDB round and numpy round preserve it — a rounded
+            # sign-indefinite column showing -0.0 here is one seed away
+            # from a driver hash mismatch (add '+ 0' to the oracle and,
+            # for pandas-backed operators, '+ 0.0' to the Python side).
+            nz = [
+                c
+                for c in g.columns
+                if (g[c] == "-0.0").any() or (w[c] == "-0.0").any()
+            ]
+            if nz:
+                print(f"MARKER NEGZERO {name}: columns {nz}", flush=True)
             pd.testing.assert_frame_equal(g, w, check_exact=True)
             status = f"pass rows={len(g)}"
     except Exception as e:
