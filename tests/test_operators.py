@@ -427,6 +427,28 @@ def test_group_normalize_singleton_group_is_null(spark):
     assert got[1] == -0.7071 and got[2] == 0.7071
 
 
+def test_group_normalize_never_emits_negative_zero(spark):
+    """A z-score in (-5e-5, 0) rounds to -0.0 under raw numpy round; the
+    operator must normalize it to +0.0 — Spark's JVM round never emits
+    -0.0, the DuckDB oracles carry '+ 0', and the driver compares
+    STRINGS, so one signed zero is one red row (the r6 q_embed_centroid
+    sf0.001 lesson)."""
+    import math
+
+    from kafkastreamsjavachallenge_spark.operators.grouped import normalize_per_group
+
+    # mean ~ 1e-7, std ~ 100 -> z(event 1) ~ -1e-5 -> numpy round = -0.0
+    df = spark.createDataFrame(
+        [(1, "a", -0.001), (2, "a", 100.0), (3, "a", -99.999)],
+        "event_id long, event_type string, value double",
+    )
+    got = {r["event_id"]: r["z"] for r in normalize_per_group(
+        df, "event_type", "value", "event_id").collect()}
+    assert got[1] == 0.0
+    assert math.copysign(1.0, got[1]) == 1.0, "signed zero leaked"
+    assert str(got[1]) != "-0.0"
+
+
 def test_observe_metrics_piggyback_on_job(spark):
     """X2 peek analog: observe() metrics come back with the action — no
     second pass over the data."""
