@@ -83,6 +83,11 @@ HEADLINE = [
     "q_heaps_law",
     "q_containment",
     "q_rank_biased_overlap",
+    # round-6: layout planning — compaction prefix-sum must stay one
+    # exchange (window + groupBy share HashPartitioning(source)), and
+    # the prune simulator pins the zone-map audit shape
+    "q_compaction_plan",
+    "q_prune_simulator",
 ]
 
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl")

@@ -248,10 +248,19 @@ def test_grid_near_join_on_half_million_points(spark):
 
     base = points("left_id", 0.0)
     twins = points("right_id", 0.001)
-    t0 = time.time()
-    pairs = grid_near_join(base, twins, radius_km=10.0, cell_deg=0.25)
-    cnt = pairs.count()
-    elapsed = time.time() - t0
+    # force the shuffle join: locally AQE may legitimately broadcast the
+    # 266k-row build side, but building that broadcast under parallel-CI
+    # memory pressure OOMs flakily, and the 100 TB shape this test pins
+    # is the cell-keyed SortMergeJoin anyway (no broadcast fits there)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.time()
+        pairs = grid_near_join(base, twins, radius_km=10.0, cell_deg=0.25)
+        cnt = pairs.count()
+        elapsed = time.time() - t0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert elapsed < 120, f"grid join took {elapsed:.1f}s on {2 * n} points"
     assert cnt == sites * per_site * per_site
 
