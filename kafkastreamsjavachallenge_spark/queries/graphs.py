@@ -316,6 +316,61 @@ _SKEW_SQL = (
 )
 
 
+def q_broadcast_advisor(spark, sf_dir):
+    """Broadcast-feasibility report for the dimension tables — the other
+    half of physical join planning next to q_skew_advisor: per table, an
+    in-query row-exact size estimate (8 bytes per numeric column +
+    varchar byte lengths, the same arithmetic on both engines) and
+    whether it fits Spark's default 10 MiB autoBroadcastJoinThreshold.
+    At 100 TB this report is what decides which joins get the shuffle-
+    free broadcast plan and which must shuffle — the estimate is one
+    map-side-combinable aggregate per dimension table (fact tables are
+    never candidates and never scanned here)."""
+    specs = {
+        "region": F.lit(8) + F.length("r_name"),
+        "nation": F.lit(16) + F.length("n_name"),
+        "supplier": F.lit(24) + F.length("s_name"),
+        "customer": F.lit(24) + F.length("c_name") + F.length("c_mktsegment"),
+    }
+    parts = []
+    for tbl, width in specs.items():
+        parts.append(
+            _t(spark, sf_dir, tbl).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(width.cast("bigint")).alias("est_bytes"),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                "n_rows",
+                "est_bytes",
+                (F.col("est_bytes") < F.lit(10 * 1024 * 1024))
+                .cast("int")
+                .alias("broadcastable"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_BROADCAST_ADVISOR_SQL = (
+    "SELECT 'region' AS tbl, CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(sum(8 + length(r_name)) AS BIGINT) AS est_bytes, "
+    "CAST(sum(8 + length(r_name)) < 10485760 AS INTEGER) AS broadcastable "
+    "FROM region "
+    "UNION ALL SELECT 'nation', CAST(count(*) AS BIGINT), "
+    "CAST(sum(16 + length(n_name)) AS BIGINT), "
+    "CAST(sum(16 + length(n_name)) < 10485760 AS INTEGER) FROM nation "
+    "UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT), "
+    "CAST(sum(24 + length(s_name)) AS BIGINT), "
+    "CAST(sum(24 + length(s_name)) < 10485760 AS INTEGER) FROM supplier "
+    "UNION ALL SELECT 'customer', CAST(count(*) AS BIGINT), "
+    "CAST(sum(24 + length(c_name) + length(c_mktsegment)) AS BIGINT), "
+    "CAST(sum(24 + length(c_name) + length(c_mktsegment)) < 10485760 "
+    "AS INTEGER) FROM customer"
+)
+
+
 def q_prune_simulator(spark, sf_dir):
     """Zone-map pruning simulator — quantifies WHY clustered layout
     matters at 100 TB: pack events into 100 simulated files two ways
@@ -527,4 +582,5 @@ QUERIES = {
     "q_zorder_layout": (q_zorder_layout, _ZORDER_SQL),
     "q_skew_advisor": (q_skew_advisor, _SKEW_SQL),
     "q_prune_simulator": (q_prune_simulator, _PRUNE_SIM_SQL),
+    "q_broadcast_advisor": (q_broadcast_advisor, _BROADCAST_ADVISOR_SQL),
 }

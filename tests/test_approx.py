@@ -497,3 +497,42 @@ def test_prune_simulator_planted_permutation(spark, tmp_path):
     assert out["clustered"]["n_files"] == 100
     assert out["clustered"]["n_scanned"] == 11
     assert out["clustered"]["prune_bp"] == 8900
+
+
+def test_broadcast_advisor_exact_sizes(spark, tmp_path):
+    """Planted dimension tables with known byte arithmetic: region rows
+    are 8 + len(name) bytes each, and a customer table inflated past the
+    10 MiB threshold flips broadcastable to 0 while the small tables
+    stay 1."""
+    from kafkastreamsjavachallenge_spark.queries.graphs import (
+        q_broadcast_advisor,
+    )
+
+    spark.createDataFrame(
+        [(1, "abc"), (2, "de")], "r_regionkey int, r_name string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/region.parquet")
+    spark.createDataFrame(
+        [(1, "nn", 1)], "n_nationkey int, n_name string, n_regionkey int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/nation.parquet")
+    spark.createDataFrame(
+        [(1, "s1", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/supplier.parquet")
+    big = "x" * 1000
+    spark.range(11_000).select(
+        F.col("id").alias("c_custkey"),
+        F.lit(big).alias("c_name"),
+        F.lit(1).alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("SEG").alias("c_mktsegment"),
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+
+    out = {r["tbl"]: r for r in q_broadcast_advisor(spark, str(tmp_path)).collect()}
+    assert out["region"]["n_rows"] == 2
+    assert out["region"]["est_bytes"] == (8 + 3) + (8 + 2)
+    assert out["region"]["broadcastable"] == 1
+    assert out["nation"]["est_bytes"] == 16 + 2
+    assert out["supplier"]["est_bytes"] == 24 + 2
+    # 11k rows x (24 + 1000 + 3) bytes = ~11.3 MB > 10 MiB -> must shuffle
+    assert out["customer"]["est_bytes"] == 11_000 * (24 + 1000 + 3)
+    assert out["customer"]["broadcastable"] == 0
