@@ -72,7 +72,8 @@ _MODULES = (
 # q_split_leakage q_score_calibration q_incremental_dedup q_ann_batch
 # q_rejection_sample q_ks_test q_spearman q_semantic_decontaminate
 # q_seasonal_decompose q_auc q_silhouette q_compaction_plan
-# q_l_diversity q_prune_simulator q_broadcast_advisor; newest code first in the r07
+# q_l_diversity q_prune_simulator q_broadcast_advisor
+# q_concurrency_sweep; newest code first in the r07
 # slate) and whatever else round 6 adds.
 _PRIORITY = (
     # flagship constants — every round

@@ -458,7 +458,58 @@ def q_mad(spark, sf_dir):
         )
     )
 
+def q_concurrency_sweep(spark, sf_dir):
+    """Sweep-line concurrency: peak number of simultaneously-active user
+    spans per day — the "max concurrent sessions" metric every capacity
+    plan starts from.  Each (user, day) activity span [first event,
+    last event] becomes a +1 boundary at its start and a -1 at its end;
+    a running sum over the day's boundary stream IS the live-span count,
+    and its max is the peak.  End boundaries sort before starts at equal
+    timestamps (delta ASC), so touching spans [a, t] and [t, b] do NOT
+    count as concurrent — the half-open [s, e) convention, pinned
+    identically in the oracle.
+
+    Scale shape: spans come from one (user, day) hash aggregate; the
+    sweep partitions BY DAY, so the sort and prefix sum parallelize
+    across the calendar (each partition holds 2×|users active that day|
+    boundary rows — never the raw event stream), and the peak is one
+    more per-day aggregate.  This is the sweep-line replacement for the
+    quadratic interval self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    bounds = spans.select(
+        "day", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select("day", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    live = bounds.withColumn("live", F.sum("delta").over(w))
+    return live.groupBy("day").agg(
+        F.max("live").cast("bigint").alias("peak_concurrency"),
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_spans"),
+    )
+
+
+_CONCURRENCY_SQL = (
+    "WITH spans AS (SELECT user_id, date_trunc('day', ts) AS day, "
+    "min(ts) AS s, max(ts) AS e FROM events GROUP BY 1, 2), "
+    "bounds AS (SELECT day, s AS t, 1 AS delta FROM spans "
+    "UNION ALL SELECT day, e, -1 FROM spans), "
+    "live AS (SELECT day, sum(delta) OVER (PARTITION BY day "
+    "ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS live FROM bounds) "
+    "SELECT day, CAST(max(live) AS BIGINT) AS peak_concurrency, "
+    "CAST(count(*) / 2 AS BIGINT) AS n_spans FROM live GROUP BY day"
+)
+
+
 QUERIES = {
+    "q_concurrency_sweep": (q_concurrency_sweep, _CONCURRENCY_SQL),
     "q_mad": (
         q_mad,
         "WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, "

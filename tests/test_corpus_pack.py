@@ -792,3 +792,31 @@ def test_l_diversity_thresholds(spark, tmp_path):
     assert out[5]["pct_bp"] == 7 * 10000 // 12
     assert out[10]["n_classes"] == 3 and out[10]["n_rows"] == 12
     assert out[10]["pct_bp"] == 10000
+
+
+def test_concurrency_sweep_half_open_and_peak(spark, tmp_path):
+    """Three users on one day: u1 spans 9:00-11:00, u2 spans 10:00-12:00,
+    u3 spans exactly [11:00, 13:00] — u3 starts the instant u1 ends, and
+    under the half-open convention they do NOT overlap, so the peak is 2
+    (u1∩u2 and u2∩u3), not 3.  A second day with one singleton span
+    (s == e) contributes an empty half-open interval: peak 0."""
+    from kafkastreamsjavachallenge_spark.queries.timeseries import (
+        q_concurrency_sweep,
+    )
+
+    def t(d, h):
+        return datetime.datetime(2024, 1, d, h, 0, 0)
+
+    rows = [
+        (1, t(1, 9), 1, "view", 1.0), (2, t(1, 11), 1, "view", 1.0),
+        (3, t(1, 10), 2, "view", 1.0), (4, t(1, 12), 2, "view", 1.0),
+        (5, t(1, 11), 3, "view", 1.0), (6, t(1, 13), 3, "view", 1.0),
+        (7, t(2, 9), 9, "view", 1.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["day"].day: r
+        for r in q_concurrency_sweep(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["n_spans"] == 3 and out[1]["peak_concurrency"] == 2
+    assert out[2]["n_spans"] == 1 and out[2]["peak_concurrency"] == 0
