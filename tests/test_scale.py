@@ -1349,3 +1349,55 @@ def test_compaction_plan_on_1m_docs_500_sources(spark, tmp_path):
     assert agg["lo"] == 4 and agg["hi"] == 4
     assert agg["flo"] == 10000 and agg["fhi"] == 10000
     assert elapsed < 90, f"compaction plan took {elapsed:.1f}s on {n} docs"
+
+
+def test_concurrency_sweep_on_5m_events(spark, tmp_path):
+    """5M events, 500 days x 2000 users/day, user u active [9:00+u min,
+    9:00+u+30 min): a staircase where exactly 30 spans overlap once the
+    ramp fills, so every day's peak is exactly 30.  The sweep partitions
+    by day — 500-way parallel prefix sums over 4000-row boundary
+    streams, never the raw 5M-event stream."""
+    from kafkastreamsjavachallenge_spark.queries.timeseries import (
+        q_concurrency_sweep,
+    )
+
+    n_days, n_users, per_user = 500, 2000, 5
+    n = n_days * n_users * per_user
+    base = F.to_timestamp(F.lit("2024-01-01 09:00:00"))
+    day_i = F.col("id") % n_days
+    user_i = (F.col("id") / n_days).cast("long") % n_users
+    ev_i = (F.col("id") / (n_days * n_users)).cast("long")  # 0..4
+    # user u active [9:00 + 20u s, +28 min): 20-second stagger keeps the
+    # whole 2000-user staircase inside one day (11.1 h + span)
+    ts = F.timestamp_add(
+        "SECOND",
+        (user_i * 20 + ev_i * F.lit(420)).cast("int"),
+        F.timestamp_add("DAY", day_i.cast("int"), base),
+    )
+    spark.range(n).select(
+        F.col("id").alias("event_id"),
+        ts.alias("ts"),
+        (day_i * 100_000 + user_i).alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    t0 = time.time()
+    out = q_concurrency_sweep(spark, str(tmp_path)).localCheckpoint()
+    elapsed = time.time() - t0
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min("peak_concurrency").alias("lo"),
+        F.max("peak_concurrency").alias("hi"),
+        F.min("n_spans").alias("slo"),
+        F.max("n_spans").alias("shi"),
+    ).collect()[0]
+    assert agg["n_days"] == n_days
+    assert agg["slo"] == n_users and agg["shi"] == n_users
+    # staircase of 2000 spans, each 1680 s wide at 20 s stagger: at any
+    # time t the live set is the starts in (t-1680, t] -> exactly
+    # 1680/20 = 84 once the ramp fills (half-open convention)
+    assert agg["lo"] == agg["hi"], (agg["lo"], agg["hi"])
+    assert agg["lo"] == 84
+    assert elapsed < 120, f"sweep took {elapsed:.1f}s on {n} events"
