@@ -54,7 +54,8 @@ _MODULES = (
 # r06 (this slate): the 29 round-5 additions lead (newest code first; all
 # fuzz-hardened across ≥3 regenerated seeds in round 5, ADVICE-touched
 # oracles re-verified this round), then 15 more module-order tail ids.
-# Lifetime 224/260 if green.  Never-checked after r06 (~36, for r07):
+# Lifetime 224/294 if green (registry grew to 294 during round 6).
+# Never-checked after r06 (~70, for r07 and r08):
 # q_iqr_outliers q_hash_fns q_variant_extract q_recursive_cte
 # q_json_props_stats q_anomaly_zscore q_gini q_benford q_moving_median
 # q_pareto q_haversine q_zorder_layout q_skew_advisor q_ts_motif
