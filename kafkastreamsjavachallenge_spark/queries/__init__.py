@@ -54,7 +54,7 @@ _MODULES = (
 # r06 (this slate): the 29 round-5 additions lead (newest code first; all
 # fuzz-hardened across ≥3 regenerated seeds in round 5, ADVICE-touched
 # oracles re-verified this round), then 15 more module-order tail ids.
-# Lifetime 224/294 if green (registry grew to 294 during round 6).
+# Lifetime 224/295 if green (registry grew to 295 during round 6).
 # Never-checked after r06 (~70, for r07 and r08):
 # q_iqr_outliers q_hash_fns q_variant_extract q_recursive_cte
 # q_json_props_stats q_anomaly_zscore q_gini q_benford q_moving_median
@@ -74,7 +74,7 @@ _MODULES = (
 # q_rejection_sample q_ks_test q_spearman q_semantic_decontaminate
 # q_seasonal_decompose q_auc q_silhouette q_compaction_plan
 # q_l_diversity q_prune_simulator q_broadcast_advisor
-# q_concurrency_sweep; newest code first in the r07
+# q_concurrency_sweep q_skyline; newest code first in the r07
 # slate) and whatever else round 6 adds.
 _PRIORITY = (
     # flagship constants — every round

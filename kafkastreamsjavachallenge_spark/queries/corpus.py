@@ -1902,6 +1902,52 @@ _SIL_SQL = (
 # ------------------------------------------------- layout / privacy extras
 
 
+def q_skyline(spark, sf_dir):
+    """Skyline (Pareto-frontier) preference query: the documents that are
+    token-dense for their size — points (n_tok max, n_chars min) that no
+    other document dominates on both axes.  The scale trick: one of the
+    two axes is discrete, so instead of the quadratic dominance self-join
+    (or a global sort of the corpus) the skyline collapses to one hash
+    aggregate — min n_chars PER distinct token count (a frame bounded by
+    the token-count domain, not the corpus) — followed by a prefix-min
+    scan over that tiny frame sorted by n_tok descending.  A point
+    survives iff every higher-token point costs strictly more chars.
+    All-integer, so the oracle is hash-exact."""
+    d = _docs(spark, sf_dir).select(
+        "n_chars", F.size(_toks_ne()).cast("bigint").alias("n_tok")
+    )
+    per_tok = d.groupBy("n_tok").agg(
+        F.min("n_chars").alias("min_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    w = (
+        Window.orderBy(F.col("n_tok").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        per_tok.withColumn("best_above", F.min("min_chars").over(w))
+        .filter(
+            F.col("best_above").isNull()
+            | (F.col("best_above") > F.col("min_chars"))
+        )
+        .select("n_tok", "min_chars", "n_docs")
+    )
+
+
+_SKYLINE_SQL = (
+    f"WITH d AS (SELECT n_chars, CAST(len({_TOKS_NE}) AS BIGINT) AS n_tok "
+    "FROM documents), "
+    "pt AS (SELECT n_tok, CAST(min(n_chars) AS BIGINT) AS min_chars, "
+    "CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY n_tok), "
+    "sc AS (SELECT n_tok, min_chars, n_docs, "
+    "min(min_chars) OVER (ORDER BY n_tok DESC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_above "
+    "FROM pt) "
+    "SELECT n_tok, min_chars, n_docs FROM sc "
+    "WHERE best_above IS NULL OR best_above > min_chars"
+)
+
+
 def q_compaction_plan(spark, sf_dir):
     """Small-file compaction planner: pack each source's documents (in
     ingest order = doc_id) into output files that roll once the running
@@ -2038,4 +2084,5 @@ QUERIES = {
     "q_silhouette": (q_silhouette, _SIL_SQL),
     "q_compaction_plan": (q_compaction_plan, _COMPACTION_SQL),
     "q_l_diversity": (q_l_diversity, _LDIV_SQL),
+    "q_skyline": (q_skyline, _SKYLINE_SQL),
 }

@@ -820,3 +820,26 @@ def test_concurrency_sweep_half_open_and_peak(spark, tmp_path):
     }
     assert out[1]["n_spans"] == 3 and out[1]["peak_concurrency"] == 2
     assert out[2]["n_spans"] == 1 and out[2]["peak_concurrency"] == 0
+
+
+def test_skyline_dominance_closed_form(spark, tmp_path):
+    """Five planted (n_tok, n_chars) points with a known frontier:
+    (4 tok, 40ch) dominates (4, 50) same-tok and (3, 45) fewer-tok-more-
+    chars; (2, 20) survives (cheaper than everything above); (5, 60)
+    survives (nothing above it).  Frontier = {(5,60), (4,40), (2,20)};
+    the (4,*) row must report BOTH docs at that token count."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import q_skyline
+
+    specs = [(0, 5, 60), (1, 4, 40), (2, 4, 50), (3, 3, 45), (4, 2, 20)]
+    data = []
+    for i, nt, nc in specs:
+        text = " ".join(f"t{j}" for j in range(nt))
+        data.append((i, text, "en", "s", nc))
+    spark.createDataFrame(
+        data, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["n_tok"]: r for r in q_skyline(spark, str(tmp_path)).collect()}
+    assert sorted(out) == [2, 4, 5]
+    assert out[5]["min_chars"] == 60 and out[5]["n_docs"] == 1
+    assert out[4]["min_chars"] == 40 and out[4]["n_docs"] == 2
+    assert out[2]["min_chars"] == 20 and out[2]["n_docs"] == 1
