@@ -1,5 +1,6 @@
-"""Regenerate sf0.01-shaped `documents` and `embeddings` tables with an
-arbitrary seed, symlinking the remaining tables from the real sf0.01 dir.
+"""Regenerate sf0.01-shaped `documents`, `embeddings`, `events`, `orders`
+and `lineitem` tables with an arbitrary seed, symlinking the remaining
+(tiny, static-domain) tables from the real sf0.01 dir.
 
 The driver regenerates testdata between rounds, so any oracle whose gate
 sits on a float boundary can pass on one seed and fail on the next
@@ -142,6 +143,80 @@ def gen_events(rng: random.Random, n: int = 10_000) -> pa.Table:
     )
 
 
+def gen_orders(rng: random.Random, n: int = 15_000) -> pa.Table:
+    """sf0.01-shaped orders: same domains as the real generator (status
+    P/O/F, five priorities, 1995-2001 dates, 2-decimal prices, custkey
+    0..1499) under an arbitrary seed — shakes out value-specific
+    assumptions in the TPC-H-shape oracles, which the documents/events
+    fuzz never touches."""
+    statuses = ["P", "O", "F"]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    base_us = 788_918_400_000_000  # 1995-01-01 UTC in microseconds
+    day_us = 86_400 * 1_000_000
+    rows = [
+        (
+            i,
+            rng.randrange(1500),
+            rng.choice(statuses),
+            round(rng.uniform(1000.0, 500000.0), 2),
+            base_us + rng.randrange(2400) * day_us,
+            rng.choice(prios),
+        )
+        for i in range(n)
+    ]
+    return pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+            "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+            "o_orderdate": pa.array([r[4] for r in rows], pa.timestamp("us")),
+            "o_orderpriority": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+
+
+def gen_lineitem(rng: random.Random, n_orders: int = 15_000, n: int = 60_000) -> pa.Table:
+    """sf0.01-shaped lineitem: FK-consistent orderkeys, integer-valued
+    quantities 1..50, 11-step discounts, A/N/R x F/O flags, 1995-2001
+    ship dates — the domains every TPC-H-shape oracle filters on."""
+    flags = ["A", "N", "R"]
+    stats = ["F", "O"]
+    base_us = 788_918_400_000_000 + 86_400 * 1_000_000
+    day_us = 86_400 * 1_000_000
+    rows = [
+        (
+            rng.randrange(n_orders),
+            rng.randrange(2000),
+            rng.randrange(100),
+            rng.randint(1, 7),
+            float(rng.randint(1, 50)),
+            round(rng.uniform(900.0, 105000.0), 2),
+            rng.randrange(11) / 100.0,
+            rng.randrange(9) / 100.0,
+            rng.choice(flags),
+            rng.choice(stats),
+            base_us + rng.randrange(2450) * day_us,
+        )
+        for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([r[2] for r in rows], pa.int64()),
+            "l_linenumber": pa.array([r[3] for r in rows], pa.int32()),
+            "l_quantity": pa.array([r[4] for r in rows], pa.float64()),
+            "l_extendedprice": pa.array([r[5] for r in rows], pa.float64()),
+            "l_discount": pa.array([r[6] for r in rows], pa.float64()),
+            "l_tax": pa.array([r[7] for r in rows], pa.float64()),
+            "l_returnflag": pa.array([r[8] for r in rows], pa.string()),
+            "l_linestatus": pa.array([r[9] for r in rows], pa.string()),
+            "l_shipdate": pa.array([r[10] for r in rows], pa.timestamp("us")),
+        }
+    )
+
+
 def main() -> None:
     out, seed = sys.argv[1], int(sys.argv[2])
     # optional size multiplier: catches hidden size assumptions (fixed
@@ -159,7 +234,14 @@ def main() -> None:
     pq.write_table(
         gen_events(rng, n=10_000 * mult), os.path.join(out, "events.parquet")
     )
-    for t in "region nation customer supplier part orders lineitem".split():
+    pq.write_table(
+        gen_orders(rng, n=15_000 * mult), os.path.join(out, "orders.parquet")
+    )
+    pq.write_table(
+        gen_lineitem(rng, n_orders=15_000 * mult, n=60_000 * mult),
+        os.path.join(out, "lineitem.parquet"),
+    )
+    for t in "region nation customer supplier part".split():
         dst = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(REAL, f"{t}.parquet"), dst)
