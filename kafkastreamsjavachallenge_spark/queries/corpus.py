@@ -1483,6 +1483,11 @@ def q_ks_test(spark, sf_dir):
     nt = cv.agg(F.sum("c").alias("n_tot"))
     grid = (
         ns.crossJoin(F.broadcast(nt))
+        # KS against the REST is undefined when one source holds the whole
+        # corpus (n_rest = 0 -> zero denominator; Spark DIV would yield
+        # NULL, DuckDB // is version-dependent on zero).  Exclude the
+        # degenerate source on both engines.
+        .filter(F.col("n_s") < F.col("n_tot"))
         .crossJoin(F.broadcast(cv))
         .join(cs, ["source", "n_chars"], "left")
     )
@@ -1527,7 +1532,8 @@ _KS_SQL = (
     "sum(cv.c) OVER (PARTITION BY ns.source "
     "ORDER BY cv.n_chars ROWS UNBOUNDED PRECEDING) AS cum_t "
     "FROM ns CROSS JOIN nt CROSS JOIN cv "
-    "LEFT JOIN cs ON cs.source = ns.source AND cs.n_chars = cv.n_chars) "
+    "LEFT JOIN cs ON cs.source = ns.source AND cs.n_chars = cv.n_chars "
+    "WHERE ns.n_s < nt.n_tot) "
     "SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs, "
     "CAST(max(abs(cum_s * (n_tot - n_s) - (cum_t - cum_s) * n_s) * 1000000 "
     "// (n_s * (n_tot - n_s))) AS BIGINT) AS ks_e6 "
@@ -1646,7 +1652,11 @@ def q_semantic_decontaminate(spark, sf_dir):
             "label",
             "bench_id",
             "cos_e6",
-            (F.col("cos_e6") >= 350000).alias("contaminated"),
+            # int-cast, not raw boolean: the driver compares stringified
+            # values, and JVM true/false vs DuckDB True/False would
+            # red-flag an otherwise exact match (registry-wide convention
+            # for boolean outputs).
+            (F.col("cos_e6") >= 350000).cast("int").alias("contaminated"),
         )
     )
 
@@ -1668,7 +1678,7 @@ _SEMDECON_SQL = (
     "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id "
     "ORDER BY cos_e6 DESC, bench_id) AS rn FROM s) "
     "SELECT vec_id, label, bench_id, cos_e6, "
-    "cos_e6 >= 350000 AS contaminated FROM r WHERE rn = 1"
+    "CAST(cos_e6 >= 350000 AS INTEGER) AS contaminated FROM r WHERE rn = 1"
 )
 
 

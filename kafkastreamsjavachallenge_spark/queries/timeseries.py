@@ -464,10 +464,14 @@ def q_concurrency_sweep(spark, sf_dir):
     plan starts from.  Each (user, day) activity span [first event,
     last event] becomes a +1 boundary at its start and a -1 at its end;
     a running sum over the day's boundary stream IS the live-span count,
-    and its max is the peak.  End boundaries sort before starts at equal
-    timestamps (delta ASC), so touching spans [a, t] and [t, b] do NOT
-    count as concurrent — the half-open [s, e) convention, pinned
-    identically in the oracle.
+    and its max is the peak.  START boundaries sort before ends at equal
+    timestamps (delta DESC), the closed [s, e] convention: touching
+    spans [a, t] and [t, b] DO count as concurrent, and — the important
+    edge — a single-event user (s == e) registers as live at that
+    instant instead of silently vanishing from the peak.  The running
+    sum is also monotone-safe (never transiently negative), since no
+    prefix can hold more ends than starts.  Pinned identically in the
+    oracle and by the single-event case in tests/test_corpus_pack.py.
 
     Scale shape: spans come from one (user, day) hash aggregate; the
     sweep partitions BY DAY, so the sort and prefix sum parallelize
@@ -486,7 +490,7 @@ def q_concurrency_sweep(spark, sf_dir):
     )
     w = (
         Window.partitionBy("day")
-        .orderBy("t", "delta")
+        .orderBy("t", F.col("delta").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     live = bounds.withColumn("live", F.sum("delta").over(w))
@@ -502,7 +506,7 @@ _CONCURRENCY_SQL = (
     "bounds AS (SELECT day, s AS t, 1 AS delta FROM spans "
     "UNION ALL SELECT day, e, -1 FROM spans), "
     "live AS (SELECT day, sum(delta) OVER (PARTITION BY day "
-    "ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS live FROM bounds) "
+    "ORDER BY t, delta DESC ROWS UNBOUNDED PRECEDING) AS live FROM bounds) "
     "SELECT day, CAST(max(live) AS BIGINT) AS peak_concurrency, "
     "CAST(count(*) / 2 AS BIGINT) AS n_spans FROM live GROUP BY day"
 )

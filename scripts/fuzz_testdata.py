@@ -179,27 +179,46 @@ def gen_orders(rng: random.Random, n: int = 15_000) -> pa.Table:
 def gen_lineitem(rng: random.Random, n_orders: int = 15_000, n: int = 60_000) -> pa.Table:
     """sf0.01-shaped lineitem: FK-consistent orderkeys, integer-valued
     quantities 1..50, 11-step discounts, A/N/R x F/O flags, 1995-2001
-    ship dates — the domains every TPC-H-shape oracle filters on."""
+    ship dates — the domains every TPC-H-shape oracle filters on.
+    Lineitems are generated PER ORDER with linenumbers 1..k, mirroring
+    the real generator's (l_orderkey, l_linenumber) composite primary
+    key — independent draws produced duplicate pairs, so fuzz runs never
+    faithfully exercised oracles that lean on that uniqueness."""
     flags = ["A", "N", "R"]
     stats = ["F", "O"]
     base_us = 788_918_400_000_000 + 86_400 * 1_000_000
     day_us = 86_400 * 1_000_000
-    rows = [
-        (
-            rng.randrange(n_orders),
-            rng.randrange(2000),
-            rng.randrange(100),
-            rng.randint(1, 7),
-            float(rng.randint(1, 50)),
-            round(rng.uniform(900.0, 105000.0), 2),
-            rng.randrange(11) / 100.0,
-            rng.randrange(9) / 100.0,
-            rng.choice(flags),
-            rng.choice(stats),
-            base_us + rng.randrange(2450) * day_us,
-        )
-        for _ in range(n)
-    ]
+    # draw a 1..7 line count per order, then nudge random orders until the
+    # total is exactly n — every order keeps >= 1 line, every
+    # (l_orderkey, l_linenumber) pair is unique by construction
+    counts = [rng.randint(1, 7) for _ in range(n_orders)]
+    total = sum(counts)
+    while total < n:
+        counts[rng.randrange(n_orders)] += 1
+        total += 1
+    while total > n:
+        i = rng.randrange(n_orders)
+        if counts[i] > 1:
+            counts[i] -= 1
+            total -= 1
+    rows = []
+    for orderkey, k in enumerate(counts):
+        for linenumber in range(1, k + 1):
+            rows.append(
+                (
+                    orderkey,
+                    rng.randrange(2000),
+                    rng.randrange(100),
+                    linenumber,
+                    float(rng.randint(1, 50)),
+                    round(rng.uniform(900.0, 105000.0), 2),
+                    rng.randrange(11) / 100.0,
+                    rng.randrange(9) / 100.0,
+                    rng.choice(flags),
+                    rng.choice(stats),
+                    base_us + rng.randrange(2450) * day_us,
+                )
+            )
     return pa.table(
         {
             "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),

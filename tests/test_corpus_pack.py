@@ -639,11 +639,11 @@ def test_semantic_decontaminate_flags_paraphrase_twin(spark, tmp_path):
     }
     assert sorted(out) == [20, 21, 22]
     assert out[20]["bench_id"] == 0 and out[20]["cos_e6"] == 1000000
-    assert out[20]["contaminated"] is True
+    assert out[20]["contaminated"] == 1
     # dot = 4, norm = 5 exactly (9+16=25): cos = 4/5 -> e6 floor 800000
     assert out[21]["bench_id"] == 1 and out[21]["cos_e6"] == 800000
-    assert out[21]["contaminated"] is True
-    assert out[22]["cos_e6"] == 0 and out[22]["contaminated"] is False
+    assert out[21]["contaminated"] == 1
+    assert out[22]["cos_e6"] == 0 and out[22]["contaminated"] == 0
     assert out[22]["bench_id"] == 0
 
 
@@ -794,12 +794,13 @@ def test_l_diversity_thresholds(spark, tmp_path):
     assert out[10]["pct_bp"] == 10000
 
 
-def test_concurrency_sweep_half_open_and_peak(spark, tmp_path):
+def test_concurrency_sweep_closed_intervals_and_singleton(spark, tmp_path):
     """Three users on one day: u1 spans 9:00-11:00, u2 spans 10:00-12:00,
     u3 spans exactly [11:00, 13:00] — u3 starts the instant u1 ends, and
-    under the half-open convention they do NOT overlap, so the peak is 2
-    (u1∩u2 and u2∩u3), not 3.  A second day with one singleton span
-    (s == e) contributes an empty half-open interval: peak 0."""
+    under the closed [s, e] convention (starts sort before ends at equal
+    t) all three are live at 11:00, so the peak is 3.  A second day with
+    one singleton span (s == e) is point activity that still counts:
+    peak 1, not the silent 0 the old half-open ordering produced."""
     from kafkastreamsjavachallenge_spark.queries.timeseries import (
         q_concurrency_sweep,
     )
@@ -818,8 +819,8 @@ def test_concurrency_sweep_half_open_and_peak(spark, tmp_path):
         r["day"].day: r
         for r in q_concurrency_sweep(spark, str(tmp_path)).collect()
     }
-    assert out[1]["n_spans"] == 3 and out[1]["peak_concurrency"] == 2
-    assert out[2]["n_spans"] == 1 and out[2]["peak_concurrency"] == 0
+    assert out[1]["n_spans"] == 3 and out[1]["peak_concurrency"] == 3
+    assert out[2]["n_spans"] == 1 and out[2]["peak_concurrency"] == 1
 
 
 def test_skyline_dominance_closed_form(spark, tmp_path):

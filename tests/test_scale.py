@@ -1352,11 +1352,12 @@ def test_compaction_plan_on_1m_docs_500_sources(spark, tmp_path):
 
 
 def test_concurrency_sweep_on_5m_events(spark, tmp_path):
-    """5M events, 500 days x 2000 users/day, user u active [9:00+u min,
-    9:00+u+30 min): a staircase where exactly 30 spans overlap once the
-    ramp fills, so every day's peak is exactly 30.  The sweep partitions
-    by day — 500-way parallel prefix sums over 4000-row boundary
-    streams, never the raw 5M-event stream."""
+    """5M events, 500 days x 2000 users/day, user u active [9:00+20u s,
+    9:00+20u+1680 s]: a staircase where exactly 85 spans overlap once
+    the ramp fills (closed-interval convention), so every day's peak is
+    exactly 85.  The sweep partitions by day — 500-way parallel prefix
+    sums over 4000-row boundary streams, never the raw 5M-event
+    stream."""
     from kafkastreamsjavachallenge_spark.queries.timeseries import (
         q_concurrency_sweep,
     )
@@ -1396,8 +1397,9 @@ def test_concurrency_sweep_on_5m_events(spark, tmp_path):
     assert agg["n_days"] == n_days
     assert agg["slo"] == n_users and agg["shi"] == n_users
     # staircase of 2000 spans, each 1680 s wide at 20 s stagger: at any
-    # time t the live set is the starts in (t-1680, t] -> exactly
-    # 1680/20 = 84 once the ramp fills (half-open convention)
+    # time t the live set is the starts in [t-1680, t] -> exactly
+    # 1680/20 + 1 = 85 once the ramp fills (closed [s, e] convention:
+    # the span ending at t and the span starting at t both count)
     assert agg["lo"] == agg["hi"], (agg["lo"], agg["hi"])
-    assert agg["lo"] == 84
+    assert agg["lo"] == 85
     assert elapsed < 120, f"sweep took {elapsed:.1f}s on {n} events"
