@@ -266,6 +266,7 @@ def exact_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT near-dup ground truth (Jaccard >= 0.5 over distinct k-token
     shingles) without an all-pairs stage: two docs with Jaccard > 0 share
@@ -275,24 +276,35 @@ def exact_neardup_pairs(
     no float boundary can flip a pair across engines or testdata seeds.
 
     Cost is Σ_g df(g)² — bounded by the hottest shingle, never corpus-
-    quadratic; at 100 TB, boilerplate shingles are df-capped first (a
-    pair sharing ONLY ultra-common shingles sits far below threshold).
-    This is the referee for LSH configs (q_dedup_recall), not the scale
-    dedup path itself — that remains MinHash banding."""
+    quadratic.  ``max_df`` is the scale knob that enforces that bound:
+    shingles with document frequency above the cap are dropped from the
+    inverted index BEFORE the self-join (one tiny hot-list aggregate +
+    an anti-join, broadcast by AQE), so one boilerplate shingle with
+    df=10⁶ can no longer produce a 10¹²-row join on a single skewed key.
+    Default ``None`` keeps the exact semantics (oracle parity); with a
+    cap the result is conservative — a pair is missed only if its
+    overlap consists mostly of ultra-common shingles, which sits far
+    below the 0.5 threshold once those shingles stop being
+    discriminative.  This is the referee for LSH configs
+    (q_dedup_recall), not the scale dedup path itself — that remains
+    MinHash banding."""
     return exact_neardup_pairs_from_shingled(
-        shingled_docs(df, text_col, id_col, shingle_k), id_col
+        shingled_docs(df, text_col, id_col, shingle_k), id_col, max_df
     )
 
 
 def exact_neardup_pairs_from_shingled(
-    shd: DataFrame, id_col: str = "doc_id"
+    shd: DataFrame, id_col: str = "doc_id", max_df: int | None = None
 ) -> DataFrame:
     """Exact near-dup pairs from a pre-shingled (id, sh) frame — see
-    ``exact_neardup_pairs`` for semantics and the Σ df(g)² cost bound."""
+    ``exact_neardup_pairs`` for semantics, the Σ df(g)² cost bound, and
+    the ``max_df`` hot-shingle cap that enforces it at scale."""
     shd = shd.filter(F.size("sh") > 0)
     ex = shd.select(F.col(id_col), F.explode_outer("sh").alias("g")).filter(
         F.col("g").isNotNull()
     )
+    if max_df is not None:
+        ex = _drop_hot_shingles(ex, max_df)
     shared = (
         ex.select(F.col(id_col).alias("id_a"), "g")
         .join(ex.select(F.col(id_col).alias("id_b"), "g"), "g")
@@ -316,6 +328,21 @@ def exact_neardup_pairs_from_shingled(
         )
         .select("id_a", "id_b")
     )
+
+
+def _drop_hot_shingles(ex: DataFrame, max_df: int) -> DataFrame:
+    """Anti-join the exploded (id, g) inverted index against its own
+    hot-shingle list (df > max_df).  The hot list is tiny by
+    construction — Zipf puts very few shingles above any sane cap — so
+    AQE broadcasts it and the cap costs one map-side-combinable count
+    aggregate, no extra full shuffle of the index itself."""
+    hot = (
+        ex.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("g")
+    )
+    return ex.join(hot, "g", "left_anti")
 
 
 def ngram_jaccard(

@@ -291,13 +291,19 @@ _SIMHASH_NEARDUP_SQL = (
 # ----------------------------------------------------- shingle containment
 
 
-def q_containment(spark, sf_dir):
+def q_containment(spark, sf_dir, max_df=None):
     """Asymmetric shingle containment: ordered pairs (a, b) where ≥80% of
     a's distinct 3-shingles appear in b — the quote/inclusion detector
     Jaccard misses (a short doc embedded in a long one scores low Jaccard
     but 100% containment).  Same Σdf² inverted-shingle join as
     exact_neardup_pairs; emitting both directions costs nothing extra
-    (the symmetric join already produces both orders)."""
+    (the symmetric join already produces both orders).  ``max_df`` is
+    the same hot-shingle cap as exact_neardup_pairs — default off for
+    oracle parity; at 100 TB set it (e.g. 10_000) so one boilerplate
+    shingle cannot turn the self-join quadratic on a single skewed key.
+    Capping lowers n_common for pairs whose overlap is boilerplate,
+    making the ≥80% gate conservative in exactly the cases that are
+    noise anyway."""
     shd = D.shingled_docs(_docs(spark, sf_dir), shingle_k=3).filter(
         F.size("sh") > 0
     )
@@ -308,6 +314,8 @@ def q_containment(spark, sf_dir):
         shd.select("doc_id", F.explode_outer("sh").alias("g"))
         .filter(F.col("g").isNotNull())
     )
+    if max_df is not None:
+        ex = D._drop_hot_shingles(ex, max_df)
     # aggregate the UNDIRECTED pairs (a < b: half the join fan-out), then
     # mirror the aggregate — the directed containment check needs both
     # orders but the expensive Σdf² stage does not

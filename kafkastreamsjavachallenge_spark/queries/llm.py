@@ -2972,7 +2972,7 @@ def q_filter_funnel(spark, sf_dir):
     )
 
 
-def q_source_overlap(spark, sf_dir):
+def q_source_overlap(spark, sf_dir, max_source_df=None):
     """Source-pair content-overlap matrix: distinct bigram shingles per
     source, co-occurrence counts per source pair, Jaccard in integer
     basis points — the corpus-composition heatmap that shows which feeds
@@ -2980,9 +2980,11 @@ def q_source_overlap(spark, sf_dir):
 
     Scale shape: the corpus collapses to (source, shingle) DISTINCT
     first; the pair join fans out per shingle by its source-df, bounded
-    by |sources| (20), never by corpus size — at web scale, cap or drop
-    shingles present in nearly all sources (boilerplate carries no
-    composition signal) to keep the join sparse."""
+    by |sources| (20), never by corpus size.  ``max_source_df`` drops
+    shingles present in more than that many sources (boilerplate
+    carries no composition signal) BEFORE the pair join — default off
+    for oracle parity; with thousands of sources set it to keep the
+    per-shingle fan-out (source-df²) sparse."""
     d = _docs(spark, sf_dir).withColumn("toks", T.tokens("text"))
     sh = (
         d.filter(F.size("toks") >= 2)
@@ -3000,6 +3002,14 @@ def q_source_overlap(spark, sf_dir):
         )
         .distinct()
     )
+    if max_source_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") > max_source_df)
+            .select("sh")
+        )
+        sh = sh.join(hot, "sh", "left_anti")
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("source").alias("source_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("source").alias("source_b"), F.col("sh").alias("sh_b"))

@@ -151,6 +151,40 @@ def test_containment_detects_embedded_quote(spark, tmp_path):
     assert r["n_common"] == r["n_a"] == 18 and r["n_b"] == 48
 
 
+def test_containment_max_df_drops_boilerplate_only(spark, tmp_path):
+    """The max_df hot-shingle cap: three docs share a universal
+    boilerplate prefix (df = 3 > cap of 2), docs 0 and 1 additionally
+    share a genuine 12-token quote (each quote shingle has df = 2).
+    With max_df=2 the boilerplate shingles leave the inverted index, so
+    the quote pair survives on its real overlap while the
+    boilerplate-only pairs (with doc 2) produce NO join rows at all —
+    the skew the cap exists to cut."""
+    from kafkastreamsjavachallenge_spark.queries.corpus import q_containment
+
+    boiler = "of the and in to for"  # 4 boilerplate 3-shingles, df = 3
+    quote = " ".join(f"q{j}" for j in range(20))  # 18 shingles, df = 2
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, f"{boiler} {quote} " + " ".join(f"a{j}" for j in range(30)), "en", "s"),
+            (1, f"{boiler} {quote}", "en", "s"),
+            (2, f"{boiler} " + " ".join(f"z{j}" for j in range(30)), "en", "s"),
+        ],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in q_containment(spark, str(tmp_path), max_df=2).collect()
+    }
+    # doc1 has 24 shingles (4 boiler + 2 bridge + 18 quote); the cap
+    # drops the 4 df=3 boiler shingles -> inter(1,0) = 20 of n_a = 24
+    # -> 8333 bp, still over the gate; no pair involving doc 2 can
+    # appear (its only overlap was boilerplate, now gone from the index)
+    assert all(2 not in pair for pair in out)
+    assert (1, 0) in out and out[(1, 0)]["containment_bp"] == 8333
+    assert out[(1, 0)]["n_common"] == 20
+
+
 def test_hard_negatives_excludes_same_label(spark, tmp_path):
     from kafkastreamsjavachallenge_spark.queries.corpus import (
         q_hard_negatives,

@@ -893,6 +893,50 @@ def test_exact_neardup_ground_truth_on_50k_docs(spark):
     assert n_caught == n // 2  # recall 1.0 on planted twins
 
 
+def test_exact_neardup_max_df_bounds_stop_shingle_skew(spark):
+    """Adversarial skew fixture for the max_df cap: 20k docs ALL share a
+    boilerplate prefix ("of the and in to"), so the stop-shingle
+    "of the and" has df = 20k and the uncapped inverted-index self-join
+    would fan out df² = 4·10⁸ rows on that single key (the 100 TB
+    failure mode: one hot shingle, one straggler partition).  With
+    max_df=100 the hot shingles leave the index, the join degenerates
+    to the df=2 twin shingles (4 rows per group, linear), and the
+    planted n/2 identical twins are still found exactly — their overlap
+    never depended on boilerplate.  Wall-clock-bounded to prove the cap
+    actually cut the fan-out rather than surviving it."""
+    from kafkastreamsjavachallenge_spark.operators.dedup import (
+        exact_neardup_pairs,
+        shingled_docs,
+    )
+
+    n = 20_000
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda i: F.concat(F.lit("w"), (F.col("id") % (n // 2)) * 100 + i),
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.lit("of the and in to"), F.concat_ws(" ", words)).alias(
+            "text"
+        ),  # id and id + n/2 are twins; every doc shares the boiler prefix
+    )
+    # the skew is real: the hottest shingle's df equals the corpus size
+    ex = shingled_docs(docs).select(F.explode("sh").alias("g"))
+    hot_df = (
+        ex.groupBy("g").count().agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+    assert hot_df == n  # uncapped join would put df² = 4e8 rows on one key
+    t0 = time.time()
+    truth = exact_neardup_pairs(docs, max_df=100)
+    n_true = truth.count()
+    elapsed = time.time() - t0
+    assert elapsed < 90, f"capped ground truth took {elapsed:.1f}s on {n} docs"
+    assert n_true == n // 2
+    # capped pairs are exactly the planted twins
+    bad = truth.filter(F.col("id_b") != F.col("id_a") + n // 2).count()
+    assert bad == 0
+
+
 def test_winnow_fingerprint_on_100k_docs(spark, tmp_path):
     """Winnowing at 100k docs (20× the sf0.1 corpus) with the scheme's own
     guarantee as the oracle: doc i and its twin i + n/2 share a planted
