@@ -615,6 +615,76 @@ def dedup_against_band_index(
     )
 
 
+def compact_band_index(
+    spark,
+    path: str,
+    max_files_per_dir: int = 8,
+    target_file_mb: int = 128,
+) -> dict[str, int]:
+    """Compact over-appended band-index directories in place.
+
+    The incremental loop (``dedup_against_band_index`` then
+    ``write_band_index(mode='append')``) adds at least one file to every
+    touched (band, bucket-prefix) directory per ingest batch, so hot
+    buckets accrete small files linearly with batch count — and at scale
+    the probe's planning cost (one task + footer read per file) grows
+    with them even though the pruned byte volume stays flat.  This is
+    the band-index instance of the small-files problem ``writers.
+    compact`` solves for flat tables and ``q_compaction_plan`` plans for
+    source shards: directories over ``max_files_per_dir`` are rewritten
+    to ~``target_file_mb`` files (per-directory — each rewrite reads and
+    writes only that directory's rows, so nightly maintenance costs
+    O(over-appended dirs), never the index).  The rewrite stages into a
+    dot-prefixed temp dir (invisible to parquet readers) and swaps via
+    rename, so a concurrent probe sees either the old or the new file
+    set, both complete.  Returns {band=N/bp=X: new file count} for the
+    directories it rewrote."""
+    import math
+
+    jvm = spark._jvm
+    jroot = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jroot):
+        return {}
+    compacted: dict[str, int] = {}
+    for band_st in fs.listStatus(jroot):
+        if not band_st.isDirectory() or not band_st.getPath().getName().startswith("band="):
+            continue
+        for bp_st in fs.listStatus(band_st.getPath()):
+            if not bp_st.isDirectory() or not bp_st.getPath().getName().startswith("bp="):
+                continue
+            dpath = bp_st.getPath()
+            files = [
+                st
+                for st in fs.listStatus(dpath)
+                if st.isFile() and st.getPath().getName().endswith(".parquet")
+            ]
+            if len(files) <= max_files_per_dir:
+                continue
+            n_out = max(
+                1,
+                math.ceil(
+                    sum(st.getLen() for st in files)
+                    / (target_file_mb * 1024 * 1024)
+                ),
+            )
+            key = f"{band_st.getPath().getName()}/{dpath.getName()}"
+            tmp = jvm.org.apache.hadoop.fs.Path(jroot, f".compact_tmp/{key}")
+            (
+                spark.read.parquet(dpath.toString())
+                .repartition(n_out)
+                .write.mode("overwrite")
+                .parquet(tmp.toString())
+            )
+            fs.delete(dpath, True)
+            fs.rename(tmp, dpath)
+            compacted[key] = n_out
+    tmp_root = jvm.org.apache.hadoop.fs.Path(jroot, ".compact_tmp")
+    if fs.exists(tmp_root):
+        fs.delete(tmp_root, True)
+    return compacted
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -622,31 +692,49 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 50,
+    algorithm: str = "propagation",
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation.
+    """Connected components: min-label propagation (default) or the
+    alternating large-star/small-star algorithm (``algorithm="star"``).
 
     Completes the near-dup pipeline (reference has no analog — SURVEY.md
     §2.2 LLM-pipeline row): LSH candidate pairs are *edges*; a component is
     a duplicate cluster whose canonical id is the minimum member id.
 
-    Each iteration is one shuffle-join (edges ⋈ labels on src) + one
-    min-aggregate on dst + a coalescing left join back onto labels;
-    convergence is detected when sum(label) stops decreasing (it is
-    strictly monotone non-increasing and bounded, so termination is
-    guaranteed in ≤ diameter iterations).  `localCheckpoint` truncates the
-    iteration lineage so plan size stays O(1) per round — at cluster scale
-    the same loop runs with reliable `checkpoint` and the
-    alternating-star optimization (O(log n) rounds) if diameters are
-    large; LSH duplicate clusters are near-cliques, so diameters are tiny
-    and plain propagation is the cheaper plan.
+    **propagation** — each iteration is one shuffle-join (edges ⋈ labels
+    on src) + one min-aggregate on dst + a coalescing left join back onto
+    labels; convergence is detected when sum(label) stops decreasing (it
+    is strictly monotone non-increasing and bounded, so termination is
+    guaranteed in ≤ diameter iterations).  LSH duplicate clusters are
+    near-cliques, so diameters are tiny and this is the cheaper plan.
+
+    **star** — the Two-Phase algorithm of Kiveris et al. (MapReduce and
+    Beyond, SoCC'14): alternate large-star (hook every neighbor larger
+    than u to u's min neighbor) and small-star (hook the smaller
+    neighbors and u itself to the min) until the edge set is a fixpoint
+    of root-pointing stars.  Converges in O(log n) rounds on ANY graph —
+    the skew-hardening for adversarial duplicate chains (a 10k-node path
+    needs 10k propagation rounds but ~log² star rounds, pinned by
+    tests/test_scale.py).  Both endpoints of every rewritten edge are
+    monotone non-increasing, so the exact fixpoint check (anti-join,
+    below) terminates.
+
+    `localCheckpoint` truncates the iteration lineage so plan size stays
+    O(1) per round — at cluster scale the same loops run with reliable
+    `checkpoint`.  The number of rounds the call used is exposed as
+    ``connected_components.last_rounds`` (introspection for tests and
+    tuning, not part of the result).
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if algorithm == "star":
+        return _cc_two_phase(e, nodes, id_col, max_iter)
     e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = e.localCheckpoint(eager=True)  # reused every iteration
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("label")
     ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    rounds = 0
     for _ in range(max_iter):
         prop = (
             e.join(labels, e.src == labels.node)
@@ -661,8 +749,88 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        rounds += 1
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    connected_components.last_rounds = rounds
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+
+
+def _cc_two_phase(e: DataFrame, nodes: DataFrame, id_col: str, max_iter: int) -> DataFrame:
+    """Kiveris et al. Two-Phase (alternating large-star / small-star).
+
+    Edges are kept canonical-undirected (src < dst, distinct); each round
+    is two grouped min-aggregates + joins, both shuffling on node id.
+    At the fixpoint every edge is (root, member) with root = component
+    min, so labels fall out of one left join; isolated nodes label
+    themselves."""
+
+    def canon(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .distinct()
+        )
+
+    cur = canon(e).localCheckpoint(eager=True)
+    rounds = 0
+    for _ in range(max_iter):
+        start = cur  # fixpoint = a FULL round leaves the edge set unchanged
+        # large-star: per node u, hook every LARGER neighbor to
+        # m(u) = min(N(u) ∪ {u})
+        sym = cur.union(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("mn", F.col("src")).alias("m"))
+        )
+        large = (
+            sym.filter(F.col("dst") > F.col("src"))
+            .join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        cur = canon(large).localCheckpoint(eager=True)
+        # small-star: per node u over its SMALLER neighbors v (< u),
+        # hook every v ≠ m and u itself to m = min(N_small(u))
+        d = cur.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        m2 = d.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            d.join(m2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .union(m2.select(F.col("u").alias("src"), F.col("m").alias("dst")))
+        )
+        nxt = canon(small).localCheckpoint(eager=True)
+        rounds += 1
+        # exact fixpoint check against the ROUND'S START (comparing to the
+        # intermediate post-large-star set would false-converge: on a
+        # path graph large and small emit the same set every round)
+        changed = (
+            nxt.count() != start.count()
+            or nxt.join(start, ["src", "dst"], "left_anti").limit(1).count() > 0
+        )
+        cur = nxt
+        if not changed:
+            break
+    connected_components.last_rounds = rounds
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(
+            cur.select(
+                F.col("dst").alias("node"), F.col("src").cast("long").alias("component")
+            ),
+            "node",
+            "left",
+        )
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", F.col("node").cast("long")).alias("component"),
+        )
+    )

@@ -50,32 +50,25 @@ _MODULES = (
 # canaries for the reference-parity core) and the rest are ids that have
 # never had a driver-checked row — r01 covered the module-order head, r03
 # a cross-section, r04 44 first-time ids, r05 the re-checked r04 reds +
-# touched oracles + 25 more (lifetime 180/260 after r05, all green).
-# r06 (this slate): the 29 round-5 additions lead (newest code first; all
-# fuzz-hardened across ≥3 regenerated seeds in round 5, ADVICE-touched
-# oracles re-verified this round), then 15 more module-order tail ids.
-# Lifetime 224/295 if green (registry grew to 295 during round 6).
-# Never-checked after r06 (~70, for r07 and r08):
+# touched oracles + 25 more, r06 the round-5 additions + 15 tail ids
+# (lifetime 224/295 after r06, all green at their latest check).
+# r07 (this slate): ids whose code/oracles changed this round lead
+# (ADVICE fixes q_ks_test / q_semantic_decontaminate /
+# q_concurrency_sweep, the max_df-touched q_containment, and the three
+# new ids q_approx_distinct_bound / q_stream_ks /
+# q_stream_anomaly_sliding), then the never-checked round-6 corpus pack,
+# the VERDICT-named dedup/retrieval ids, and the 6 never-checked
+# q_stream_* ids.  All 44 fuzz-verified across >= 2 regenerated seeds +
+# sf0.001 this round.  Lifetime 268/298 if green.
+# Never-checked after r07 (30, the whole r08 slate):
 # q_iqr_outliers q_hash_fns q_variant_extract q_recursive_cte
 # q_json_props_stats q_anomaly_zscore q_gini q_benford q_moving_median
-# q_pareto q_haversine q_zorder_layout q_skew_advisor q_ts_motif
-# q_url_parse q_crosscorpus_dedup q_hll_union q_semdedup q_udf_text
-# q_multimodal_decode q_binary_meta q_contamination_report
-# q_ngram_novelty q_unigram_logprob q_bigram_logprob q_domain_cap_scaled
-# q_export_manifest q_ann_recall q_tokenizer_fertility q_maxsim
-# q_stream_anomaly q_stream_unique_users_append q_stream_enrich
-# q_stream_dedup q_stream_topk q_stream_sliding — plus the 12 round-6
-# corpus-pack ids (q_heaps_law q_ttr_hapax q_zipf_slope
-# q_simhash_neardup q_containment q_hard_negatives q_embedding_drift
-# q_cluster_sample q_bootstrap_ci q_watermark_audit q_group_kfold
-# q_js_divergence q_rank_biased_overlap q_cosine_histogram
-# q_bigram_entropy q_epoch_shuffle q_dup_cluster_sizes q_k_anonymity
-# q_split_leakage q_score_calibration q_incremental_dedup q_ann_batch
-# q_rejection_sample q_ks_test q_spearman q_semantic_decontaminate
-# q_seasonal_decompose q_auc q_silhouette q_compaction_plan
-# q_l_diversity q_prune_simulator q_broadcast_advisor
-# q_concurrency_sweep q_skyline; newest code first in the r07
-# slate) and whatever else round 6 adds.
+# q_pareto q_haversine q_zorder_layout q_skew_advisor q_prune_simulator
+# q_broadcast_advisor q_ts_motif q_url_parse q_hll_union q_udf_text
+# q_binary_meta q_contamination_report q_ngram_novelty
+# q_unigram_logprob q_bigram_logprob q_domain_cap_scaled
+# q_export_manifest q_ann_recall q_tokenizer_fertility q_split_leakage
+# q_score_calibration — plus whatever round 7 adds after this rotation.
 _PRIORITY = (
     # flagship constants — every round
     "q_source_scan",
@@ -84,52 +77,54 @@ _PRIORITY = (
     "q_minhash_pairs",
     "q_curation_pipeline",
     "q_stream_unique_users",
-    # round-5 additions, never driver-checked (ADVICE-touched first)
-    "q_mmr_rerank",
-    "q_ann_frontier",
-    "q_filter_funnel",
-    "q_temperature_mix",
-    "q_embed_norm_audit",
-    "q_edit_distance",
-    "q_cdc_chunks",
-    "q_vocab_coverage",
-    "q_perplexity_bucket",
-    "q_cluster_canonical",
-    "q_template_detect",
-    "q_lsh_tuning",
-    "q_dup_threshold_curve",
-    "q_kn_bigram",
-    "q_ann_ndcg",
-    "q_source_overlap",
-    "q_stream_funnel",
-    "q_dataset_card",
-    "q_token_budget",
-    "q_frame_sample",
-    "q_quality_threshold_sweep",
-    "q_stream_rollup",
-    "q_hits",
-    "q_lang_confusion",
-    "q_changepoint",
-    "q_theil_sen",
-    "q_mad",
-    "q_source_hhi",
-    "q_length_deciles",
-    # never-driver-checked tail, module order
-    "q_sequence",
-    "q_try_cast",
-    "q_hof_filter",
-    "q_embed_centroid",
-    "q_salted_agg",
-    "q_salted_join",
-    "q_bigram_freq",
-    "q_doc_freq",
-    "q_entropy",
-    "q_mode_det",
-    "q_count_if",
-    "q_keep_latest",
-    "q_markov",
-    "q_interarrival",
-    "q_winsorize",
+    # round-7 code-touched oracles (ADVICE fixes + new ids) first
+    "q_ks_test",
+    "q_semantic_decontaminate",
+    "q_concurrency_sweep",
+    "q_containment",
+    "q_approx_distinct_bound",
+    "q_stream_ks",
+    "q_stream_anomaly_sliding",
+    # VERDICT-named never-checked dedup/retrieval ids
+    "q_semdedup",
+    "q_maxsim",
+    "q_incremental_dedup",
+    "q_crosscorpus_dedup",
+    "q_multimodal_decode",
+    # never-checked streaming ids
+    "q_stream_anomaly",
+    "q_stream_unique_users_append",
+    "q_stream_enrich",
+    "q_stream_dedup",
+    "q_stream_topk",
+    "q_stream_sliding",
+    # round-6 corpus pack, never driver-checked
+    "q_skyline",
+    "q_spearman",
+    "q_seasonal_decompose",
+    "q_auc",
+    "q_silhouette",
+    "q_compaction_plan",
+    "q_l_diversity",
+    "q_ann_batch",
+    "q_rejection_sample",
+    "q_heaps_law",
+    "q_ttr_hapax",
+    "q_zipf_slope",
+    "q_simhash_neardup",
+    "q_hard_negatives",
+    "q_embedding_drift",
+    "q_cluster_sample",
+    "q_bootstrap_ci",
+    "q_watermark_audit",
+    "q_group_kfold",
+    "q_js_divergence",
+    "q_rank_biased_overlap",
+    "q_cosine_histogram",
+    "q_bigram_entropy",
+    "q_epoch_shuffle",
+    "q_dup_cluster_sizes",
+    "q_k_anonymity",
 )
 
 

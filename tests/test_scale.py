@@ -893,6 +893,40 @@ def test_exact_neardup_ground_truth_on_50k_docs(spark):
     assert n_caught == n // 2  # recall 1.0 on planted twins
 
 
+def test_star_components_converge_logarithmically_on_path_graph(spark):
+    """Adversarial duplicate-chain fixture for the alternating-star CC
+    flag: a 10k-node PATH graph (0-1-2-…-9999) has diameter 10k, so
+    min-label propagation needs ~10k rounds — the worst case for the
+    default near-clique-tuned loop.  Two-Phase (Kiveris et al.) must
+    collapse it into one component rooted at 0 in O(log n)-ish rounds
+    (log2(10k) ≈ 13.3; assert a generous 2·log2 + 8 bound), proving the
+    graph path survives long chains, not just LSH near-cliques."""
+    import math
+
+    from kafkastreamsjavachallenge_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 10_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    t0 = time.time()
+    out = connected_components(edges, nodes, algorithm="star", max_iter=100)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("component").alias("k"),
+        F.max("component").alias("mx"),
+    ).collect()[0]
+    elapsed = time.time() - t0
+    rounds = connected_components.last_rounds
+    assert agg["n"] == n and agg["k"] == 1 and agg["mx"] == 0
+    bound = 2 * math.ceil(math.log2(n)) + 8
+    assert rounds <= bound, f"star CC took {rounds} rounds (> {bound}) on a path"
+    assert elapsed < 180, f"star CC took {elapsed:.1f}s on a {n}-node path"
+
+
 def test_exact_neardup_max_df_bounds_stop_shingle_skew(spark):
     """Adversarial skew fixture for the max_df cap: 20k docs ALL share a
     boilerplate prefix ("of the and in to"), so the stop-shingle
