@@ -88,6 +88,12 @@ HEADLINE = [
     # the prune simulator pins the zone-map audit shape
     "q_compaction_plan",
     "q_prune_simulator",
+    # round-7: the streaming drift/anomaly monitors — histogram-state KS
+    # (complete mode) and watermarked sliding-window z-score (append
+    # mode, horizon sentinel); pinned so the streaming state shapes and
+    # the post-drain passes cannot silently regress
+    "q_stream_ks",
+    "q_stream_anomaly_sliding",
 ]
 
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl")
