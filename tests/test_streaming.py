@@ -533,3 +533,89 @@ def test_stream_funnel_matches_batch_funnel_stages(spark):
         if r["stage"] != "exact_dup"
     }
     assert got == want and len(got) == 3
+
+
+def test_stream_ks_histogram_state_spans_batches(spark, tmp_path):
+    """q_stream_ks's ingest state across REAL micro-batches: documents
+    split into 3 time-ordered files, one file per trigger — the
+    complete-mode (source, n_chars) histogram must converge to the batch
+    histogram exactly, which makes the downstream KS grid (a
+    deterministic post-pass over the drained counts, oracle-checked by
+    the driver sim) identical by construction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = load_table(spark, SF_DIR, "documents")
+    d = str(tmp_path / "doc_stream")
+    os.makedirs(d)
+    pdf = docs.toPandas()
+    chunk = (len(pdf) + 2) // 3
+    for i in range(3):
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[i * chunk : (i + 1) * chunk]),
+            os.path.join(d, f"f{i}.parquet"),
+        )
+    stream = file_stream(spark, d, docs.schema, max_files_per_trigger=1)
+    hist = stream.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c_s")
+    )
+    got = {
+        (r["source"], r["n_chars"]): r["c_s"]
+        for r in run_to_memory(hist, output_mode="complete").collect()
+    }
+    want = {
+        (r["source"], r["n_chars"]): r["c_s"]
+        for r in docs.groupBy("source", "n_chars")
+        .agg(F.count(F.lit(1)).alias("c_s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_sliding_anomaly_multibatch_append_finals(spark, event_files):
+    """q_stream_anomaly_sliding's stateful core across real micro-batches
+    (no horizon sentinel here, so the event-time tail stays open): every
+    (event_type, window) count append mode emits is final-correct against
+    the batch sliding expansion, nothing is emitted twice, and the
+    un-emitted windows are exactly the open tail the watermark never
+    passed."""
+    from kafkastreamsjavachallenge_spark.streaming.pipeline import (
+        ensure_event_time,
+    )
+
+    d, ev = event_files
+    stream = ensure_event_time(
+        file_stream(spark, d, ev.schema, max_files_per_trigger=1), "ts"
+    )
+    win = (
+        stream.withWatermark("ts", "2 minutes")
+        .groupBy("event_type", F.window("ts", "2 minutes", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", F.col("w.start").alias("window_start"), "n")
+    )
+    rows = run_to_memory(win, output_mode="append").collect()
+    got = {(r["event_type"], r["window_start"]): r["n"] for r in rows}
+    assert len(got) == len(rows), "a window was emitted twice"
+    assert got, "watermark never closed any window across 4 micro-batches"
+    want = {
+        (r["event_type"], r["window_start"]): r["n"]
+        for r in ev.select(
+            "event_type",
+            F.explode(
+                F.array(
+                    F.date_trunc("minute", F.col("ts")),
+                    F.date_trunc("minute", F.col("ts"))
+                    - F.expr("INTERVAL 1 MINUTE"),
+                )
+            ).alias("window_start"),
+        )
+        .groupBy("event_type", "window_start")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert all(want[k] == n for k, n in got.items())
+    # un-emitted windows sit past the final watermark: strictly later
+    # than every emitted window START + the 2-minute window length
+    horizon = max(ws for _, ws in got)
+    open_tail = [k for k in want if k not in got]
+    assert all(ws >= horizon for _, ws in open_tail)
