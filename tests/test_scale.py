@@ -1385,7 +1385,7 @@ def test_semantic_decontaminate_on_200k_vectors(spark, tmp_path):
     vecs.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
     t0 = time.time()
     out = q_semantic_decontaminate(spark, str(tmp_path))
-    n_flagged = out.filter("contaminated").count()
+    n_flagged = out.filter("contaminated = 1").count()
     elapsed = time.time() - t0
     assert elapsed < 90, f"decontaminate took {elapsed:.1f}s on {n} vectors"
     assert n_flagged == n - 20
