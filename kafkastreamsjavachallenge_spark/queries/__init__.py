@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from kafkastreamsjavachallenge_spark.queries import (
     analytics,
     applied,
+    audits,
     breadth,
     core,
     corpus,
@@ -41,6 +42,7 @@ _MODULES = (
     quality,
     llm,
     corpus,
+    audits,
     streaming_q,
 )
 
@@ -60,7 +62,8 @@ _MODULES = (
 # the VERDICT-named dedup/retrieval ids, and the 6 never-checked
 # q_stream_* ids.  All 44 fuzz-verified across >= 2 regenerated seeds +
 # sf0.001 this round.  Lifetime 268/298 if green.
-# Never-checked after r07 (30, the whole r08 slate):
+# Never-checked after r07 (35, the whole r08 slate — all fuzz-swept
+# green on >= 2 regenerated seeds during round 7):
 # q_iqr_outliers q_hash_fns q_variant_extract q_recursive_cte
 # q_json_props_stats q_anomaly_zscore q_gini q_benford q_moving_median
 # q_pareto q_haversine q_zorder_layout q_skew_advisor q_prune_simulator
@@ -68,7 +71,9 @@ _MODULES = (
 # q_binary_meta q_contamination_report q_ngram_novelty
 # q_unigram_logprob q_bigram_logprob q_domain_cap_scaled
 # q_export_manifest q_ann_recall q_tokenizer_fertility q_split_leakage
-# q_score_calibration — plus whatever round 7 adds after this rotation.
+# q_score_calibration — plus the round-7 audit pack added after this
+# rotation: q_kcore q_margin_knn q_good_turing q_cohen_kappa
+# q_url_dedup.
 _PRIORITY = (
     # flagship constants — every round
     "q_source_scan",

@@ -288,6 +288,10 @@ def test_registry_plans_lint_clean(spark):
         "q_pmi_collocations",
         # SemDeDup assignment: 16 centroids broadcast (ivf_assign shape)
         "q_semdedup",
+        # margin mining: 10-row query block × 100-row target block plus
+        # the target block's self-join — all bounded by the block
+        # definitions, never the corpus (ANN-probed at scale)
+        "q_margin_knn",
         # explicit HLL: 1-row exact-count broadcast joined to the 1-row
         # sketch aggregate
         "q_hll_explicit",
