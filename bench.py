@@ -94,6 +94,10 @@ HEADLINE = [
     # the post-drain passes cannot silently regress
     "q_stream_ks",
     "q_stream_anomaly_sliding",
+    # round-7: the 8-round k-core peel — pinned so the per-round
+    # lineage-truncation discipline (3^rounds plan blowup without it)
+    # cannot silently regress
+    "q_kcore",
 ]
 
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl")

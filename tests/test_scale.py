@@ -893,6 +893,42 @@ def test_exact_neardup_ground_truth_on_50k_docs(spark):
     assert n_caught == n // 2  # recall 1.0 on planted twins
 
 
+def test_kcore_peel_closed_form_at_30k_docs(spark, tmp_path):
+    """k-core peel at 30k docs with a closed-form answer: docs come in
+    identical TRIPLES (3-cliques in the LSH graph — identical signatures
+    collide in every band), so after the k=2 peel EVERY doc survives
+    with core degree exactly 2, and the 8 peel rounds never fan out
+    (each round's edge set is already the fixpoint).  Wall-clock bounds
+    the LSH build + 8 aggregate/semi-join rounds."""
+    from kafkastreamsjavachallenge_spark.queries.audits import q_kcore
+
+    n = 30_000
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(14)),
+        lambda i: F.concat(F.lit("w"), (F.col("id") % (n // 3)) * 50 + i),
+    )
+    spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", words).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("s").alias("source"),
+        F.lit(100).cast("long").alias("n_chars"),
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    t0 = time.time()
+    agg = (
+        q_kcore(spark, str(tmp_path))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("deg_core").alias("lo"),
+            F.max("deg_core").alias("hi"),
+        )
+        .collect()[0]
+    )
+    elapsed = time.time() - t0
+    assert (agg["n"], agg["lo"], agg["hi"]) == (n, 2, 2)
+    assert elapsed < 150, f"k-core peel took {elapsed:.1f}s on {n} docs"
+
+
 def test_star_components_converge_logarithmically_on_path_graph(spark):
     """Adversarial duplicate-chain fixture for the alternating-star CC
     flag: a 10k-node PATH graph (0-1-2-…-9999) has diameter 10k, so
