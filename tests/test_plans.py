@@ -566,3 +566,35 @@ def test_band_index_compaction_bounds_files_across_ingest(spark, tmp_path):
     got = band_index_matches(copies, spark, path)
     hit_new = {r["new_id"] for r in got.collect()}
     assert hit_new == {1_000_000 + i for i in range(5)}
+
+
+def test_url_dedup_is_pure_scan_aggregate(spark):
+    """q_url_dedup must stay join-free and window-free: canonicalization
+    is a scan-side string projection, dedup-rate two hash aggregates —
+    the shape that scales to any frontier size with one shuffle on the
+    canonical key."""
+    df = REG["q_url_dedup"][0](spark, SF_DIR)
+    p = plan(df)
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert "partial_count" in p  # map-side combine on the canon groupBy
+
+
+def test_good_turing_partial_aggregation(spark):
+    """Both Good-Turing aggregates (token tf, per-source spectrum) plan
+    as two-phase hash aggregation — the map-side combine that keeps the
+    shuffle carrying (source, token) partials, not raw occurrences."""
+    df = REG["q_good_turing"][0](spark, SF_DIR)
+    p = plan(df)
+    assert "partial_count" in p
+    assert "Window" not in p, p
+
+
+def test_margin_knn_broadcasts_both_blocks(spark):
+    """The query and target blocks must BROADCAST (bounded by the block
+    filters) — a shuffled all-pairs join here would be the scale
+    killer; the corpus side never moves."""
+    df = REG["q_margin_knn"][0](spark, SF_DIR)
+    p = plan(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert "SortMergeJoin" not in p.split("Window")[0], p
