@@ -619,3 +619,74 @@ def test_stream_sliding_anomaly_multibatch_append_finals(spark, event_files):
     horizon = max(ws for _, ws in got)
     open_tail = [k for k in want if k not in got]
     assert all(ws >= horizon for _, ws in open_tail)
+
+
+def test_sliding_window_append_checkpoint_recovery(spark, event_files, tmp_path):
+    """Kill-and-restart the append-mode sliding-window monitor (the
+    q_stream_anomaly_sliding core) from its checkpoint: append mode
+    emits each closed window EXACTLY once across both runs — no window
+    is re-emitted after restart (the state store holds the emitted-
+    watermark), and every emitted count is final-correct against the
+    batch sliding expansion."""
+    import time as _t
+
+    from kafkastreamsjavachallenge_spark.streaming.pipeline import (
+        ensure_event_time,
+    )
+
+    d, ev = event_files
+    ckpt = str(tmp_path / "ckpt_sliding")
+    emitted: list[tuple] = []
+
+    def start():
+        stream = ensure_event_time(
+            file_stream(spark, d, ev.schema, max_files_per_trigger=1), "ts"
+        )
+        win = (
+            stream.withWatermark("ts", "2 minutes")
+            .groupBy(
+                "event_type", F.window("ts", "2 minutes", "1 minute").alias("w")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("event_type", F.col("w.start").alias("ws"), "n")
+        )
+        return (
+            win.writeStream.foreachBatch(
+                lambda bdf, bid: emitted.extend(
+                    (r["event_type"], r["ws"], r["n"]) for r in bdf.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    while not q1.recentProgress:
+        _t.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination()
+    q2 = start()
+    q2.awaitTermination()
+
+    keys = [(t, w) for t, w, _ in emitted]
+    assert len(keys) == len(set(keys)), "a closed window was emitted twice"
+    assert keys, "no window closed across the two runs"
+    want = {
+        (r["event_type"], r["ws"]): r["n"]
+        for r in ev.select(
+            "event_type",
+            F.explode(
+                F.array(
+                    F.date_trunc("minute", F.col("ts")),
+                    F.date_trunc("minute", F.col("ts"))
+                    - F.expr("INTERVAL 1 MINUTE"),
+                )
+            ).alias("ws"),
+        )
+        .groupBy("event_type", "ws")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert all(want[(t, w)] == n for t, w, n in emitted)
