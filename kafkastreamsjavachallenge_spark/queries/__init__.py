@@ -61,7 +61,7 @@ _MODULES = (
 # q_stream_anomaly_sliding), then the never-checked round-6 corpus pack,
 # the VERDICT-named dedup/retrieval ids, and the 6 never-checked
 # q_stream_* ids.  All 44 fuzz-verified across >= 2 regenerated seeds +
-# sf0.001 this round.  Lifetime 268/298 if green.
+# sf0.001 this round.  Lifetime 268/305 if green (registry grew to 305 during round 7).
 # Never-checked after r07 (35, the whole r08 slate — all fuzz-swept
 # green on >= 2 regenerated seeds during round 7):
 # q_iqr_outliers q_hash_fns q_variant_extract q_recursive_cte
@@ -73,7 +73,8 @@ _MODULES = (
 # q_export_manifest q_ann_recall q_tokenizer_fertility q_split_leakage
 # q_score_calibration — plus the round-7 audit pack added after this
 # rotation: q_kcore q_margin_knn q_good_turing q_cohen_kappa
-# q_url_dedup.
+# q_url_dedup q_t_closeness q_approx_quantile_bound (37 total for r08
+# if none is slated mid-round).
 _PRIORITY = (
     # flagship constants — every round
     "q_source_scan",

@@ -467,10 +467,185 @@ _URL_DEDUP_SQL = (
 )
 
 
+
+# -------------------------------------------------- t-closeness (privacy)
+
+
+_TCLOSE_M = 8  # sensitive-attribute buckets (ordered 0..7)
+
+
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit — the third gate of the release-privacy trilogy
+    (q_k_anonymity: class size; q_l_diversity: sensitive diversity;
+    here: sensitive DISTRIBUTION).  A QI class can be large and diverse
+    yet still leak if its sensitive-value distribution diverges from the
+    corpus (Li et al., ICDE 2007): for the same (event_type, hour) QI
+    and an ordered 8-bucket sensitive measurement (|floor(value)| % 8),
+    each class's Earth-Mover distance to the global distribution is the
+    mean of |prefix-sum gaps| — a rational with denominator
+    (m-1)·sz·N, so t lands as an exact-integer e6 floor with no float
+    in the hash (the q_ks_test construction, applied per class).
+    Reports, per threshold t ∈ {0.20, 0.35, 0.50}, how many classes
+    (and rows) exceed it — the same 3-row broadcast threshold-join
+    shape as the two sibling audits.
+
+    Scale: one (QI, bucket) aggregate, a per-class window over the
+    FIXED 8-bucket grid, one threshold join — no stage touches raw rows
+    twice.  The cross-multiplied prefix numerator stays under 2^63 to
+    ~10^8 rows per class; beyond that, pre-normalize to a fixed 1e9
+    grid (same note as q_ks_test)."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        (F.abs(F.floor("value")).cast("bigint") % _TCLOSE_M).alias("sb"),
+    )
+    cb = rows.groupBy("event_type", "hr", "sb").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cls = cb.groupBy("event_type", "hr").agg(F.sum("c").alias("sz"))
+    g = rows.groupBy("sb").agg(F.count(F.lit(1)).alias("gc"))
+    tot = g.agg(F.sum("gc").alias("n_total"))
+    grid = (
+        cls.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(tot))
+        .join(cb, ["event_type", "hr", "sb"], "left")
+    )
+    w = (
+        Window.partitionBy("event_type", "hr")
+        .orderBy("sb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "event_type",
+        "hr",
+        "sz",
+        "n_total",
+        F.sum(F.coalesce(F.col("c"), F.lit(0))).over(w).alias("cum_c"),
+        F.sum("gc").over(w).alias("cum_g"),
+    )
+    t = (
+        cum.groupBy("event_type", "hr", "sz", "n_total")
+        .agg(
+            F.sum(
+                F.abs(F.col("cum_c") * F.col("n_total") - F.col("cum_g") * F.col("sz"))
+            ).alias("t_num")
+        )
+        .select(
+            "sz",
+            "n_total",
+            F.expr(
+                f"(t_num * 1000000) DIV ({_TCLOSE_M - 1} * sz * n_total)"
+            ).alias("t_e6"),
+        )
+    )
+    thr = tot.select(
+        F.explode(
+            F.array(F.lit(200000), F.lit(350000), F.lit(500000))
+        ).alias("thr_e6")
+    ).select(F.col("thr_e6").cast("bigint").alias("thr_e6"))
+    return (
+        thr.join(t, F.col("t_e6") > F.col("thr_e6"), "left")
+        .groupBy("thr_e6")
+        .agg(
+            F.count("t_e6").cast("bigint").alias("n_classes"),
+            F.coalesce(F.sum("sz"), F.lit(0)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.max("t_e6"), F.lit(0)).cast("bigint").alias("max_t_e6"),
+        )
+    )
+
+
+_TCLOSE_SQL = (
+    "WITH rws AS (SELECT event_type, date_trunc('hour', ts) AS hr, "
+    f"CAST(abs(floor(value)) AS BIGINT) % {_TCLOSE_M} AS sb FROM events), "
+    "cb AS (SELECT event_type, hr, sb, count(*) AS c FROM rws GROUP BY 1, 2, 3), "
+    "cls AS (SELECT event_type, hr, CAST(sum(c) AS BIGINT) AS sz FROM cb GROUP BY 1, 2), "
+    "g AS (SELECT sb, count(*) AS gc FROM rws GROUP BY sb), "
+    "tot AS (SELECT CAST(sum(gc) AS BIGINT) AS n_total FROM g), "
+    "cum AS (SELECT cls.event_type, cls.hr, cls.sz, tot.n_total, "
+    "sum(coalesce(cb.c, 0)) OVER (PARTITION BY cls.event_type, cls.hr "
+    "ORDER BY g.sb ROWS UNBOUNDED PRECEDING) AS cum_c, "
+    "sum(g.gc) OVER (PARTITION BY cls.event_type, cls.hr "
+    "ORDER BY g.sb ROWS UNBOUNDED PRECEDING) AS cum_g "
+    "FROM cls CROSS JOIN g CROSS JOIN tot "
+    "LEFT JOIN cb ON cb.event_type = cls.event_type AND cb.hr = cls.hr "
+    "AND cb.sb = g.sb), "
+    "t AS (SELECT sz, n_total, "
+    "CAST((sum(abs(cum_c * n_total - cum_g * sz)) * 1000000) "
+    f"// ({_TCLOSE_M - 1} * sz * n_total) AS BIGINT) AS t_e6 "
+    "FROM cum GROUP BY event_type, hr, sz, n_total), "
+    "thr AS (SELECT CAST(thr_e6 AS BIGINT) AS thr_e6 FROM "
+    "(SELECT unnest([200000, 350000, 500000]) AS thr_e6)) "
+    "SELECT thr.thr_e6, CAST(count(t.t_e6) AS BIGINT) AS n_classes, "
+    "CAST(coalesce(sum(t.sz), 0) AS BIGINT) AS n_rows, "
+    "CAST(coalesce(max(t.t_e6), 0) AS BIGINT) AS max_t_e6 "
+    "FROM thr LEFT JOIN t ON t.t_e6 > thr.thr_e6 GROUP BY thr.thr_e6"
+)
+
+
+# --------------------------------------- approx-percentile error contract
+
+
+_PCT_ACC = 100  # percentile_approx accuracy -> rank error <= n/accuracy
+
+
+def q_approx_quantile_bound(spark, sf_dir):
+    """Error-contract oracle for percentile_approx — the
+    q_approx_distinct_bound move applied to the quantile sketch: per
+    event_type, the approximate median must identify a value whose
+    EXACT rank interval [count_lt + 1, count_le] intersects the true
+    median rank window widened by 3x the sketch's guaranteed rank error
+    (n / accuracy, Greenwald-Khanna bound).  The predicate is pure
+    integers (both sides multiplied through by the accuracy), so DuckDB
+    can assert the CONTRACT — constant 1 — without reproducing the
+    sketch value, and the row hash-matches iff Spark's sketch honors
+    its bound on this data.  The sketch VALUE itself never enters the
+    hash (merge order across partitions may legally vary it within the
+    bound).
+
+    Scale: one aggregate for the sketch, one map-side-combinable
+    conditional count join back on the bounded event-type key."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ap = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, _PCT_ACC).alias("apx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    ranks = (
+        ev.join(F.broadcast(ap), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("apx"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_lt"),
+            F.sum(F.when(F.col("value") <= F.col("apx"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_le"),
+        )
+    )
+    a = _PCT_ACC
+    lo = F.expr("(n + 1) DIV 2")
+    hi = F.expr("(n + 2) DIV 2")
+    within = (
+        (F.lit(a) * (F.col("c_lt") + 1) <= F.lit(a) * hi + 3 * F.col("n"))
+        & (F.lit(a) * F.col("c_le") >= F.lit(a) * lo - 3 * F.col("n"))
+    )
+    return ranks.select(
+        "event_type", "n", within.cast("int").alias("within_3err")
+    )
+
+
+_PCT_BOUND_SQL = (
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n, 1 AS within_3err "
+    "FROM events GROUP BY event_type"
+)
+
+
 QUERIES = {
     "q_kcore": (q_kcore, _kcore_sql()),
     "q_margin_knn": (q_margin_knn, _MARGIN_SQL),
     "q_good_turing": (q_good_turing, _GOOD_TURING_SQL),
     "q_cohen_kappa": (q_cohen_kappa, _KAPPA_SQL),
     "q_url_dedup": (q_url_dedup, _URL_DEDUP_SQL),
+    "q_t_closeness": (q_t_closeness, _TCLOSE_SQL),
+    "q_approx_quantile_bound": (q_approx_quantile_bound, _PCT_BOUND_SQL),
 }

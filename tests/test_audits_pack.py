@@ -166,3 +166,55 @@ def test_url_dedup_collapses_tracking_and_case(spark, tmp_path):
     assert r["n_canon"] == 2
     assert r["max_group"] == 20
     assert r["dup_bp"] == (30 - 2) * 10000 // 30
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    df.write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_t_closeness_planted_skewed_class(spark, tmp_path):
+    """Two QI classes over an 8-bucket sensitive attribute: class A holds
+    56 rows uniform over buckets 0..7 (7 each), class B holds 8 rows all
+    in bucket 0.  Global (N=64): bucket0 = 15, others 7.  Exact EMD:
+    class A's |prefix gaps| sum to 1568/(56·64) -> t = 1/16 = 62500 e6;
+    class B's to 1568/(8·64) -> t = 7/16 = 437500 e6.  So thresholds
+    0.20 and 0.35 each catch ONLY class B (8 rows), 0.50 catches
+    nothing."""
+    import datetime
+
+    from kafkastreamsjavachallenge_spark.queries.audits import q_t_closeness
+
+    t0 = datetime.datetime(2024, 1, 1, 9, 0, 0)
+    t1 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (8 * r + b, t0, 1, "a", float(b))
+        for r in range(7)
+        for b in range(8)
+    ]  # class A: 7 rows per bucket
+    rows += [(100 + i, t1, 1, "a", 0.0) for i in range(8)]  # all bucket 0
+    _write_events(spark, tmp_path, rows)
+    out = {r["thr_e6"]: r for r in q_t_closeness(spark, str(tmp_path)).collect()}
+    assert sorted(out) == [200000, 350000, 500000]
+    assert out[200000]["n_classes"] == 1 and out[200000]["n_rows"] == 8
+    assert out[350000]["n_classes"] == 1
+    assert out[500000]["n_classes"] == 0 and out[500000]["n_rows"] == 0
+    assert out[200000]["max_t_e6"] == 437500
+
+
+def test_approx_quantile_bound_holds_on_real_data(spark):
+    """The percentile_approx rank contract must hold (within_3err = 1)
+    for every event_type on the real sf0.001 table — the same predicate
+    the oracle pins, asserted here directly against the exact ranks."""
+    from kafkastreamsjavachallenge_spark.queries.audits import (
+        q_approx_quantile_bound,
+    )
+
+    from tests.conftest import SF_DIR
+
+    rows = q_approx_quantile_bound(spark, SF_DIR).collect()
+    assert rows and all(r["within_3err"] == 1 for r in rows)

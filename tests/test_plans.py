@@ -288,6 +288,9 @@ def test_registry_plans_lint_clean(spark):
         "q_pmi_collocations",
         # SemDeDup assignment: 16 centroids broadcast (ivf_assign shape)
         "q_semdedup",
+        # t-closeness: 8-bucket grid + 1-row total broadcasts (the
+        # q_ks_test grid shape per class)
+        "q_t_closeness",
         # margin mining: 10-row query block × 100-row target block plus
         # the target block's self-join — all bounded by the block
         # definitions, never the corpus (ANN-probed at scale)
