@@ -1190,3 +1190,36 @@ def test_token_budget_allocations_sum_exactly(spark):
     rows = q_token_budget(spark, SF_DIR).collect()
     assert sum(r["alloc_tokens"] for r in rows) == 10_000_000
     assert all(r["alloc_tokens"] >= 0 for r in rows)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 5), min_size=3, max_size=8),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_max_df_capping_is_conservative_property(shared_spark, token_docs):
+    """Property (pins the docstring's conservative-only claim): for ANY
+    small corpus over a 6-word vocabulary — maximal shingle sharing, so
+    the cap actually bites — exact_neardup_pairs with a max_df cap
+    returns a SUBSET of the uncapped pairs: capping can only drop pairs
+    (whose surviving overlap fell below threshold), never invent one."""
+    from kafkastreamsjavachallenge_spark.operators.dedup import (
+        exact_neardup_pairs,
+    )
+
+    docs = shared_spark.createDataFrame(
+        [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(token_docs)],
+        "doc_id long, text string",
+    )
+    full = {
+        (r["id_a"], r["id_b"]) for r in exact_neardup_pairs(docs).collect()
+    }
+    for cap in (1, 2, 4):
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in exact_neardup_pairs(docs, max_df=cap).collect()
+        }
+        assert capped <= full, (cap, capped - full)
