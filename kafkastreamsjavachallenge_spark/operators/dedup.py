@@ -330,19 +330,21 @@ def exact_neardup_pairs_from_shingled(
     )
 
 
-def _drop_hot_shingles(ex: DataFrame, max_df: int) -> DataFrame:
-    """Anti-join the exploded (id, g) inverted index against its own
-    hot-shingle list (df > max_df).  The hot list is tiny by
+def _drop_hot_shingles(ex: DataFrame, max_df: int, col: str = "g") -> DataFrame:
+    """Anti-join an exploded inverted index against its own hot-key list
+    (frequency > max_df on ``col``).  The hot list is tiny by
     construction — Zipf puts very few shingles above any sane cap — so
     AQE broadcasts it and the cap costs one map-side-combinable count
-    aggregate, no extra full shuffle of the index itself."""
+    aggregate, no extra full shuffle of the index itself.  Shared by the
+    doc-frequency caps (exact_neardup_pairs, q_containment) and the
+    source-frequency cap (q_source_overlap)."""
     hot = (
-        ex.groupBy("g")
+        ex.groupBy(col)
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > max_df)
-        .select("g")
+        .select(col)
     )
-    return ex.join(hot, "g", "left_anti")
+    return ex.join(hot, col, "left_anti")
 
 
 def ngram_jaccard(
@@ -636,9 +638,14 @@ def compact_band_index(
     writes only that directory's rows, so nightly maintenance costs
     O(over-appended dirs), never the index).  The rewrite stages into a
     dot-prefixed temp dir (invisible to parquet readers) and swaps via
-    rename, so a concurrent probe sees either the old or the new file
-    set, both complete.  Returns {band=N/bp=X: new file count} for the
-    directories it rewrote."""
+    two renames (live -> trash, tmp -> live), so no crash point loses
+    rows — both complete file sets persist until the final trash
+    delete.  The swap is NOT atomic: a probe that plans during the
+    instant between the renames sees an absent directory (empty bucket),
+    so run compaction as a maintenance step off the probe path — at
+    cluster scale, under the table lock / snapshot isolation the
+    catalog layer (Delta/Iceberg) provides.  Returns
+    {band=N/bp=X: new file count} for the directories it rewrote."""
     import math
 
     jvm = spark._jvm
@@ -670,18 +677,26 @@ def compact_band_index(
             )
             key = f"{band_st.getPath().getName()}/{dpath.getName()}"
             tmp = jvm.org.apache.hadoop.fs.Path(jroot, f".compact_tmp/{key}")
+            trash = jvm.org.apache.hadoop.fs.Path(jroot, f".compact_trash/{key}")
             (
                 spark.read.parquet(dpath.toString())
                 .repartition(n_out)
                 .write.mode("overwrite")
                 .parquet(tmp.toString())
             )
-            fs.delete(dpath, True)
+            # rename the live dir ASIDE (not delete) before promoting the
+            # rewrite: a crash at any point leaves both complete file
+            # sets on disk — the old rows are only deleted after the new
+            # set is live
+            fs.mkdirs(trash.getParent())
+            fs.rename(dpath, trash)
             fs.rename(tmp, dpath)
+            fs.delete(trash, True)
             compacted[key] = n_out
-    tmp_root = jvm.org.apache.hadoop.fs.Path(jroot, ".compact_tmp")
-    if fs.exists(tmp_root):
-        fs.delete(tmp_root, True)
+    for d in (".compact_tmp", ".compact_trash"):
+        p = jvm.org.apache.hadoop.fs.Path(jroot, d)
+        if fs.exists(p):
+            fs.delete(p, True)
     return compacted
 
 

@@ -62,8 +62,9 @@ _MODULES = (
 # the VERDICT-named dedup/retrieval ids, and the 6 never-checked
 # q_stream_* ids.  All 44 fuzz-verified across >= 2 regenerated seeds +
 # sf0.001 this round.  Lifetime 268/305 if green (registry grew to 305 during round 7).
-# Never-checked after r07 (35, the whole r08 slate — all fuzz-swept
-# green on >= 2 regenerated seeds during round 7):
+# Never-checked after r07 (37 = the 30 below + the 7 round-7 audit-pack
+# ids, the whole r08 slate — all fuzz-swept green on >= 2 regenerated
+# seeds during round 7):
 # q_iqr_outliers q_hash_fns q_variant_extract q_recursive_cte
 # q_json_props_stats q_anomaly_zscore q_gini q_benford q_moving_median
 # q_pareto q_haversine q_zorder_layout q_skew_advisor q_prune_simulator

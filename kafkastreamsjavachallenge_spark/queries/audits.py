@@ -539,11 +539,18 @@ def q_t_closeness(spark, sf_dir):
             ).alias("t_e6"),
         )
     )
-    thr = tot.select(
-        F.explode(
-            F.array(F.lit(200000), F.lit(350000), F.lit(500000))
-        ).alias("thr_e6")
-    ).select(F.col("thr_e6").cast("bigint").alias("thr_e6"))
+    # threshold frame from literals, NOT from `tot`: deriving it from the
+    # aggregate would re-execute the whole rows->g->tot subtree (a second
+    # full events scan) just to seed three constants
+    thr = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(F.lit(200000), F.lit(350000), F.lit(500000))
+            ).alias("t")
+        )
+        .select(F.col("t").cast("bigint").alias("thr_e6"))
+    )
     return (
         thr.join(t, F.col("t_e6") > F.col("thr_e6"), "left")
         .groupBy("thr_e6")

@@ -3003,13 +3003,7 @@ def q_source_overlap(spark, sf_dir, max_source_df=None):
         .distinct()
     )
     if max_source_df is not None:
-        hot = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("sdf"))
-            .filter(F.col("sdf") > max_source_df)
-            .select("sh")
-        )
-        sh = sh.join(hot, "sh", "left_anti")
+        sh = D._drop_hot_shingles(sh, max_source_df, col="sh")
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("source").alias("source_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("source").alias("source_b"), F.col("sh").alias("sh_b"))

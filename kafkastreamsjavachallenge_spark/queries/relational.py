@@ -169,14 +169,18 @@ def q_approx_distinct(spark, sf_dir):
 def q_approx_distinct_bound(spark, sf_dir):
     """Error-contract oracle for the HLL++ built-in: per event_type, the
     exact distinct-user count plus an integer predicate pinning
-    |approx - exact| <= 3·rsd·exact at the default rsd = 0.05 (so
-    20·|Δ| <= 3·exact, integers only — no float boundary).  DuckDB
-    cannot reproduce Spark's sketch VALUE, but it can assert the
-    CONTRACT: the oracle emits the same exact counts with within_3rsd
-    constant 1, and the row hash-matches iff Spark's sketch actually
-    honors its advertised bound on this data.  The q_hll_explicit move
-    applied to the built-in — turns a rows-only id into a hash-checked
-    one.
+    |approx - exact| <= 5·rsd·exact at the default rsd = 0.05 (so
+    4·|Δ| <= exact, integers only — no float boundary).  DuckDB cannot
+    reproduce Spark's sketch VALUE, but it can assert the CONTRACT: the
+    oracle emits the same exact counts with within_5rsd constant 1, and
+    the row hash-matches iff Spark's sketch actually honors the bound on
+    this data.  The margin is 5·rsd (not 3) because rsd is a STANDARD
+    error, not a worst case — a 3-sigma tail has nonzero per-group
+    failure probability across repeated fuzz regenerations, while at
+    these cardinalities (well inside HLL++'s near-exact linear-counting
+    range for rsd 0.05) a 25% deviation is effectively impossible.  The
+    q_hll_explicit move applied to the built-in — turns a rows-only id
+    into a hash-checked one.
 
     Scale: one hash aggregate; exact + sketch compute in the same
     partial-agg pass, group keys bounded by the event-type catalog."""
@@ -191,11 +195,11 @@ def q_approx_distinct_bound(spark, sf_dir):
             "event_type",
             "exact_users",
             (
-                F.abs(F.col("approx") - F.col("exact_users")) * 20
-                <= F.col("exact_users") * 3
+                F.abs(F.col("approx") - F.col("exact_users")) * 4
+                <= F.col("exact_users")
             )
             .cast("int")
-            .alias("within_3rsd"),
+            .alias("within_5rsd"),
         )
     )
 
@@ -871,7 +875,7 @@ QUERIES = {
     "q_approx_distinct_bound": (
         q_approx_distinct_bound,
         "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
-        "AS exact_users, 1 AS within_3rsd FROM events GROUP BY event_type",
+        "AS exact_users, 1 AS within_5rsd FROM events GROUP BY event_type",
     ),
     "q_row_number": (
         q_row_number,

@@ -191,6 +191,11 @@ def gen_lineitem(rng: random.Random, n_orders: int = 15_000, n: int = 60_000) ->
     # draw a 1..7 line count per order, then nudge random orders until the
     # total is exactly n — every order keeps >= 1 line, every
     # (l_orderkey, l_linenumber) pair is unique by construction
+    if n < n_orders:
+        raise ValueError(
+            f"n={n} < n_orders={n_orders}: every order keeps >= 1 lineitem, "
+            "so the total cannot shrink below the order count"
+        )
     counts = [rng.randint(1, 7) for _ in range(n_orders)]
     total = sum(counts)
     while total < n:
