@@ -64,9 +64,12 @@ HEADLINE = [
     # cannot silently regress to the per-occurrence / self-join shapes
     "q_bpe_tokenize",
     "q_tpch_q2",
-    # round-4: multi-vector late-interaction scoring (broadcast query
-    # block + two map-side-combinable aggregates)
-    "q_maxsim",
+    # round-4: multi-vector late-interaction scoring; round-8 swapped the
+    # headline entry to the Arrow/BLAS path (one matmul per group) —
+    # the declarative fold twin q_maxsim stays registered and
+    # oracle-checked, but its interpreted 64-dim per-pair arithmetic was
+    # 10% of headline wall-time with 45% spread (round-7 VERDICT item 2)
+    "q_maxsim_blas",
     # round-4: IVF-PQ composite probe and the shingle-join recall audit
     # (the audit's inverted-index ground truth is the bench's heaviest
     # pair stage — worth watching at sf0.1)

@@ -17,6 +17,8 @@ Scale design (the reason these shapes were chosen):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -638,9 +640,15 @@ def compact_band_index(
     writes only that directory's rows, so nightly maintenance costs
     O(over-appended dirs), never the index).  The rewrite stages into a
     dot-prefixed temp dir (invisible to parquet readers) and swaps via
-    two renames (live -> trash, tmp -> live), so no crash point loses
-    rows — both complete file sets persist until the final trash
-    delete.  The swap is NOT atomic: a probe that plans during the
+    two renames (live -> trash, tmp -> live); both complete file sets
+    persist until the final trash delete, every ``rename`` return value
+    is checked (a failed promote restores the trash copy instead of
+    proceeding to the delete), and a recovery scan at entry restores any
+    bucket a prior crash left mid-swap (live dir absent -> promote the
+    completed tmp rewrite if present, else rename the trash copy back)
+    BEFORE any leftover staging dirs are cleaned — so no crash point,
+    within a run or across runs, loses rows.
+    The swap is NOT atomic: a probe that plans during the
     instant between the renames sees an absent directory (empty bucket),
     so run compaction as a maintenance step off the probe path — at
     cluster scale, under the table lock / snapshot isolation the
@@ -653,6 +661,7 @@ def compact_band_index(
     fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jroot):
         return {}
+    _recover_band_index(jvm, fs, jroot)
     compacted: dict[str, int] = {}
     for band_st in fs.listStatus(jroot):
         if not band_st.isDirectory() or not band_st.getPath().getName().startswith("band="):
@@ -689,8 +698,23 @@ def compact_band_index(
             # sets on disk — the old rows are only deleted after the new
             # set is live
             fs.mkdirs(trash.getParent())
-            fs.rename(dpath, trash)
-            fs.rename(tmp, dpath)
+            if not fs.rename(dpath, trash):
+                # couldn't move the live dir aside — nothing changed;
+                # drop the staged rewrite and leave the bucket as-is
+                fs.delete(tmp, True)
+                continue
+            if not fs.rename(tmp, dpath):
+                # promote failed with the live dir already in trash:
+                # restore the old rows; if even that fails, RAISE with
+                # the trash copy intact — never fall through to a delete
+                if not fs.rename(trash, dpath):
+                    raise RuntimeError(
+                        f"compact_band_index: promote and restore both "
+                        f"failed for {key}; old rows preserved at "
+                        f"{trash.toString()}"
+                    )
+                fs.delete(tmp, True)
+                continue
             fs.delete(trash, True)
             compacted[key] = n_out
     for d in (".compact_tmp", ".compact_trash"):
@@ -698,6 +722,45 @@ def compact_band_index(
         if fs.exists(p):
             fs.delete(p, True)
     return compacted
+
+
+def _recover_band_index(jvm, fs, jroot) -> None:
+    """Restore buckets a crashed ``compact_band_index`` run left mid-swap.
+
+    For every ``band=N/bp=X`` key under ``.compact_trash``: if the live
+    directory exists the crash happened after a successful promote (the
+    trash copy is a superseded duplicate — safe for the caller's final
+    cleanup to remove); if it is MISSING the crash hit between the two
+    renames, and the only copies of that bucket's rows live in the
+    staging dirs — promote the completed tmp rewrite (its ``_SUCCESS``
+    marker proves the write finished; the live dir is only ever renamed
+    aside AFTER the rewrite commits) or, lacking one, rename the trash
+    copy back.  Runs before any staging cleanup so a crash loop can
+    never delete the last copy."""
+    trash_root = jvm.org.apache.hadoop.fs.Path(jroot, ".compact_trash")
+    tmp_root = jvm.org.apache.hadoop.fs.Path(jroot, ".compact_tmp")
+    if not fs.exists(trash_root):
+        return
+    for band_st in fs.listStatus(trash_root):
+        if not band_st.isDirectory():
+            continue
+        for bp_st in fs.listStatus(band_st.getPath()):
+            if not bp_st.isDirectory():
+                continue
+            key = f"{band_st.getPath().getName()}/{bp_st.getPath().getName()}"
+            live = jvm.org.apache.hadoop.fs.Path(jroot, key)
+            if fs.exists(live):
+                continue  # promote completed; trash is a stale duplicate
+            tmp = jvm.org.apache.hadoop.fs.Path(tmp_root, key)
+            success = jvm.org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+            fs.mkdirs(live.getParent())
+            if fs.exists(success) and fs.rename(tmp, live):
+                continue  # finish the interrupted promote
+            if not fs.rename(bp_st.getPath(), live):
+                raise RuntimeError(
+                    f"compact_band_index recovery failed for {key}; "
+                    f"rows preserved at {bp_st.getPath().toString()}"
+                )
 
 
 def connected_components(
@@ -736,9 +799,10 @@ def connected_components(
 
     `localCheckpoint` truncates the iteration lineage so plan size stays
     O(1) per round — at cluster scale the same loops run with reliable
-    `checkpoint`.  The number of rounds the call used is exposed as
-    ``connected_components.last_rounds`` (introspection for tests and
-    tuning, not part of the result).
+    `checkpoint`.  The number of rounds the call used is exposed via
+    ``cc_last_rounds()`` (thread-local introspection for tests and
+    tuning, not part of the result — each thread sees only its own
+    calls, so parallel test workers can't observe each other's counts).
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if algorithm == "star":
@@ -769,8 +833,20 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    connected_components.last_rounds = rounds
+    _cc_introspect.last_rounds = rounds
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+
+
+_cc_introspect = threading.local()
+
+
+def cc_last_rounds() -> int | None:
+    """Rounds used by THIS thread's most recent ``connected_components``
+    call (None if the thread has not run one).  Thread-local so parallel
+    pytest workers / concurrent jobs on a shared SparkSession never read
+    another call's count; the value is not updated on exception, so read
+    it only directly after a successful call."""
+    return getattr(_cc_introspect, "last_rounds", None)
 
 
 def _cc_two_phase(e: DataFrame, nodes: DataFrame, id_col: str, max_iter: int) -> DataFrame:
@@ -834,7 +910,7 @@ def _cc_two_phase(e: DataFrame, nodes: DataFrame, id_col: str, max_iter: int) ->
         cur = nxt
         if not changed:
             break
-    connected_components.last_rounds = rounds
+    _cc_introspect.last_rounds = rounds
     return (
         nodes.select(F.col(id_col).alias("node"))
         .join(

@@ -52,30 +52,19 @@ _MODULES = (
 # canaries for the reference-parity core) and the rest are ids that have
 # never had a driver-checked row — r01 covered the module-order head, r03
 # a cross-section, r04 44 first-time ids, r05 the re-checked r04 reds +
-# touched oracles + 25 more, r06 the round-5 additions + 15 tail ids
-# (lifetime 224/295 after r06, all green at their latest check).
-# r07 (this slate): ids whose code/oracles changed this round lead
-# (ADVICE fixes q_ks_test / q_semantic_decontaminate /
-# q_concurrency_sweep, the max_df-touched q_containment, and the three
-# new ids q_approx_distinct_bound / q_stream_ks /
-# q_stream_anomaly_sliding), then the never-checked round-6 corpus pack,
-# the VERDICT-named dedup/retrieval ids, and the 6 never-checked
-# q_stream_* ids.  All 44 fuzz-verified across >= 2 regenerated seeds +
-# sf0.001 this round.  Lifetime 268/305 if green (registry grew to 305 during round 7).
-# Never-checked after r07 (37 = the 30 below + the 7 round-7 audit-pack
-# ids, the whole r08 slate — all fuzz-swept green on >= 2 regenerated
-# seeds during round 7):
-# q_iqr_outliers q_hash_fns q_variant_extract q_recursive_cte
-# q_json_props_stats q_anomaly_zscore q_gini q_benford q_moving_median
-# q_pareto q_haversine q_zorder_layout q_skew_advisor q_prune_simulator
-# q_broadcast_advisor q_ts_motif q_url_parse q_hll_union q_udf_text
-# q_binary_meta q_contamination_report q_ngram_novelty
-# q_unigram_logprob q_bigram_logprob q_domain_cap_scaled
-# q_export_manifest q_ann_recall q_tokenizer_fertility q_split_leakage
-# q_score_calibration — plus the round-7 audit pack added after this
-# rotation: q_kcore q_margin_knn q_good_turing q_cohen_kappa
-# q_url_dedup q_t_closeness q_approx_quantile_bound (37 total for r08
-# if none is slated mid-round).
+# touched oracles + 25 more, r06 the round-5 additions + 15 tail ids,
+# r07 the ADVICE-touched oracles + round-6 corpus pack + streaming ids
+# (lifetime 268/305 after r07, all green at their latest check).
+# r08 (this slate): the LAST 37 ids with no lifetime driver-green row
+# (the round-7 audit pack + 30 older tail ids — all pass the round-7
+# judge's full 305-id exact-value sim and the builder's multi-seed fuzz
+# sweep), plus q_approx_distinct (so its lifetime row becomes a
+# rows-only PASS instead of the r01 no_oracle err), the new
+# q_hll_union_bound (retires the q_hll_union merge contract from
+# rows-only), and the five q_stream_* ids whose staging mechanics were
+# refactored this round (deterministic reusable stage dirs — semantics
+# unchanged, re-checking anyway).  Green slate => lifetime 306/306
+# distinct checked ids on a 306-id registry.
 _PRIORITY = (
     # flagship constants — every round
     "q_source_scan",
@@ -84,54 +73,55 @@ _PRIORITY = (
     "q_minhash_pairs",
     "q_curation_pipeline",
     "q_stream_unique_users",
-    # round-7 code-touched oracles (ADVICE fixes + new ids) first
-    "q_ks_test",
-    "q_semantic_decontaminate",
-    "q_concurrency_sweep",
-    "q_containment",
-    "q_approx_distinct_bound",
-    "q_stream_ks",
-    "q_stream_anomaly_sliding",
-    # VERDICT-named never-checked dedup/retrieval ids
-    "q_semdedup",
-    "q_maxsim",
-    "q_incremental_dedup",
-    "q_crosscorpus_dedup",
-    "q_multimodal_decode",
-    # never-checked streaming ids
-    "q_stream_anomaly",
+    # new this round
+    "q_hll_union_bound",
+    # staging-refactor-touched streaming ids (round-8 ADVICE fix)
     "q_stream_unique_users_append",
-    "q_stream_enrich",
-    "q_stream_dedup",
-    "q_stream_topk",
-    "q_stream_sliding",
-    # round-6 corpus pack, never driver-checked
-    "q_skyline",
-    "q_spearman",
-    "q_seasonal_decompose",
-    "q_auc",
-    "q_silhouette",
-    "q_compaction_plan",
-    "q_l_diversity",
-    "q_ann_batch",
-    "q_rejection_sample",
-    "q_heaps_law",
-    "q_ttr_hapax",
-    "q_zipf_slope",
-    "q_simhash_neardup",
-    "q_hard_negatives",
-    "q_embedding_drift",
-    "q_cluster_sample",
-    "q_bootstrap_ci",
-    "q_watermark_audit",
-    "q_group_kfold",
-    "q_js_divergence",
-    "q_rank_biased_overlap",
-    "q_cosine_histogram",
-    "q_bigram_entropy",
-    "q_epoch_shuffle",
-    "q_dup_cluster_sizes",
-    "q_k_anonymity",
+    "q_stream_anomaly_sliding",
+    "q_stream_ks",
+    "q_stream_funnel",
+    "q_stream_curation",
+    # rows-only retry: lifetime row becomes a pass instead of an err
+    "q_approx_distinct",
+    # round-7 audit pack, never driver-checked
+    "q_kcore",
+    "q_margin_knn",
+    "q_good_turing",
+    "q_cohen_kappa",
+    "q_url_dedup",
+    "q_t_closeness",
+    "q_approx_quantile_bound",
+    # older never-checked tail (complete: every remaining id)
+    "q_iqr_outliers",
+    "q_hash_fns",
+    "q_variant_extract",
+    "q_recursive_cte",
+    "q_json_props_stats",
+    "q_anomaly_zscore",
+    "q_gini",
+    "q_benford",
+    "q_moving_median",
+    "q_pareto",
+    "q_haversine",
+    "q_zorder_layout",
+    "q_skew_advisor",
+    "q_prune_simulator",
+    "q_broadcast_advisor",
+    "q_ts_motif",
+    "q_url_parse",
+    "q_hll_union",
+    "q_udf_text",
+    "q_binary_meta",
+    "q_contamination_report",
+    "q_ngram_novelty",
+    "q_unigram_logprob",
+    "q_bigram_logprob",
+    "q_domain_cap_scaled",
+    "q_export_manifest",
+    "q_ann_recall",
+    "q_tokenizer_fertility",
+    "q_split_leakage",
+    "q_score_calibration",
 )
 
 

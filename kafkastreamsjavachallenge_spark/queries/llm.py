@@ -638,6 +638,47 @@ def q_hll_union(spark, sf_dir):
     )
 
 
+def q_hll_union_bound(spark, sf_dir):
+    """Error-contract oracle for the DataSketches HLL MERGE path — the
+    q_approx_distinct_bound move applied to q_hll_union, retiring the
+    last contract-less rows-only id (round-7 VERDICT item 7).  Per-day
+    sketches are unioned and estimated exactly as q_hll_union does, and
+    the result is the corpus-exact distinct-user count plus an integer
+    predicate pinning |union_estimate - exact| * 12 <= exact — a 8.33%
+    margin ~= 5x the default sketch's rsd (lgConfigK = 12 ->
+    rsd = 1.04/sqrt(4096) ~= 1.63%; the 5-sigma margin for the same
+    fuzz-across-seeds reason q_approx_distinct_bound documents).  DuckDB
+    cannot reproduce the sketch value, but the contract is exact: the
+    oracle emits the same exact count with within_5rsd constant 1, so
+    the hash matches iff the union estimate actually honors the bound.
+    hll_sketch_estimate returns BIGINT, so the predicate is pure integer
+    arithmetic — no float boundary.
+
+    Scale: the whole point of the merge path — sketch once per day at
+    fine grain, merge upward without rescanning the fact table; the
+    exact count here is the TEST's referee, not part of the production
+    plan."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users")) * 12
+            <= F.col("exact_users")
+        )
+        .cast("int")
+        .alias("within_5rsd"),
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Jaccard verification over deterministic candidate pairs (id, id+1)."""
     d = _docs(spark, sf_dir)
@@ -2163,6 +2204,51 @@ def q_maxsim(spark, sf_dir):
     )
 
 
+def q_maxsim_blas(spark, sf_dir):
+    """MaxSim via the Arrow/BLAS escape hatch (operators/retrieval.py
+    maxsim_pandas): identical arithmetic to q_maxsim — sum over query
+    vectors of the per-document-group max cosine — computed as ONE numpy
+    matmul per group instead of a 64-dim interpreted fold per (doc, q)
+    pair.  This is the headline BENCH entry for late interaction
+    (round-7 VERDICT item 2: the declarative fold was 10% of headline
+    wall-time with 45% run-to-run spread); q_maxsim stays registered as
+    the integer-exact oracle twin and the two paths are
+    equivalence-tested at 1e-9 relative in tests/test_operators.py.
+
+    Cross-engine check: BLAS reorders float summation, so the e6-floor
+    integer surface of q_maxsim would flip on final-ulp differences.
+    The contract here rounds the SCORE to e2: ulp-scale deviations
+    (~1e-12 absolute on a sum of ~199 cosines) flip an e2 rounding only
+    within 1e-12 of a 0.005 grid point — orders of magnitude rarer
+    across fuzz regenerations than the 3-sigma tails the 5-rsd sketch
+    margins already reject.  DuckDB computes the exact sequential sum
+    and rounds identically, so the row hash-matches iff the BLAS values
+    are pointwise within rounding of the exact ones.
+
+    Driver-side materialization: the 199-vector query block (label 0)
+    is collected to ship inside the pandas closure — bounded by the
+    label-0 filter (|Q| x 64 floats, ~100 KB), the same bounded-scalar
+    class as the IVF probe lists; at 100 TB the query set is still a
+    query set.  Sorted by vec_id so the numpy sum order is
+    deterministic."""
+    from kafkastreamsjavachallenge_spark.operators.retrieval import maxsim_pandas
+
+    e = _embs(spark, sf_dir)
+    qvecs = [
+        list(r["embedding"])
+        for r in e.filter(F.col("label") == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    scored = maxsim_pandas(e.filter(F.col("label") > 0), qvecs, group_col="label")
+    return scored.select(
+        "doc_label",
+        F.round(F.col("maxsim"), 2).alias("maxsim_r2"),
+        "n_query_vecs",
+    )
+
+
 def q_fasttext_score(spark, sf_dir):
     """Linear text-classifier inference — the fastText-style quality
     filter every web-scale curation pipeline runs (CCNet, RefinedWeb):
@@ -3552,6 +3638,11 @@ QUERIES = {
         "WHERE rn <= 3",
     ),
     "q_hll_union": (q_hll_union, None),
+    "q_hll_union_bound": (
+        q_hll_union_bound,
+        "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, "
+        "1 AS within_5rsd FROM events",
+    ),
     "q_ngram_jaccard": (
         q_ngram_jaccard,
         f"WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents), "
@@ -4071,6 +4162,23 @@ QUERIES = {
         "SELECT doc_label, "
         "CAST(sum(CAST(floor(best * 1000000) AS BIGINT)) AS BIGINT) AS maxsim_e6, "
         "count(*) AS n_query_vecs FROM s GROUP BY doc_label",
+    ),
+    "q_maxsim_blas": (
+        q_maxsim_blas,
+        "WITH q AS (SELECT vec_id AS q_id, embedding AS qv, "
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS qn "
+        "FROM embeddings WHERE label = 0), "
+        "d AS (SELECT label AS doc_label, embedding AS dv, "
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS dn "
+        "FROM embeddings WHERE label > 0), "
+        "s AS (SELECT doc_label, q_id, "
+        "max(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(dv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) / (dn * qn)) AS best "
+        "FROM d CROSS JOIN q GROUP BY doc_label, q_id) "
+        "SELECT doc_label, round(sum(best), 2) AS maxsim_r2, "
+        "CAST(count(*) AS INT) AS n_query_vecs FROM s GROUP BY doc_label",
     ),
     "q_fasttext_score": (
         q_fasttext_score,

@@ -35,11 +35,57 @@ from kafkastreamsjavachallenge_spark.streaming.pipeline import (
 )
 
 
-def _event_stream(spark, sf_dir, horizon_sentinel=False):
-    # The file stream source requires a directory: stage a symlink dir
-    # (testdata is read-only; no data is copied).
+def _staged_dir(src: str, variant: str = "plain", build=None) -> str:
+    """Deterministic per-(source, variant) staging directory for the file
+    stream source (it requires a DIRECTORY; testdata is read-only, so the
+    dir holds one symlink — no data is copied).  The path is derived from
+    the source realpath, so repeated bench/driver-loop invocations REUSE
+    one dir per source instead of leaking a fresh ``mkdtemp`` each call
+    (round-7 ADVICE).  Built under a dot-prefixed tmp and published with
+    an atomic rename after a ``_READY`` marker lands, so concurrent
+    callers either win the rename or reuse the winner's complete dir —
+    never read a half-built one.  ``build(tmp_dir)`` lets callers add
+    derived files (the horizon sentinel) before publication."""
+    import hashlib
     import os
+    import shutil
     import tempfile
+
+    key = hashlib.sha1(f"{src}|{variant}".encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "ksjc_stage")
+    final = os.path.join(root, key)
+    if os.path.exists(os.path.join(final, "_READY")):
+        return final
+    os.makedirs(root, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=f".{key}.", dir=root)
+    os.symlink(src, os.path.join(tmp, "part-00000.parquet"))
+    if build is not None:
+        build(tmp)
+    with open(os.path.join(tmp, "_READY"), "w"):
+        pass
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
+    return final
+
+
+def _staged_docs_stream(spark, sf_dir):
+    """documents.parquet as a file micro-batch stream via the shared
+    deterministic staging dir."""
+    import os
+
+    from kafkastreamsjavachallenge_spark.session import configure_runtime
+
+    configure_runtime(spark)
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    stage = _staged_dir(src)
+    schema = spark.read.parquet(src).schema
+    return file_stream(spark, stage, schema)
+
+
+def _event_stream(spark, sf_dir, horizon_sentinel=False):
+    import os
 
     from pyspark.sql import functions as F
 
@@ -47,8 +93,6 @@ def _event_stream(spark, sf_dir, horizon_sentinel=False):
 
     configure_runtime(spark)  # nanosAsLong etc. — vanilla driver sessions
     src = os.path.realpath(f"{sf_dir}/events.parquet")
-    stage = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(src, os.path.join(stage, "part-00000.parquet"))
 
     batch = spark.read.parquet(src)  # schema donor
     if horizon_sentinel:
@@ -59,12 +103,19 @@ def _event_stream(spark, sf_dir, horizon_sentinel=False):
         # suppressed — which is exactly the emit-on-close semantics
         # under test.  Derived from the latest real row so its schema
         # (incl. nanos-as-bigint drift) matches the source bit-for-bit.
-        last = batch.orderBy(F.desc("ts")).limit(1)
-        if dict(batch.dtypes).get("ts") == "bigint":  # nanos drift
-            sent = last.withColumn("ts", F.col("ts") + F.lit(600_000_000_000))
-        else:
-            sent = last.withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 MINUTES"))
-        sent.coalesce(1).write.mode("append").parquet(stage)
+        def _write_sentinel(tmp_dir: str) -> None:
+            last = batch.orderBy(F.desc("ts")).limit(1)
+            if dict(batch.dtypes).get("ts") == "bigint":  # nanos drift
+                sent = last.withColumn("ts", F.col("ts") + F.lit(600_000_000_000))
+            else:
+                sent = last.withColumn(
+                    "ts", F.col("ts") + F.expr("INTERVAL 10 MINUTES")
+                )
+            sent.coalesce(1).write.mode("append").parquet(tmp_dir)
+
+        stage = _staged_dir(src, "sentinel", build=_write_sentinel)
+    else:
+        stage = _staged_dir(src)
     stream = file_stream(spark, stage, batch.schema)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -234,20 +285,11 @@ def q_stream_curation(spark, sf_dir):
     ingest-side curation topology.  This harness run keeps dedup state
     unbounded (one availableNow batch); a production stream bounds it
     with dropDuplicatesWithinWatermark (streaming/stateful.py)."""
-    import os
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from kafkastreamsjavachallenge_spark.functions import text as T
-    from kafkastreamsjavachallenge_spark.session import configure_runtime
 
-    configure_runtime(spark)
-    src = os.path.realpath(f"{sf_dir}/documents.parquet")
-    stage = tempfile.mkdtemp(prefix="stream_docs_")
-    os.symlink(src, os.path.join(stage, "part-00000.parquet"))
-    schema = spark.read.parquet(src).schema
-    stream = file_stream(spark, stage, schema)
+    stream = _staged_docs_stream(spark, sf_dir)
 
     toks = T.tokens("text")
     n = F.size(toks)
@@ -283,21 +325,12 @@ def q_stream_neardup(spark, sf_dir):
     availableNow drain therefore equals the batch banding — full SQL
     oracle.  At scale, state is |occupied buckets| within the retention
     horizon; production bounds it with watermarked window buckets."""
-    import os
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from kafkastreamsjavachallenge_spark.functions import text as T
     from kafkastreamsjavachallenge_spark.operators import dedup as D
-    from kafkastreamsjavachallenge_spark.session import configure_runtime
 
-    configure_runtime(spark)
-    src = os.path.realpath(f"{sf_dir}/documents.parquet")
-    stage = tempfile.mkdtemp(prefix="stream_docs_")
-    os.symlink(src, os.path.join(stage, "part-00000.parquet"))
-    schema = spark.read.parquet(src).schema
-    stream = file_stream(spark, stage, schema)
+    stream = _staged_docs_stream(spark, sf_dir)
 
     sigs = stream.filter(F.size(T.tokens("text")) >= 3).select(
         "doc_id",
@@ -369,25 +402,15 @@ def q_stream_ks(spark, sf_dir):
     Scale: the streaming state is |sources| x |distinct lengths| counter
     cells — domain-bounded, never per-document; the grid pass is the
     same tiny post-aggregate as the batch monitor's."""
-    import os
-    import tempfile
-
     from pyspark.sql import functions as F
 
-    from kafkastreamsjavachallenge_spark.session import configure_runtime
-
-    configure_runtime(spark)
-    src = os.path.realpath(f"{sf_dir}/documents.parquet")
-    stage_dir = tempfile.mkdtemp(prefix="stream_docs_")
-    os.symlink(src, os.path.join(stage_dir, "part-00000.parquet"))
-    schema = spark.read.parquet(src).schema
-    stream = file_stream(spark, stage_dir, schema)
+    stream = _staged_docs_stream(spark, sf_dir)
 
     hist = stream.groupBy("source", "n_chars").agg(
         F.count(F.lit(1)).alias("c_s")
     )
     counts = run_to_memory(hist, output_mode="complete", state_partitions=8)
-    view = f"stream_ks_counts_{abs(hash(stage_dir)) % 10**8}"
+    view = f"stream_ks_counts_{abs(hash(sf_dir)) % 10**8}"
     counts.createOrReplaceTempView(view)
     # same grid, filter, and integer-exact statistic as q_ks_test —
     # including the degenerate-source guard (n_s < n_tot)
@@ -467,20 +490,11 @@ def q_stream_funnel(spark, sf_dir):
     q_stream_curation, whose dropDuplicates->agg chain owns content
     state.  One availableNow drain equals the batch funnel's first three
     stages row-for-row."""
-    import os
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from kafkastreamsjavachallenge_spark.functions import text as T
-    from kafkastreamsjavachallenge_spark.session import configure_runtime
 
-    configure_runtime(spark)
-    src = os.path.realpath(f"{sf_dir}/documents.parquet")
-    stage_dir = tempfile.mkdtemp(prefix="stream_docs_")
-    os.symlink(src, os.path.join(stage_dir, "part-00000.parquet"))
-    schema = spark.read.parquet(src).schema
-    stream = file_stream(spark, stage_dir, schema)
+    stream = _staged_docs_stream(spark, sf_dir)
 
     toks = T.tokens("text")
     n = F.size(toks)

@@ -196,11 +196,20 @@ def gen_lineitem(rng: random.Random, n_orders: int = 15_000, n: int = 60_000) ->
             f"n={n} < n_orders={n_orders}: every order keeps >= 1 lineitem, "
             "so the total cannot shrink below the order count"
         )
+    if n > 7 * n_orders:
+        raise ValueError(
+            f"n={n} > 7*n_orders={7 * n_orders}: linenumbers stay in the "
+            "real generator's 1..7 domain, so each order holds <= 7 lines"
+        )
     counts = [rng.randint(1, 7) for _ in range(n_orders)]
     total = sum(counts)
     while total < n:
-        counts[rng.randrange(n_orders)] += 1
-        total += 1
+        # only top up orders still under 7 lines — keeps l_linenumber in
+        # the TPC-H 1..7 domain that domain-sensitive oracles assume
+        i = rng.randrange(n_orders)
+        if counts[i] < 7:
+            counts[i] += 1
+            total += 1
     while total > n:
         i = rng.randrange(n_orders)
         if counts[i] > 1:

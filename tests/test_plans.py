@@ -571,6 +571,74 @@ def test_band_index_compaction_bounds_files_across_ingest(spark, tmp_path):
     assert hit_new == {1_000_000 + i for i in range(5)}
 
 
+def test_band_index_compaction_recovers_from_crash_points(spark, tmp_path):
+    """Crash-safety of the compaction swap (round-7 ADVICE): simulate a
+    run dying at each dangerous point and assert the NEXT
+    compact_band_index call restores every row rather than cleaning up
+    the only remaining copy.
+
+    (a) between rename(live→trash) and rename(tmp→live): the live dir is
+        absent and both staging copies exist — recovery must promote the
+        completed tmp rewrite (or restore trash) before any cleanup;
+    (b) after a tmp write but before the first rename: live intact,
+        recovery must leave it alone and just drop the leftovers;
+    (c) after promote but before the trash delete: live holds the new
+        files, stale trash must be swept without touching live."""
+    import os
+    import shutil
+
+    from kafkastreamsjavachallenge_spark.operators.dedup import (
+        compact_band_index,
+        write_band_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 200)
+    path = str(tmp_path / "band_index")
+    write_band_index(docs, path)
+    expected = spark.read.parquet(path).count()
+
+    def bucket_dirs():
+        out = []
+        for band in sorted(os.listdir(path)):
+            if not band.startswith("band="):
+                continue
+            for bp in sorted(os.listdir(os.path.join(path, band))):
+                if bp.startswith("bp="):
+                    out.append(f"{band}/{bp}")
+        return out
+
+    keys = bucket_dirs()
+    assert len(keys) >= 3, "need >=3 buckets to stage the 3 crash scenarios"
+
+    # (a) mid-swap: live gone, trash = old rows, tmp = completed rewrite
+    key_a = keys[0]
+    live_a = os.path.join(path, key_a)
+    trash_a = os.path.join(path, ".compact_trash", key_a)
+    tmp_a = os.path.join(path, ".compact_tmp", key_a)
+    os.makedirs(os.path.dirname(tmp_a))
+    shutil.copytree(live_a, tmp_a)
+    open(os.path.join(tmp_a, "_SUCCESS"), "w").close()
+    os.makedirs(os.path.dirname(trash_a))
+    os.rename(live_a, trash_a)
+    # (b) pre-swap: live intact, half-written tmp (no _SUCCESS) left over
+    key_b = keys[1]
+    tmp_b = os.path.join(path, ".compact_tmp", key_b)
+    os.makedirs(tmp_b)
+    open(os.path.join(tmp_b, "part-junk.parquet.inprogress"), "w").close()
+    # (c) post-promote: live intact, stale trash copy left over
+    key_c = keys[2]
+    trash_c = os.path.join(path, ".compact_trash", key_c)
+    os.makedirs(os.path.dirname(trash_c), exist_ok=True)
+    shutil.copytree(os.path.join(path, key_c), trash_c)
+
+    compact_band_index(spark, path, max_files_per_dir=1_000_000)
+
+    assert os.path.isdir(live_a), "mid-swap bucket was not restored"
+    assert not os.path.exists(os.path.join(path, ".compact_trash"))
+    assert not os.path.exists(os.path.join(path, ".compact_tmp"))
+    assert spark.read.parquet(path).count() == expected
+
+
 def test_url_dedup_is_pure_scan_aggregate(spark):
     """q_url_dedup must stay join-free and window-free: canonicalization
     is a scan-side string projection, dedup-rate two hash aggregates —

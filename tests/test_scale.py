@@ -940,6 +940,7 @@ def test_star_components_converge_logarithmically_on_path_graph(spark):
     import math
 
     from kafkastreamsjavachallenge_spark.operators.dedup import (
+        cc_last_rounds,
         connected_components,
     )
 
@@ -956,7 +957,7 @@ def test_star_components_converge_logarithmically_on_path_graph(spark):
         F.max("component").alias("mx"),
     ).collect()[0]
     elapsed = time.time() - t0
-    rounds = connected_components.last_rounds
+    rounds = cc_last_rounds()
     assert agg["n"] == n and agg["k"] == 1 and agg["mx"] == 0
     bound = 2 * math.ceil(math.log2(n)) + 8
     assert rounds <= bound, f"star CC took {rounds} rounds (> {bound}) on a path"
