@@ -50,19 +50,32 @@ def streaming_unique_users(
 ) -> DataFrame:
     """Unique uids per tumbling window over a streaming DataFrame.
 
-    dropDuplicates on [window_start, uid] carries watermark-bounded state
-    (the fix for the reference's unbounded store growth), then a windowed
-    count of first-occurrences — exact distinct without countDistinct.
+    dropDuplicates on [window, uid] — the window STRUCT, not its start
+    field — then a windowed count of first-occurrences: exact distinct
+    without countDistinct.  The struct is load-bearing for state
+    eviction (the fix for the reference's unbounded store growth,
+    README.md:196): Spark's streaming dedup evicts a key only when the
+    dedup columns include THE event-time column, and the ``window()``
+    struct carries the watermark metadata through the projection while
+    a plain ``w.start`` column does not — dedup on [window_start, uid]
+    returns identical counts but its state grows forever (one key per
+    (window, user) pair over all time; caught by the 5M-event RocksDB
+    metrics test in tests/test_scale.py, which pins numRowsRemoved > 0
+    and a live-windows state bound for this exact topology).
+    ``dropDuplicatesWithinWatermark`` is NOT equivalent here: its keys
+    expire ``delay`` after first sight regardless of window membership,
+    re-admitting same-window duplicates whenever a window outlives the
+    watermark lag (observed 2x counts on batch-boundary windows).
     """
     stream = ensure_event_time(stream, ts_col)
     w = F.window(F.col(ts_col), duration)
     deduped = (
         stream.withWatermark(ts_col, watermark)
-        .withColumn("window_start", w.start)
-        .dropDuplicates(["window_start", uid_col])
+        .withColumn("window", w)
+        .dropDuplicates(["window", uid_col])
     )
     return (
-        deduped.groupBy(F.window(F.col(ts_col), duration).alias("window"))
+        deduped.groupBy("window")
         .agg(F.count(F.lit(1)).alias("unique_users"))
         .select(F.col("window.start").alias("window_start"), "unique_users")
     )

@@ -299,3 +299,149 @@ def test_leakage_report_matches_query_twin(spark):
         for r in q_split_leakage(spark, SF_DIR).collect()
     )
     assert got == want and len(got) == 5
+
+
+def test_incremental_ingest_rehearsal_end_to_end(spark, tmp_path):
+    """Round-7 VERDICT item 4 — the nightly incremental loop COMPOSED,
+    not piecewise: 4 simulated ingest batches, each probed against the
+    persisted band index (cross-batch exact copies dropped), survivors
+    appended to index + doc store, the index compacted after every
+    batch; then the accumulated corpus flows through the downstream
+    gate: LSH candidates -> 2-core peel (q_kcore's gate) -> connected
+    components -> canonical selection.
+
+    IO discipline asserted across ALL batches (the composition claims
+    the individual tests pin piecewise):
+    - on-disk per-directory file counts respect the compaction cap
+      after every maintenance pass, so ANY probe's planning cost (one
+      task + footer read per file) stays <= dirs x cap even as the
+      index grows 4x — without compaction it grows linearly with batch
+      count;
+    - probe BYTES are batch-proportional: measured via Hadoop
+      FileSystem global statistics (local-mode executors share the
+      JVM, so bytesRead deltas around an action are the real scan IO —
+      DataFrame.inputFiles() is pruning-blind and useless here), a
+      3-doc batch's directory-pruned probe reads well under half of
+      what the full-index scan reads.
+
+    Correctness asserted end-to-end: exactly the planted cross-batch
+    copies collide at ingest; every planted within-batch triple (K3 —
+    survives the 2-core peel that strips chance-degree-1 pairs) lands
+    in one component whose canonical is the minimum id; canonical
+    selection keeps everything else."""
+    import os
+
+    from kafkastreamsjavachallenge_spark.operators.dedup import (
+        band_index_matches,
+        compact_band_index,
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        write_band_index,
+    )
+
+    N_BATCHES, PER, CAP = 4, 80, 2
+
+    def text_of(i):  # doc-unique vocabulary -> only planted copies collide
+        return " ".join(f"w{i}x{j}" for j in range(24))
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "synth", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).localCheckpoint()
+
+    def fs_bytes_read():
+        it = (
+            spark._jvm.org.apache.hadoop.fs.FileSystem
+            .getGlobalStorageStatistics().iterator()
+        )
+        total = 0
+        while it.hasNext():
+            v = it.next().getLong("bytesRead")
+            total += v if v else 0
+        return total
+
+    idx = str(tmp_path / "band_index")
+    store = str(tmp_path / "store")
+    planted_triples = []
+    for b in range(N_BATCHES):
+        rows = [(b * PER + k, text_of(b * PER + k)) for k in range(PER)]
+        for t in range(2):  # two K3 duplicate cliques per batch
+            orig = b * PER + 10 * t
+            planted_triples.append((orig, 2_000_000 + orig, 3_000_000 + orig))
+            rows += [
+                (2_000_000 + orig, text_of(orig)),
+                (3_000_000 + orig, text_of(orig)),
+            ]
+        cross = []
+        if b > 0:  # exact copies of batch-0 docs already in the index
+            cross = [(4_000_000 + b * 100 + k, text_of(k)) for k in range(3)]
+            rows += cross
+        batch = df_of(rows)
+        if b == 0:
+            kept = batch
+        else:
+            matches = band_index_matches(batch, spark, idx)
+            dup_ids = {r["new_id"] for r in matches.select("new_id").distinct().collect()}
+            assert dup_ids == {i for i, _ in cross}, (
+                f"batch {b}: expected exactly the cross copies to collide, "
+                f"got {dup_ids}"
+            )
+            kept = batch.join(
+                matches.select(F.col("new_id").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            )
+        write_band_index(kept, idx, mode="append" if b else "overwrite")
+        kept.write.mode("append").parquet(store)
+        compact_band_index(spark, idx, max_files_per_dir=CAP)
+        for root, _dirs, fs in os.walk(idx):
+            pq = [f for f in fs if f.endswith(".parquet")]
+            assert len(pq) <= CAP, f"batch {b}: {root} holds {len(pq)} files"
+
+    # batch-proportional bytes: a tiny probe reads a pruned subset
+    small = df_of([(9_000_000 + k, text_of(9_500_000 + k)) for k in range(3)])
+    small_scan = band_index_matches(small, spark, idx)
+    b0 = fs_bytes_read()
+    small_scan.count()
+    probe_bytes = fs_bytes_read() - b0
+    b0 = fs_bytes_read()
+    spark.read.parquet(idx).count()
+    full_bytes = fs_bytes_read() - b0
+    assert probe_bytes < full_bytes / 2, (
+        f"a 3-doc probe read {probe_bytes} of {full_bytes} full-scan bytes "
+        "— directory pruning lost"
+    )
+
+    # downstream gate over the accumulated store
+    corpus = spark.read.parquet(store)
+    sigs = minhash_signatures(corpus)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    sym = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(4):  # 2-core peel, q_kcore's per-round checkpoint shape
+        keep = (
+            sym.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= 2)
+            .select("src")
+        )
+        sym = (
+            sym.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    core_pairs = sym.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+    )
+    comp = connected_components(core_pairs, corpus.select("doc_id"))
+    lab = {r["doc_id"]: r["component"] for r in comp.collect()}
+    for a, b2, c in planted_triples:
+        assert lab[a] == lab[b2] == lab[c] == a, (a, b2, c, lab[a], lab[b2], lab[c])
+    copies = {x for t in planted_triples for x in t[1:]}
+    keep_ids = {d for d, l in lab.items() if l == d}
+    assert keep_ids == set(lab) - copies
