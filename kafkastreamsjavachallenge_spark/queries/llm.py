@@ -2240,7 +2240,14 @@ def q_maxsim_blas(spark, sf_dir):
         .select("vec_id", "embedding")
         .orderBy("vec_id")
         .collect()
+        if r["embedding"] is not None
     ]
+    if not qvecs:
+        # empty-query-set guard (fresh deployment / empty table): no
+        # scores to compute, return the empty result with the schema
+        return spark.createDataFrame(
+            [], "doc_label bigint, maxsim_r2 double, n_query_vecs int"
+        )
     scored = maxsim_pandas(e.filter(F.col("label") > 0), qvecs, group_col="label")
     return scored.select(
         "doc_label",

@@ -208,6 +208,7 @@ def run_to_memory(
     """
     spark = result.sparkSession
     name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    throwaway = checkpoint is None
     ckpt = checkpoint or tempfile.mkdtemp(prefix="ckpt_")
     conf_key = "spark.sql.shuffle.partitions"
     saved = spark.conf.get(conf_key)
@@ -228,6 +229,15 @@ def run_to_memory(
     finally:
         if state_partitions is not None:
             spark.conf.set(conf_key, saved)
+        if throwaway:
+            # the drain is complete and the memory sink owns the results;
+            # a temp checkpoint has nothing left to resume — delete it so
+            # repeated bench/driver-loop invocations don't accrete state
+            # dirs in /tmp (same leak class as the round-7 staging-dir
+            # ADVICE; durable checkpoints passed by callers are kept)
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -271,4 +281,7 @@ def run_with_observed(
     finally:
         if state_partitions is not None:
             spark.conf.set(conf_key, saved)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)  # drained; see run_to_memory
     return spark.table(name), observed
