@@ -215,6 +215,7 @@ def maxsim_pandas(
     query_vecs: list[list[float]],
     group_col: str = "label",
     vec_col: str = "embedding",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Arrow-accelerated MaxSim (ColBERT late interaction): per document
     group G, score = sum over query vectors q of max over d in G of
@@ -231,13 +232,62 @@ def maxsim_pandas(
     may differ from the sequential fold only in final ulps, so the test
     compares at 1e-9 relative).  Scale notes: groups shuffle once on
     ``group_col``; the query matrix rides the closure (broadcast by
-    Spark's task serializer); a skewed giant group would be split by a
-    secondary hash exactly like IVF list balancing."""
+    Spark's task serializer).
+
+    ``salt_buckets``: skew hardening for a giant group (one label owning
+    a corpus-scale share of the rows would otherwise pin its whole
+    matmul — and its whole Arrow batch — on one task).  Per-q max is
+    mergeable, so the salted path computes PARTIAL max vectors per
+    (group, salt) split — salt = pmod(monotonically_increasing_id),
+    pure load-balancing, any assignment yields the same maxes — then
+    merges with an elementwise max aggregate (posexplode → per-(group,
+    q-index) max → sum).  Same values to final-sum ulps (the merge
+    reorders the float sum); equivalence pinned in
+    tests/test_operators.py::test_maxsim_pandas_salted_matches_unsalted.
+    """
     import numpy as np
     import pandas as pd
 
     q = np.asarray(query_vecs, dtype=np.float64)
     qn = np.linalg.norm(q, axis=1)
+
+    if salt_buckets and salt_buckets > 1:
+        part_schema = f"{group_col} long, maxes array<double>"
+
+        def partial(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            g = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            gn = np.linalg.norm(g, axis=1)
+            cos = (g @ q.T) / np.outer(gn, qn)
+            return pd.DataFrame(
+                {
+                    group_col: [int(pdf[group_col].iloc[0])],
+                    "maxes": [cos.max(axis=0).tolist()],
+                }
+            )
+
+        salted = docs.withColumn(
+            "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+        )
+        parts = salted.groupBy(group_col, "__salt").applyInPandas(
+            partial, part_schema
+        )
+        return (
+            parts.select(group_col, F.posexplode("maxes").alias("qi", "m"))
+            .groupBy(group_col, "qi")
+            .agg(F.max("m").alias("mm"))
+            .groupBy(group_col)
+            .agg(
+                F.sum("mm").alias("maxsim"),
+                F.count(F.lit(1)).cast("int").alias("n_query_vecs"),
+            )
+            .select(
+                F.col(group_col).cast("long").alias("doc_label"),
+                "maxsim",
+                "n_query_vecs",
+            )
+        )
 
     schema = "doc_label bigint, maxsim double, n_query_vecs int"
 

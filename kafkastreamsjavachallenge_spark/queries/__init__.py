@@ -61,10 +61,14 @@ _MODULES = (
 # sweep), plus q_approx_distinct (so its lifetime row becomes a
 # rows-only PASS instead of the r01 no_oracle err), the new
 # q_hll_union_bound (retires the q_hll_union merge contract from
-# rows-only), and the five q_stream_* ids whose staging mechanics were
-# refactored this round (deterministic reusable stage dirs — semantics
-# unchanged, re-checking anyway).  Green slate => lifetime 306/306
-# distinct checked ids on a 306-id registry.
+# rows-only), the new q_maxsim_blas (Arrow/BLAS late-interaction twin
+# with an e2-rounded contract oracle — the round-8 headline bench
+# entry), and four q_stream_* ids whose staging or state-eviction
+# mechanics changed this round (deterministic reusable stage dirs; the
+# window-struct dedup fix) — q_stream_curation shares the exact staging
+# path of q_stream_funnel and is the one re-check left to the full-sim
+# gate.  Green slate => lifetime 306/307 distinct driver-checked ids on
+# a 307-id registry (q_stream_curation keeps its r07 green row).
 _PRIORITY = (
     # flagship constants — every round
     "q_source_scan",
@@ -80,7 +84,7 @@ _PRIORITY = (
     "q_stream_anomaly_sliding",
     "q_stream_ks",
     "q_stream_funnel",
-    "q_stream_curation",
+    "q_maxsim_blas",
     # rows-only retry: lifetime row becomes a pass instead of an err
     "q_approx_distinct",
     # round-7 audit pack, never driver-checked

@@ -1081,6 +1081,34 @@ def test_maxsim_pandas_matches_hof(spark):
         assert lo - 1e-9 <= fast[g]["maxsim"] <= hi + 1e-9, (g, lo, fast[g])
 
 
+def test_maxsim_pandas_salted_matches_unsalted(spark):
+    """Skew hardening: the salted split path (partial per-(group, salt)
+    max vectors merged by an elementwise max aggregate) must agree with
+    the single-matmul path on every group — per-q maxes are mergeable so
+    the values match exactly; only the final sum's float order differs
+    (1e-9 relative)."""
+    from kafkastreamsjavachallenge_spark.catalog import load_table
+    from kafkastreamsjavachallenge_spark.operators.retrieval import maxsim_pandas
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    qvecs = [
+        r["embedding"]
+        for r in e.filter(F.col("label") == 0).orderBy("vec_id").collect()
+    ]
+    docs = e.filter(F.col("label") > 0)
+    plain = {r["doc_label"]: r for r in maxsim_pandas(docs, qvecs).collect()}
+    salted = {
+        r["doc_label"]: r
+        for r in maxsim_pandas(docs, qvecs, salt_buckets=4).collect()
+    }
+    assert set(plain) == set(salted)
+    for g, r in plain.items():
+        assert salted[g]["n_query_vecs"] == r["n_query_vecs"]
+        assert abs(salted[g]["maxsim"] - r["maxsim"]) <= 1e-9 * max(
+            1.0, abs(r["maxsim"])
+        ), (g, r["maxsim"], salted[g]["maxsim"])
+
+
 def _mp4(timescale: int, duration: int, n_tracks: int = 2, v1: bool = False) -> bytes:
     """Minimal ISO-BMFF: ftyp + moov{mvhd, trak...} with planted timing."""
     def box(name: bytes, body: bytes) -> bytes:

@@ -349,6 +349,8 @@ def test_registry_plans_lint_clean(spark):
         "q_semantic_decontaminate",
         # |labels|-row integer-centroid block broadcast (SemDeDup shape)
         "q_silhouette",
+        # 1-row union-estimate broadcast onto the 1-row exact count
+        "q_hll_union_bound",
     }
     # every comparison in the filter is over a COMPUTED expression
     # (token counts / ratios derived from split(text)) — unpushable by

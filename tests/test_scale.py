@@ -1646,3 +1646,38 @@ def test_concurrency_sweep_on_5m_events(spark, tmp_path):
     assert agg["lo"] == agg["hi"], (agg["lo"], agg["hi"])
     assert agg["lo"] == 85
     assert elapsed < 120, f"sweep took {elapsed:.1f}s on {n} events"
+
+
+def test_maxsim_salted_giant_group(spark):
+    """Skew hardening for the Arrow MaxSim path: ONE label owning 200k
+    vectors (the group applyInPandas would otherwise materialize as a
+    single Arrow batch on a single task) runs through the salted split
+    (32 partial matmuls + elementwise-max merge) in bounded time, and
+    the score is analytically pinned: each query vector is planted
+    verbatim inside the group, so every per-q max cosine is 1 and
+    maxsim == |Q| to float tolerance."""
+    from kafkastreamsjavachallenge_spark.operators.retrieval import maxsim_pandas
+
+    n, dim, nq = 200_000, 16, 8
+    qvecs = [
+        [float((7 * q + j) % 11 + 1) for j in range(dim)] for q in range(nq)
+    ]
+    base = spark.range(n).select(
+        F.lit(1).cast("long").alias("label"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: ((F.col("id") * 31 + j * 17) % 13 + 1).cast("double"),
+        ).alias("embedding"),
+    )
+    planted = spark.createDataFrame(
+        [(1, v) for v in qvecs], "label long, embedding array<double>"
+    )
+    docs = base.unionByName(planted)
+
+    t0 = time.time()
+    rows = maxsim_pandas(docs, qvecs, salt_buckets=32).collect()
+    elapsed = time.time() - t0
+    assert len(rows) == 1 and rows[0]["doc_label"] == 1
+    assert rows[0]["n_query_vecs"] == nq
+    assert abs(rows[0]["maxsim"] - nq) <= 1e-9 * nq, rows[0]["maxsim"]
+    assert elapsed < 120, f"salted giant-group MaxSim took {elapsed:.1f}s"
