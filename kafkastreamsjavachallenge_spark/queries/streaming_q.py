@@ -45,13 +45,22 @@ def _staged_dir(src: str, variant: str = "plain", build=None) -> str:
     an atomic rename after a ``_READY`` marker lands, so concurrent
     callers either win the rename or reuse the winner's complete dir —
     never read a half-built one.  ``build(tmp_dir)`` lets callers add
-    derived files (the horizon sentinel) before publication."""
+    derived files (the horizon sentinel) before publication.
+
+    The key includes the source's (size, mtime) identity, not just its
+    path: test tables are REGENERATED at the same path between driver
+    rounds, and a stale cached dir would otherwise keep serving a
+    sentinel derived from the old data — whose event time may sit below
+    the new corpus horizon, silently breaking append-mode suppression."""
     import hashlib
     import os
     import shutil
     import tempfile
 
-    key = hashlib.sha1(f"{src}|{variant}".encode()).hexdigest()[:16]
+    st = os.stat(src)
+    key = hashlib.sha1(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|{variant}".encode()
+    ).hexdigest()[:16]
     root = os.path.join(tempfile.gettempdir(), "ksjc_stage")
     final = os.path.join(root, key)
     if os.path.exists(os.path.join(final, "_READY")):
