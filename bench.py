@@ -186,7 +186,8 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}   # best-of (kept for history continuity)
     medians: dict[str, float] = {}   # regression detection uses these
-    spreads: dict[str, float] = {}   # (max-min)/median per query
+    spreads: dict[str, float] = {}   # (max-min)/median over steady samples
+    abs_spread: dict[str, float] = {}  # max-min seconds over steady samples
     plans: dict[str, str] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -216,11 +217,14 @@ def main() -> None:
             # spread over the POST-WARMUP samples: every query's first
             # run pays one-off codegen / Python-worker spin-up / page
             # cache costs that are not run-to-run instability (with them
-            # included, half the sub-second headline flags every time)
-            steady = samples[1:] if len(samples) > 2 else samples
+            # included, half the sub-second headline flags every time).
+            # With a single steady sample (runs<=2) spread is undefined
+            # and stays 0 — one observation can't evidence variance.
+            steady = samples[1:] if len(samples) > 1 else samples
             med = sorted(steady)[len(steady) // 2]
+            abs_spread[name] = round(max(steady) - min(steady), 3)
             spreads[name] = (
-                round((max(steady) - min(steady)) / med, 3) if med > 0 else 0.0
+                round(abs_spread[name] / med, 3) if med > 0 else 0.0
             )
 
     # Variance gate (round-7 VERDICT item 5): a headline id whose steady
@@ -232,9 +236,7 @@ def main() -> None:
     high_variance = sorted(
         n
         for n, sp in spreads.items()
-        if sp > 0.25
-        and timings.get(n) is not None
-        and sp * medians[n] > 0.3
+        if sp > 0.25 and abs_spread.get(n, 0.0) > 0.3
     )
 
     total = round(sum(timings.values()), 3)

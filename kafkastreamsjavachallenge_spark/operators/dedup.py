@@ -698,6 +698,11 @@ def compact_band_index(
             # sets on disk — the old rows are only deleted after the new
             # set is live
             fs.mkdirs(trash.getParent())
+            if fs.exists(trash):
+                # any trash here is stale (recovery at entry restored or
+                # swept every key whose swap was interrupted) — remove it
+                # so the rename below cannot nest into it
+                fs.delete(trash, True)
             if not fs.rename(dpath, trash):
                 # couldn't move the live dir aside — nothing changed;
                 # drop the staged rewrite and leave the bucket as-is
@@ -750,7 +755,15 @@ def _recover_band_index(jvm, fs, jroot) -> None:
             key = f"{band_st.getPath().getName()}/{bp_st.getPath().getName()}"
             live = jvm.org.apache.hadoop.fs.Path(jroot, key)
             if fs.exists(live):
-                continue  # promote completed; trash is a stale duplicate
+                # promote completed; the trash copy is a stale duplicate.
+                # Delete it NOW rather than leaving it for the end-of-run
+                # sweep: if this same bucket is re-compacted this run,
+                # rename(live, trash) against an existing trash dir
+                # either fails (local FS) or nests the live dir inside
+                # the stale copy (HDFS) — and a subsequent restore would
+                # resurrect the stale file set
+                fs.delete(bp_st.getPath(), True)
+                continue
             tmp = jvm.org.apache.hadoop.fs.Path(tmp_root, key)
             success = jvm.org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
             fs.mkdirs(live.getParent())

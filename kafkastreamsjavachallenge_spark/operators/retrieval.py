@@ -238,10 +238,16 @@ def maxsim_pandas(
     a corpus-scale share of the rows would otherwise pin its whole
     matmul — and its whole Arrow batch — on one task).  Per-q max is
     mergeable, so the salted path computes PARTIAL max vectors per
-    (group, salt) split — salt = pmod(monotonically_increasing_id),
-    pure load-balancing, any assignment yields the same maxes — then
-    merges with an elementwise max aggregate (posexplode → per-(group,
-    q-index) max → sum).  Same values to final-sum ulps (the merge
+    (group, salt) split, then merges with an elementwise max aggregate
+    (posexplode → per-(group, q-index) max → sum).  The salt is
+    ``xxhash64`` of the vector itself — DETERMINISTIC per row, which
+    matters under shuffle-retry: a nondeterministic salt (rand,
+    monotonically_increasing_id) can re-bucket rows between a map
+    task's original run and its recomputation after executor loss,
+    silently dropping rows from every consumed partial.  Identical
+    vectors co-bucket (they contribute identical maxes, so balance is
+    the only cost, and only in the pathological all-duplicates corpus).
+    Same values as the unsalted path to final-sum ulps (the merge
     reorders the float sum); equivalence pinned in
     tests/test_operators.py::test_maxsim_pandas_salted_matches_unsalted.
     """
@@ -268,7 +274,7 @@ def maxsim_pandas(
             )
 
         salted = docs.withColumn(
-            "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+            "__salt", F.pmod(F.xxhash64(F.col(vec_col)), F.lit(salt_buckets))
         )
         parts = salted.groupBy(group_col, "__salt").applyInPandas(
             partial, part_schema

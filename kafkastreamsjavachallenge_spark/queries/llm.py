@@ -670,8 +670,12 @@ def q_hll_union_bound(spark, sf_dir):
     )
     return exact.crossJoin(F.broadcast(est)).select(
         "exact_users",
+        # est is NULL when events is empty / all user_ids NULL (union of
+        # zero sketches) — coalesce to 0 so the degenerate corpus yields
+        # |0 − 0| <= 0 -> 1, matching the oracle's constant, instead of
+        # a NULL that can never hash-match
         (
-            F.abs(F.col("est") - F.col("exact_users")) * 12
+            F.abs(F.coalesce(F.col("est"), F.lit(0)) - F.col("exact_users")) * 12
             <= F.col("exact_users")
         )
         .cast("int")

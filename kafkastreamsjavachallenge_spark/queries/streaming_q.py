@@ -67,15 +67,24 @@ def _staged_dir(src: str, variant: str = "plain", build=None) -> str:
         return final
     os.makedirs(root, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix=f".{key}.", dir=root)
-    os.symlink(src, os.path.join(tmp, "part-00000.parquet"))
-    if build is not None:
-        build(tmp)
-    with open(os.path.join(tmp, "_READY"), "w"):
-        pass
     try:
+        os.symlink(src, os.path.join(tmp, "part-00000.parquet"))
+        if build is not None:
+            build(tmp)
+        with open(os.path.join(tmp, "_READY"), "w"):
+            pass
         os.rename(tmp, final)
     except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
+        # either the publish race was lost (another caller renamed
+        # first) or something real failed — in both cases drop our
+        # staging dir so failed builds never accrete under /tmp, then
+        # require a complete published dir to exist before returning
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(final, "_READY")):
+            raise
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)  # build() blew up
+        raise
     return final
 
 

@@ -206,6 +206,27 @@ def run_to_memory(
     durable location to resume across runs (production S2 path does the
     same via write_counts' checkpointLocation).
     """
+    table, _q = _drain_to_memory(
+        result, output_mode, query_name, state_partitions, checkpoint
+    )
+    return table
+
+
+def _drain_to_memory(
+    result: DataFrame,
+    output_mode: str,
+    query_name: str | None,
+    state_partitions: int | str | None,
+    checkpoint: str | None,
+):
+    """Shared drain core for run_to_memory / run_with_observed: start the
+    availableNow memory-sink query under the state-partition conf, await
+    termination, restore the conf, and delete a THROWAWAY checkpoint
+    (the drain is complete and the memory sink owns the results; durable
+    caller-passed checkpoints are kept).  Returns (sink DataFrame, the
+    terminated StreamingQuery — still readable for recentProgress)."""
+    import shutil
+
     spark = result.sparkSession
     name = query_name or f"q_{uuid.uuid4().hex[:8]}"
     throwaway = checkpoint is None
@@ -230,15 +251,8 @@ def run_to_memory(
         if state_partitions is not None:
             spark.conf.set(conf_key, saved)
         if throwaway:
-            # the drain is complete and the memory sink owns the results;
-            # a temp checkpoint has nothing left to resume — delete it so
-            # repeated bench/driver-loop invocations don't accrete state
-            # dirs in /tmp (same leak class as the round-7 staging-dir
-            # ADVICE; durable checkpoints passed by callers are kept)
-            import shutil
-
             shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
+    return spark.table(name), q
 
 
 def run_with_observed(
@@ -254,34 +268,10 @@ def run_with_observed(
     named metrics).  The metrics ride the job — no extra pass over the
     stream, and on a cluster they aggregate across executors exactly like
     any other agg."""
-    spark = result.sparkSession
-    name = f"q_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    conf_key = "spark.sql.shuffle.partitions"
-    saved = spark.conf.get(conf_key)
-    if state_partitions == "auto":
-        state_partitions = max(8, spark.sparkContext.defaultParallelism)
-    if state_partitions is not None:
-        spark.conf.set(conf_key, str(state_partitions))
-    try:
-        q = (
-            result.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        observed = [
-            p["observedMetrics"][metric_name]
-            for p in (json.loads(pj) for pj in (pr.json for pr in q.recentProgress))
-            if p.get("observedMetrics", {}).get(metric_name) is not None
-        ]
-    finally:
-        if state_partitions is not None:
-            spark.conf.set(conf_key, saved)
-        import shutil
-
-        shutil.rmtree(ckpt, ignore_errors=True)  # drained; see run_to_memory
-    return spark.table(name), observed
+    table, q = _drain_to_memory(result, output_mode, None, state_partitions, None)
+    observed = [
+        p["observedMetrics"][metric_name]
+        for p in (json.loads(pj) for pj in (pr.json for pr in q.recentProgress))
+        if p.get("observedMetrics", {}).get(metric_name) is not None
+    ]
+    return table, observed
