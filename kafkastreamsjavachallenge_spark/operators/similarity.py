@@ -376,10 +376,15 @@ def pq_train(
 
     subs = _subvectors(df, m, dim, id_col, vec_col)
     w = Window.partitionBy("sub").orderBy("__id")
+    # the codebook is ALWAYS m x k rows (128 here) regardless of corpus
+    # size — collapse it to one partition before each checkpoint so the
+    # per-iteration materialization and the downstream broadcasts cost
+    # one task, not one per shuffle partition (a vanilla session's 200)
     codebook = (
         subs.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select("sub", (F.col("__rn") - 1).alias("code"), F.col("sv").alias("cvec"))
+        .coalesce(1)
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
@@ -409,9 +414,11 @@ def pq_train(
             )
         )
         # empty codes keep their previous centroid
-        codebook = means.unionByName(
-            codebook.join(means, ["sub", "code"], "left_anti")
-        ).localCheckpoint(eager=True)
+        codebook = (
+            means.unionByName(codebook.join(means, ["sub", "code"], "left_anti"))
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
     return codebook
 
 
@@ -549,6 +556,7 @@ def kmeans(
             (F.row_number().over(w) - 1).alias("centroid_id"),
             F.col("__vec").alias("cvec"),
         )
+        .coalesce(1)
         .localCheckpoint(eager=True)
     )
     assigned = None
@@ -583,9 +591,12 @@ def kmeans(
             )
         )
         # empty clusters keep their previous centroid
-        centroids = means.unionByName(
-            centroids.join(means, "centroid_id", "left_anti")
-        ).localCheckpoint(eager=True)
+        # k rows always — one-partition checkpoint, one-task broadcasts
+        centroids = (
+            means.unionByName(centroids.join(means, "centroid_id", "left_anti"))
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
     out = assigned.select(F.col("__id").alias(id_col), "centroid_id")
     return out, centroids.select("centroid_id", F.col("cvec").alias(vec_col))
 
