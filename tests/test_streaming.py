@@ -690,3 +690,47 @@ def test_sliding_window_append_checkpoint_recovery(spark, event_files, tmp_path)
         .collect()
     }
     assert all(want[(t, w)] == n for t, w, n in emitted)
+
+
+def test_staged_dir_reuse_failure_and_regeneration(spark, tmp_path):
+    """The deterministic stream-staging cache (round-8 ADVICE fix):
+    (a) same source -> same dir, no new dirs per call; (b) a build()
+    failure cleans its staging dir and leaves nothing half-published;
+    (c) regenerating the source IN PLACE (new size/mtime) publishes a
+    FRESH dir instead of serving the stale cached one — the
+    cross-round testdata-regeneration hazard."""
+    import os
+
+    from kafkastreamsjavachallenge_spark.queries.streaming_q import _staged_dir
+
+    src = str(tmp_path / "events_src.parquet")
+    with open(src, "wb") as f:
+        f.write(b"PAR1fakebody")
+
+    d1 = _staged_dir(src, "t_reuse")
+    d2 = _staged_dir(src, "t_reuse")
+    assert d1 == d2
+    assert os.path.islink(os.path.join(d1, "part-00000.parquet"))
+    assert os.path.exists(os.path.join(d1, "_READY"))
+
+    stage_root = os.path.dirname(d1)
+    before = set(os.listdir(stage_root))
+
+    def boom(tmp_dir):
+        raise OSError("disk full")
+
+    try:
+        _staged_dir(src, "t_fail", build=boom)
+        raise AssertionError("build failure must propagate")
+    except OSError:
+        pass
+    after = set(os.listdir(stage_root))
+    assert after == before, f"failed build leaked staging dirs: {after - before}"
+
+    # in-place regeneration: new content identity -> new staging dir
+    with open(src, "wb") as f:
+        f.write(b"PAR1regenerated-longer-body")
+    os.utime(src, (1, 1))  # force a distinct mtime_ns deterministically
+    d3 = _staged_dir(src, "t_reuse")
+    assert d3 != d1, "stale staging dir served after source regeneration"
+    assert os.path.exists(os.path.join(d3, "_READY"))
