@@ -1681,3 +1681,133 @@ def test_maxsim_salted_giant_group(spark):
     assert rows[0]["n_query_vecs"] == nq
     assert abs(rows[0]["maxsim"] - nq) <= 1e-9 * nq, rows[0]["maxsim"]
     assert elapsed < 120, f"salted giant-group MaxSim took {elapsed:.1f}s"
+
+
+def test_streaming_sessions_bounded_on_rocksdb(spark, tmp_path):
+    """Session-window state eviction at multi-million scale on RocksDB —
+    the merge-heavy state path (open sessions buffer until the watermark
+    passes session end + gap, unlike fixed windows).  Synthetic burst
+    corpus: each of 20k users is active on alternating 4-minute epochs
+    (events 20s apart inside an active epoch, >= 4-minute silence
+    between them), so with a 1-minute gap every (user, active-epoch)
+    pair is EXACTLY one session and sessions never merge across epochs.
+    Asserts per-batch session-state rows stay near the live-epoch
+    working set (not the lifetime session count), the watermark actually
+    evicts, and append mode emits exactly the analytically expected
+    closed sessions."""
+    import glob
+    import os
+    import shutil
+
+    from kafkastreamsjavachallenge_spark.streaming.pipeline import (
+        file_stream,
+        streaming_session_counts,
+    )
+
+    n_ids, n_files, users = 6_000_000, 10, 20_000
+    epoch_s = 240
+
+    def gen(lo, hi):
+        df = spark.range(lo, hi).select(
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + (F.col("id") / 1000).cast("long")
+            ).alias("ts"),
+            ((F.col("id") * 2654435761) % users).alias("uid"),
+        )
+        epoch = (
+            F.unix_timestamp("ts") - F.lit(1_700_000_000)
+        ) / epoch_s
+        return df.filter(
+            (F.col("uid") + epoch.cast("long")) % 2 == 0
+        ).select("ts", F.col("uid").cast("string").alias("user_id"))
+
+    d = str(tmp_path / "sess")
+    os.makedirs(d)
+    chunk = n_ids // n_files
+    for i in range(n_files):
+        w = str(tmp_path / f"w{i}")
+        gen(i * chunk, (i + 1) * chunk).coalesce(1).write.mode("overwrite").parquet(w)
+        shutil.move(
+            glob.glob(f"{w}/part-*.parquet")[0], os.path.join(d, f"f{i}.parquet")
+        )
+    ev = gen(0, n_ids)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    saved_provider = spark.conf.get(key, None)
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(key, rocks)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = file_stream(spark, d, ev.schema, max_files_per_trigger=1)
+        sessions = streaming_session_counts(
+            stream, "ts", "1 minute", "user_id", "2 minutes"
+        )
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("rocks_sessions")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        per_batch, removed = [], 0
+        for p in q.recentProgress:
+            ops = p.get("stateOperators") or []
+            if ops:
+                per_batch.append(sum(o["numRowsTotal"] for o in ops))
+                removed += sum(o.get("numRowsRemoved", 0) for o in ops)
+        got = {
+            (r["user_id"], r["session_start"]): r["n"]
+            for r in spark.table("rocks_sessions").collect()
+        }
+
+        # analytic expectation: one session per (user, active epoch).
+        # A session is emitted in append mode once the watermark passes
+        # its window end (= last event + gap); sessions newer than the
+        # final watermark (corpus max ts - 2 min) stay open at
+        # end-of-input and are legitimately absent.
+        import datetime
+
+        epoch = (F.unix_timestamp("ts") - F.lit(1_700_000_000)) / epoch_s
+        expected_rows = (
+            ev.groupBy("user_id", epoch.cast("long").alias("ep"))
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("last_ts"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        expected_all = {
+            (r["user_id"], r["session_start"]): r["n"] for r in expected_rows
+        }
+        wm_final = max(r["last_ts"] for r in expected_rows) - datetime.timedelta(
+            minutes=2
+        )
+        closed = {
+            (r["user_id"], r["session_start"]): r["n"]
+            for r in expected_rows
+            if r["last_ts"] + datetime.timedelta(minutes=1) < wm_final
+        }
+        for k, v in closed.items():
+            assert got.get(k) == v, (k, got.get(k), v)
+        assert set(got) <= set(expected_all)
+        assert len(closed) > 0.8 * len(expected_all)  # cutoff trims only the tail
+
+        lifetime_sessions = len(expected_all)
+        bound = 6 * users  # a few live epochs' open sessions, never lifetime
+        assert max(per_batch) <= bound, (
+            f"session state unbounded: {max(per_batch)} > {bound} "
+            f"(lifetime sessions {lifetime_sessions}; per-batch {per_batch})"
+        )
+        assert removed > 0, "watermark never evicted session state"
+    finally:
+        if saved_provider is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved_provider)
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
