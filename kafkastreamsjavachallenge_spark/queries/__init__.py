@@ -83,7 +83,7 @@ _PRIORITY = (
     "q_stream_unique_users_append",
     "q_stream_anomaly_sliding",
     "q_stream_ks",
-    "q_stream_funnel",
+    "q_stream_incremental_dedup",
     "q_maxsim_blas",
     # rows-only retry: lifetime row becomes a pass instead of an err
     "q_approx_distinct",

@@ -35,7 +35,7 @@ from kafkastreamsjavachallenge_spark.streaming.pipeline import (
 )
 
 
-def _staged_dir(src: str, variant: str = "plain", build=None) -> str:
+def _staged_dir(src: str, variant: str = "plain", build=None, link_src: bool = True) -> str:
     """Deterministic per-(source, variant) staging directory for the file
     stream source (it requires a DIRECTORY; testdata is read-only, so the
     dir holds one symlink — no data is copied).  The path is derived from
@@ -68,7 +68,8 @@ def _staged_dir(src: str, variant: str = "plain", build=None) -> str:
     os.makedirs(root, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix=f".{key}.", dir=root)
     try:
-        os.symlink(src, os.path.join(tmp, "part-00000.parquet"))
+        if link_src:
+            os.symlink(src, os.path.join(tmp, "part-00000.parquet"))
         if build is not None:
             build(tmp)
         with open(os.path.join(tmp, "_READY"), "w"):
@@ -601,7 +602,130 @@ def q_stream_rollup(spark, sf_dir):
     )
     return out
 
+def q_stream_incremental_dedup(spark, sf_dir):
+    """The nightly incremental-ingest dedup loop run BY the streaming
+    engine: documents arrive in 3 micro-batches (doc_id % 3, in batch
+    order 0 -> 1 -> 2), and each ``foreachBatch`` round probes the batch
+    against the PERSISTED MinHash band index, drops every doc with a
+    band collision against an earlier batch's survivor, appends the
+    survivors' bands to the index, and records the kept ids — the
+    operational shape of ``dedup_against_band_index`` +
+    ``write_band_index(mode='append')`` when ingest is a stream rather
+    than a nightly batch job (tests/test_pipeline.py rehearses the same
+    composition in batch).
+
+    Hash-checked exactly: survivors-only indexing is sequential by
+    construction (batch 1 dedups against batch 0's survivors, batch 2
+    against batches 0+1's survivors — a doc whose only collision is
+    with an already-DROPPED doc is kept), and the oracle expresses that
+    recurrence as chained CTEs over the same signature/banding scheme
+    every other MinHash oracle uses.
+
+    Scale: per batch the probe reads O(batch) pruned index directories
+    and the append writes O(batch) rows; state between batches lives in
+    the index files, not executor memory — the pattern's whole point.
+    Each batch is pinned with localCheckpoint before the index append
+    so the kept-set is evaluated exactly once (re-evaluating it after
+    the append would see the batch's own bands and self-collide)."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from kafkastreamsjavachallenge_spark.operators import dedup as D
+    from kafkastreamsjavachallenge_spark.session import configure_runtime
+
+    configure_runtime(spark)
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+
+    def _split(tmp):
+        full = spark.read.parquet(src)
+        now = _time.time()
+        for i, nm in enumerate(("a", "b", "c")):
+            sub = os.path.join(tmp, f".w{nm}")
+            (
+                full.filter(F.col("doc_id") % 3 == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(sub)
+            )
+            part = glob.glob(os.path.join(sub, "part-*.parquet"))[0]
+            dst = os.path.join(tmp, f"{nm}.parquet")
+            os.replace(part, dst)
+            shutil.rmtree(sub)
+            # strictly increasing mtimes pin the micro-batch order (the
+            # file source processes oldest-first; same-second writes
+            # would otherwise tie-break on path only)
+            os.utime(dst, (now + i, now + i))
+
+    stage = _staged_dir(src, "split3", build=_split, link_src=False)
+    wkey = hashlib.sha1(f"{stage}|incdedup".encode()).hexdigest()[:16]
+    work = os.path.join(tempfile.gettempdir(), "ksjc_work", wkey)
+    shutil.rmtree(work, ignore_errors=True)  # fresh index/store per call
+    os.makedirs(work)
+    idx = os.path.join(work, "band_index")
+    store = os.path.join(work, "kept")
+    schema = spark.read.parquet(src).schema
+
+    def _handle(bdf, _bid):
+        if os.path.exists(idx):
+            kept = D.dedup_against_band_index(bdf, spark, idx).localCheckpoint(
+                eager=True
+            )
+            D.write_band_index(kept, idx, mode="append")
+        else:
+            kept = bdf.localCheckpoint(eager=True)
+            D.write_band_index(kept, idx, mode="overwrite")
+        kept.select("doc_id").write.mode("append").parquet(store)
+
+    q = (
+        file_stream(spark, stage, schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema("doc_id long").parquet(store).select(
+        "doc_id", (F.col("doc_id") % 3).cast("int").alias("batch")
+    )
+
+
+_INC_DEDUP_SQL = (
+    _MINHASH_SIG_CTE.format(nperm=8)
+    + ", bands AS (SELECT doc_id, b, "
+    "md5(array_to_string(sigl[b*2+1:b*2+2], '|')) AS bucket "
+    "FROM sig, (SELECT unnest(range(0, 4)) AS b)), "
+    # batch 0 is indexed wholesale; batch 1 survives unless it shares a
+    # band bucket with batch 0; batch 2 dedups against the SURVIVORS of
+    # batches 0+1 (a doc whose only collision is a dropped doc is kept)
+    "b0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0), "
+    "k1 AS MATERIALIZED (SELECT d.doc_id FROM documents d "
+    "WHERE d.doc_id % 3 = 1 AND NOT EXISTS ("
+    "SELECT 1 FROM bands nb JOIN bands ix "
+    "ON nb.b = ix.b AND nb.bucket = ix.bucket "
+    "WHERE nb.doc_id = d.doc_id AND ix.doc_id % 3 = 0)), "
+    "kept01 AS MATERIALIZED (SELECT doc_id FROM b0 "
+    "UNION ALL SELECT doc_id FROM k1), "
+    "k2 AS (SELECT d.doc_id FROM documents d "
+    "WHERE d.doc_id % 3 = 2 AND NOT EXISTS ("
+    "SELECT 1 FROM bands nb JOIN bands ix "
+    "ON nb.b = ix.b AND nb.bucket = ix.bucket "
+    "JOIN kept01 k ON ix.doc_id = k.doc_id "
+    "WHERE nb.doc_id = d.doc_id)) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "CAST(doc_id % 3 AS INT) AS batch FROM ("
+    "SELECT doc_id FROM b0 UNION ALL SELECT doc_id FROM k1 "
+    "UNION ALL SELECT doc_id FROM k2)"
+)
+
+
 QUERIES = {
+    "q_stream_incremental_dedup": (q_stream_incremental_dedup, _INC_DEDUP_SQL),
     "q_stream_ks": (
         q_stream_ks,
         # identical to q_ks_test's oracle: the streamed histogram equals
