@@ -192,7 +192,27 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name in HEADLINE:
         samples: list[float] = []
-        for _ in range(runs):
+        # discarded per-id warmup run (round-8 VERDICT item 3): the first
+        # execution pays one-off codegen / Python-worker spin-up / page
+        # cache / broadcast-build costs that are not run-to-run
+        # instability; its wall-time only sizes the sample count below.
+        t0 = time.time()
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # a broken query must not zero the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
+        warm = time.time() - t0
+        try:
+            plans[name] = _plan_fingerprint(df)
+        except Exception:
+            pass
+        # sub-second ids jitter in percentage terms for free — their
+        # medians need more evidence (7 samples) than the multi-second
+        # ids, whose per-sample cost dominates the budget instead
+        n_runs = max(runs, 7) if warm < 1.0 else runs
+        for _ in range(n_runs):
             # the try wraps ONE run, not the whole loop: a throw on run 3
             # keeps runs 1-2's valid timings (flagged alongside the error)
             t0 = time.time()
@@ -202,27 +222,22 @@ def main() -> None:
                 df = qs[name](spark, sf_dir)
                 # noop sink: full execution, no driver materialization
                 df.write.format("noop").mode("overwrite").save()
-            except Exception as exc:  # a broken query must not zero the bench
+            except Exception as exc:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 break
             samples.append(time.time() - t0)
-            if name not in plans:
-                try:
-                    plans[name] = _plan_fingerprint(df)
-                except Exception:
-                    pass
         if samples:
             timings[name] = round(min(samples), 3)
             medians[name] = round(sorted(samples)[len(samples) // 2], 3)
-            # spread over the POST-WARMUP samples: every query's first
-            # run pays one-off codegen / Python-worker spin-up / page
-            # cache costs that are not run-to-run instability (with them
-            # included, half the sub-second headline flags every time).
-            # With a single steady sample (runs<=2) spread is undefined
-            # and stays 0 — one observation can't evidence variance.
-            steady = samples[1:] if len(samples) > 1 else samples
-            med = sorted(steady)[len(steady) // 2]
-            abs_spread[name] = round(max(steady) - min(steady), 3)
+            # every sample is post-warmup now; with a single sample
+            # spread is undefined and stays 0 — one observation can't
+            # evidence variance.
+            med = sorted(samples)[len(samples) // 2]
+            abs_spread[name] = (
+                round(max(samples) - min(samples), 3)
+                if len(samples) > 1
+                else 0.0
+            )
             spreads[name] = (
                 round(abs_spread[name] / med, 3) if med > 0 else 0.0
             )

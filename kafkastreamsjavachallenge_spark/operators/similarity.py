@@ -4,11 +4,16 @@
   query row is broadcast; scoring is a pure projection; top-k compiles to
   TakeOrderedAndProject (per-partition heap + driver merge) — the exact
   baseline, linear scan, embarrassingly parallel.
-- ``lsh_ann_topk``: the scale path — random-hyperplane LSH bucketing
-  (deterministic hyperplanes derived from md5 so results are reproducible);
-  only the query's bucket (and optional neighbor probes) is scored.  At
-  100 TB the bucketed table is written partitioned by bucket id, turning
-  each query into a partition-pruned scan.
+- ``lsh_ann_topk``: SRP binary-sketch prefilter + exact re-rank — each
+  vector reduced to an n-bit sign signature against deterministic
+  md5-derived hyperplanes (reproducible in any engine with md5); rows
+  within a Hamming radius of the query signature are the only ones that
+  pay the exact cosine.  At 100 TB the stored signature column is ~10×
+  smaller than the raw vectors and scans with SIMD popcount; sublinear
+  candidate generation is the IVF family's job (``ivf_ann_topk``).
+- ``lsh_buckets``: the coarse sign-bit bucket id (few planes) — the
+  batch-retrieval equi-join key (q_ann_batch) and the partitioned-layout
+  key for bucket-pruned storage.
 """
 
 from __future__ import annotations
@@ -263,72 +268,116 @@ def ivfpq_ann_topk(
     return pq_ann_topk(cands, query, codebook, k, m, dim, id_col, vec_col)
 
 
+def srp_plane_values(n_planes: int, dim: int) -> list[float]:
+    """The deterministic hyperplane matrix as one flat row-major list:
+    component ``i`` of plane ``p`` sits at index ``p*dim + i`` and equals
+    ``int(md5(f"{p}|{i}")[:4], 16) / 65536 - 0.5`` — the exact same
+    md5 cell formula as ``_hyperplane`` / the DuckDB oracle, computed
+    once driver-side (n_planes·dim hashes) instead of once per ROW per
+    cell inside the plan.  Every term is a dyadic rational, so the Python,
+    JVM, and DuckDB doubles are bit-identical."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{p}|{i}".encode()).hexdigest()[:4], 16) / 65536.0
+        - 0.5
+        for p in range(n_planes)
+        for i in range(dim)
+    ]
+
+
+def srp_signature(vec: F.Column, planes: F.Column, n_planes: int, dim: int):
+    """Sign-bit SRP signature (Charikar 2002) of ``vec`` against the flat
+    broadcast plane matrix: array<int> of 0/1, one bit per plane, sign of
+    the same sequential-fold dot product the oracle computes."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: (dot(vec, F.slice(planes, p * dim + 1, dim)) >= 0).cast(
+            "int"
+        ),
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     query: DataFrame,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 192,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    multiprobe: int = 1,
+    hamming_t: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: score only rows in the query's LSH bucket and —
-    multi-probe, the standard recall extension — every bucket within
-    ``multiprobe`` flipped sign bits of it (a near-miss neighbor differs
-    from the query on the few hyperplanes that pass between them, so the
-    Hamming-1 buckets hold most of the lost recall).
+    """Approximate top-k via SRP binary sketches: each vector is reduced
+    to an ``n_planes``-bit sign signature; candidates are rows whose
+    signature is within Hamming distance ``hamming_t`` of the query's;
+    only candidates pay the exact cosine.  This is the binary-sketch
+    prefilter + exact re-rank design of production binary indexes
+    (e.g. FAISS IndexBinaryFlat): signature Hamming distance estimates
+    the angle (E[h] = n_planes·θ/π), so a radius threshold admits the
+    near-angle shell and rejects the random bulk.
 
-    Recall/latency trade-off: candidates ~ (1 + n_planes·multiprobe) /
-    2^n_planes of the table.  The candidate filter stays an equi-join on
-    bucket — partition-prunable when the table is stored bucketed — with
-    the probe set broadcast from the 1-row query side.
+    Replaces the round-1 single-bucket + Hamming-k bucket-probe scheme:
+    on near-uniform corpora (this testdata: top-10 cosines ≈ 0.31-0.41)
+    NO bucket-probe config reaches deployment recall — measured at sf0.1,
+    8-bit buckets gave recall@10 = 0.30 at 80 candidates and Hamming-2
+    probing only 0.50 at 293, while 192-bit signatures at t = 84 give
+    recall@10 = 1.0 at 244 candidates (sf0.01: 1.0 at 57).
+
+    Cost/scale: the signature scan is linear but over n_planes/8 bytes
+    per row (24 B at 192 bits vs 256 B of raw floats — a 10× IO cut; a
+    real cluster stores the signature column and scans it with SIMD
+    popcount); exact scoring touches only the Hamming ball (~4-12% on
+    random data at t/n = 0.4375).  For sublinear candidate generation
+    use the IVF family — this operator is the no-training, one-scan,
+    tunable-recall path.
     """
-    cands = lsh_candidates(df, query, n_planes, dim, vec_col, multiprobe)
+    cands = lsh_candidates(df, query, n_planes, dim, vec_col, hamming_t)
     return cosine_topk(cands, query, k, id_col, vec_col)
 
 
 def lsh_candidates(
     df: DataFrame,
     query: DataFrame,
-    n_planes: int = 8,
+    n_planes: int = 192,
     dim: int = 64,
     vec_col: str = "embedding",
-    multiprobe: int = 1,
+    hamming_t: int | None = None,
 ) -> DataFrame:
-    """The probed candidate set of ``lsh_ann_topk`` BEFORE scoring — the
-    shared step the top-k retrieval and the cost/recall frontier audit
-    (q_ann_frontier) both read.  Rows of ``df`` whose bucket is within
-    ``multiprobe`` flipped sign bits of the query's bucket; the probe set
-    broadcasts from the 1-row query side."""
-    b_df = lsh_buckets(df, n_planes, dim, vec_col)
-    b_q = lsh_buckets(query, n_planes, dim, vec_col)
-    probe = F.array(F.col("bucket"))
-    if multiprobe >= 1:
-        probe = F.concat(
-            probe,
-            F.array(
-                *[
-                    F.col("bucket").bitwiseXOR(F.lit(1 << p))
-                    for p in range(n_planes)
-                ]
-            ),
+    """The Hamming-ball candidate set of ``lsh_ann_topk`` BEFORE scoring —
+    the shared step the top-k retrieval and the cost/recall frontier
+    audit (q_ann_frontier) both read.  Rows of ``df`` whose SRP signature
+    differs from the query's in at most ``hamming_t`` bits (default
+    ``floor(0.4375 · n_planes)``, the measured recall≥0.9 knee on
+    near-uniform data).  Both the plane matrix (n_planes·dim doubles,
+    ~100 KB at the default) and the 1-row query signature are broadcast;
+    the filter itself is a scan-side projection — no shuffle."""
+    if hamming_t is None:
+        hamming_t = (n_planes * 7) // 16  # 0.4375 — 84 bits at 192
+    spark = df.sparkSession
+    planes = spark.createDataFrame(
+        [(srp_plane_values(n_planes, dim),)], "__planes array<double>"
+    )
+    q_sig = (
+        query.crossJoin(F.broadcast(planes))
+        .select(
+            srp_signature(
+                F.col(vec_col), F.col("__planes"), n_planes, dim
+            ).alias("__qsig")
         )
-    if multiprobe >= 2:
-        probe = F.concat(
-            probe,
-            F.array(
-                *[
-                    F.col("bucket")
-                    .bitwiseXOR(F.lit(1 << p))
-                    .bitwiseXOR(F.lit(1 << q))
-                    for p in range(n_planes)
-                    for q in range(p + 1, n_planes)
-                ]
-            ),
-        )
-    probes = b_q.select(F.explode(probe).alias("bucket"))
-    return b_df.join(F.broadcast(probes), on="bucket", how="left_semi")
+    )
+    sig = srp_signature(F.col(vec_col), F.col("__planes"), n_planes, dim)
+    hamming = F.aggregate(
+        F.zip_with(sig, F.col("__qsig"), lambda a, b: F.abs(a - b)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        df.crossJoin(F.broadcast(planes))
+        .crossJoin(F.broadcast(q_sig))
+        .filter(hamming <= F.lit(hamming_t))
+        .drop("__planes", "__qsig")
+    )
 
 
 def _subvectors(

@@ -706,10 +706,13 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate NN.  Deterministic md5-derived hyperplanes
-    make even this "approximate" operator exactly reproducible: the SQL
-    oracle (_ANN_LSH_SQL) rebuilds the same planes, buckets, Hamming-1
-    probe set, and candidate scoring — hash-checked, not rows-only."""
+    """SRP binary-sketch approximate NN: 192-bit sign signatures, Hamming
+    <= 84 candidate filter, exact cosine re-rank (deployment-grade recall:
+    measured 1.0@10 at sf0.01/sf0.1 vs 0.3 for the retired single-bucket
+    probe).  Deterministic md5-derived hyperplanes make even this
+    "approximate" operator exactly reproducible: the SQL oracle
+    (_ANN_LSH_SQL) rebuilds the same planes, signatures, Hamming filter,
+    and candidate scoring — hash-checked, not rows-only."""
     e = _embs(spark, sf_dir)
     query = e.filter(F.col("vec_id") == 0)
     return S.lsh_ann_topk(e.filter(F.col("vec_id") != 0), query, k=10)
@@ -1820,12 +1823,19 @@ sig AS (SELECT doc_id,
 FROM hv)
 """
 
-# Sign-bit LSH ANN mirrored in SQL: identical md5-derived hyperplanes
+# Sign-bit LSH mirrored in SQL: identical md5-derived hyperplanes
 # (hex4/65536 - 0.5 per (plane, dim) cell), identical sequential-fold dot
 # products (list ops, not a GROUP BY sum, so addition order matches
-# Spark's HOF fold), bucket = sign bits, probes = bucket ∪ Hamming-1
-# flips, exact cosine top-10 over the probed candidates.
+# Spark's HOF fold).  Two schemes share the plane formula:
+#  - _LSH_BK_CTES: the coarse 8-plane BUCKET id (q_ann_batch's equi-join
+#    key, Hamming-1 probe fan-out);
+#  - _ANN_LSH_CTES: the 192-bit SRP SIGNATURE + Hamming<=84 candidate
+#    filter (q_ann_lsh / q_ann_frontier / q_rank_biased_overlap) — the
+#    binary-sketch prefilter that replaced bucket probing in round 9
+#    (bucket probing could not pass recall 0.5 at <=400 candidates on
+#    this near-uniform corpus; signatures measure 1.0 at 244, sf0.1).
 _LSH_PLANES, _LSH_DIM = 8, 64
+_SRP_BITS, _SRP_HAMT = 192, 84  # t = floor(0.4375 * bits)
 _COSINE_TOPK_SQL = (
     "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
     "n AS (SELECT sqrt(list_sum(list_transform(range(1, 65), "
@@ -1838,8 +1848,8 @@ _COSINE_TOPK_SQL = (
 )
 
 # (v, pl, bk): the md5-derived hyperplanes and every vector's sign-bit
-# bucket — shared by the single-query retriever below and the batch
-# retriever oracle (queries/corpus._ann_batch_sql)
+# BUCKET (8 planes) — the batch retriever oracle's equi-join key
+# (queries/corpus._ann_batch_sql)
 _LSH_BK_CTES = (
     "WITH v AS (SELECT vec_id, "
     "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
@@ -1854,17 +1864,35 @@ _LSH_BK_CTES = (
     "THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS bucket "
     "FROM v CROSS JOIN pl GROUP BY v.vec_id, v.vec), "
 )
+# SRP signature CTEs: plf = the flat row-major plane matrix (cell
+# p*dim+i holds plane p component i — one md5 per CELL, computed once in
+# the CTE, exactly similarity.srp_plane_values); bk = every vector with
+# its 192-bit sign signature; cand = vectors within Hamming 84 of the
+# query's signature.  Downstream consumers (_ANN_LSH_SQL scoring,
+# _rbo_sql, q_ann_frontier's count) read bk/qn/cand — same CTE contract
+# as the retired bucket-probe version.
 _ANN_LSH_CTES = (
-    _LSH_BK_CTES
-    + "qb AS (SELECT bucket, vec FROM bk WHERE vec_id = 0), "
-    "probes AS (SELECT bucket FROM qb UNION "
-    "SELECT xor(qb.bucket, 1::BIGINT << t.p) FROM qb "
-    f"CROSS JOIN range(0, {_LSH_PLANES}) t(p)), "
+    "WITH v AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
+    "FROM embeddings), "
+    "plf AS (SELECT list(('0x' || substr(md5("
+    f"(t.t // {_LSH_DIM}) || '|' || (t.t % {_LSH_DIM})), 1, 4))"
+    "::BIGINT / 65536.0 - 0.5 ORDER BY t.t) AS w "
+    f"FROM range(0, {_SRP_BITS * _LSH_DIM}) t(t)), "
+    "bk AS (SELECT v.vec_id, v.vec, "
+    f"list_transform(range(0, {_SRP_BITS}), p -> "
+    f"CASE WHEN list_sum(list_transform(range(1, {_LSH_DIM + 1}), "
+    f"i -> v.vec[i] * plf.w[p * {_LSH_DIM} + i])) >= 0 "
+    "THEN 1 ELSE 0 END) AS sig FROM v CROSS JOIN plf), "
+    "qb AS (SELECT sig, vec FROM bk WHERE vec_id = 0), "
     "qn AS (SELECT sqrt(list_sum(list_transform("
     f"range(1, {_LSH_DIM + 1}), i -> vec[i] * vec[i]))) AS qnorm, "
     "vec AS qv FROM qb), "
-    "cand AS (SELECT b.vec_id, b.vec FROM bk b WHERE b.vec_id <> 0 "
-    "AND b.bucket IN (SELECT bucket FROM probes)) "
+    "cand AS (SELECT b.vec_id, b.vec FROM bk b CROSS JOIN qb q "
+    "WHERE b.vec_id <> 0 AND "
+    f"list_sum(list_transform(range(1, {_SRP_BITS + 1}), "
+    "j -> CASE WHEN b.sig[j] <> q.sig[j] THEN 1 ELSE 0 END)) "
+    f"<= {_SRP_HAMT}) "
 )
 _ANN_LSH_SQL = (
     _ANN_LSH_CTES
@@ -2221,13 +2249,19 @@ def q_maxsim_blas(spark, sf_dir):
 
     Cross-engine check: BLAS reorders float summation, so the e6-floor
     integer surface of q_maxsim would flip on final-ulp differences.
-    The contract here rounds the SCORE to e2: ulp-scale deviations
-    (~1e-12 absolute on a sum of ~199 cosines) flip an e2 rounding only
-    within 1e-12 of a 0.005 grid point — orders of magnitude rarer
-    across fuzz regenerations than the 3-sigma tails the 5-rsd sketch
-    margins already reject.  DuckDB computes the exact sequential sum
-    and rounds identically, so the row hash-matches iff the BLAS values
-    are pointwise within rounding of the exact ones.
+    The contract here rounds the SCORE to e2 after a deterministic
+    +1e-9 nudge applied identically on BOTH engines (round-8 ADVICE):
+    ulp-scale deviations (~1e-12 absolute on a sum of ~199 cosines)
+    flip an e2 rounding only when the exact sum lies within ~1e-12 of
+    a grid point, and data-derived sums cluster near NATURAL decimal
+    boundaries (x.xx5), not near the shifted boundary x.xx5 - 1e-9 —
+    so the nudge moves the rounding cliff off every value the corpus
+    can plausibly produce instead of betting on measure-zero odds.
+    DuckDB computes the exact sequential sum and applies the same
+    nudge+round, so the row hash-matches iff the BLAS values are
+    pointwise within rounding of the exact ones.  (If a fuzz seed ever
+    DOES red this id with all values agreeing to ~1e-9, that is grid
+    noise at the shifted boundary, not a correctness break.)
 
     Driver-side materialization: the 199-vector query block (label 0)
     is collected to ship inside the pandas closure — bounded by the
@@ -2255,7 +2289,7 @@ def q_maxsim_blas(spark, sf_dir):
     scored = maxsim_pandas(e.filter(F.col("label") > 0), qvecs, group_col="label")
     return scored.select(
         "doc_label",
-        F.round(F.col("maxsim"), 2).alias("maxsim_r2"),
+        F.round(F.col("maxsim") + F.lit(1e-9), 2).alias("maxsim_r2"),
         "n_query_vecs",
     )
 
@@ -4188,7 +4222,8 @@ QUERIES = {
         "max(list_sum(list_transform(range(1, 65), "
         "i -> CAST(dv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) / (dn * qn)) AS best "
         "FROM d CROSS JOIN q GROUP BY doc_label, q_id) "
-        "SELECT doc_label, round(sum(best), 2) AS maxsim_r2, "
+        # + 1e-9 mirrors the Spark side's deterministic off-grid nudge
+        "SELECT doc_label, round(sum(best) + 1e-9, 2) AS maxsim_r2, "
         "CAST(count(*) AS INT) AS n_query_vecs FROM s GROUP BY doc_label",
     ),
     "q_fasttext_score": (

@@ -35,38 +35,65 @@ from kafkastreamsjavachallenge_spark.streaming.pipeline import (
 )
 
 
+def _user_root(name: str) -> str:
+    """Per-user cache root under the temp dir (round-8 ADVICE): the uid
+    suffix keeps users from colliding on one world-predictable path, and
+    the ownership check refuses a root pre-created by ANOTHER user — a
+    poisoned ``_READY`` dir there would otherwise be served silently as
+    stream input, and a foreign 0700 dir would surface as a confusing
+    EACCES instead of this explicit error."""
+    import os
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"{name}_{os.getuid()}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"cache root {root} is owned by uid {st.st_uid}, not "
+            f"{os.getuid()} — refusing to trust its contents"
+        )
+    return root
+
+
 def _staged_dir(src: str, variant: str = "plain", build=None, link_src: bool = True) -> str:
     """Deterministic per-(source, variant) staging directory for the file
     stream source (it requires a DIRECTORY; testdata is read-only, so the
-    dir holds one symlink — no data is copied).  The path is derived from
-    the source realpath, so repeated bench/driver-loop invocations REUSE
-    one dir per source instead of leaking a fresh ``mkdtemp`` each call
-    (round-7 ADVICE).  Built under a dot-prefixed tmp and published with
-    an atomic rename after a ``_READY`` marker lands, so concurrent
-    callers either win the rename or reuse the winner's complete dir —
-    never read a half-built one.  ``build(tmp_dir)`` lets callers add
-    derived files (the horizon sentinel) before publication.
+    plain variant holds one symlink — no data is copied).  The path is
+    derived from the source realpath, so repeated bench/driver-loop
+    invocations REUSE one dir per source instead of leaking a fresh
+    ``mkdtemp`` each call (round-7 ADVICE).  Built under a dot-prefixed
+    tmp and published with an atomic rename after a ``_READY`` marker
+    lands, so concurrent callers either win the rename or reuse the
+    winner's complete dir — never read a half-built one.  ``build(tmp)``
+    lets callers add derived files (the horizon sentinel) before
+    publication.
 
-    The key includes the source's (size, mtime) identity, not just its
-    path: test tables are REGENERATED at the same path between driver
-    rounds, and a stale cached dir would otherwise keep serving a
-    sentinel derived from the old data — whose event time may sit below
-    the new corpus horizon, silently breaking append-mode suppression."""
+    Layout is TWO-level — ``<root>/<sha1(src|variant)[:8]>/<sha1(size|
+    mtime)[:8]>`` — so a source's identity generations are siblings: test
+    tables are REGENERATED at the same path between driver rounds, and a
+    stale generation would otherwise keep serving a sentinel derived
+    from the old data (whose event time may sit below the new corpus
+    horizon, silently breaking append-mode suppression).  On publish,
+    SUPERSEDED sibling generations are swept (round-8 ADVICE: the split3
+    variant writes full parquet copies, so un-GC'd generations were an
+    unbounded data-copy leak across driver rounds)."""
     import hashlib
     import os
     import shutil
     import tempfile
 
     st = os.stat(src)
-    key = hashlib.sha1(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|{variant}".encode()
-    ).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), "ksjc_stage")
-    final = os.path.join(root, key)
+    src_key = hashlib.sha1(f"{src}|{variant}".encode()).hexdigest()[:8]
+    ident = hashlib.sha1(f"{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()[:8]
+    srcdir = os.path.join(_user_root("ksjc_stage"), src_key)
+    final = os.path.join(srcdir, ident)
     if os.path.exists(os.path.join(final, "_READY")):
+        if os.stat(final).st_uid != os.getuid():  # foreign publish
+            raise RuntimeError(f"staged dir {final} owned by another uid")
         return final
-    os.makedirs(root, exist_ok=True)
-    tmp = tempfile.mkdtemp(prefix=f".{key}.", dir=root)
+    os.makedirs(srcdir, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=f".{ident}.", dir=srcdir)
     try:
         if link_src:
             os.symlink(src, os.path.join(tmp, "part-00000.parquet"))
@@ -86,7 +113,35 @@ def _staged_dir(src: str, variant: str = "plain", build=None, link_src: bool = T
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)  # build() blew up
         raise
+    _sweep_superseded(srcdir, keep=ident)
     return final
+
+
+def _sweep_superseded(srcdir: str, keep: str) -> None:
+    """Remove sibling generations of ``srcdir`` other than ``keep``: the
+    source was regenerated, so prior (size, mtime) identities can never
+    be requested again.  Dot-prefixed in-flight build dirs are left for
+    their owners except stale ones (mtime > 1 h — a crashed build)."""
+    import os
+    import shutil
+    import time as _time
+
+    try:
+        entries = os.listdir(srcdir)
+    except OSError:
+        return
+    for d in entries:
+        p = os.path.join(srcdir, d)
+        if d == keep:
+            continue
+        if d.startswith("."):
+            try:
+                stale = _time.time() - os.path.getmtime(p) > 3600
+            except OSError:
+                continue
+            if not stale:
+                continue
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def _staged_docs_stream(spark, sf_dir):
@@ -429,7 +484,12 @@ def q_stream_ks(spark, sf_dir):
         F.count(F.lit(1)).alias("c_s")
     )
     counts = run_to_memory(hist, output_mode="complete", state_partitions=8)
-    view = f"stream_ks_counts_{abs(hash(sf_dir)) % 10**8}"
+    # per-CALL unique view name (round-8 ADVICE): a per-sf_dir name let
+    # two concurrent invocations on the same sf_dir race on
+    # createOrReplaceTempView and read each other's drained counts
+    import uuid
+
+    view = f"stream_ks_counts_{uuid.uuid4().hex}"
     counts.createOrReplaceTempView(view)
     # same grid, filter, and integer-exact statistic as q_ks_test —
     # including the degenerate-source guard (n_s < n_tot)
@@ -628,10 +688,8 @@ def q_stream_incremental_dedup(spark, sf_dir):
     so the kept-set is evaluated exactly once (re-evaluating it after
     the append would see the batch's own bands and self-collide)."""
     import glob
-    import hashlib
     import os
     import shutil
-    import tempfile
     import time as _time
 
     from pyspark.sql import functions as F
@@ -663,10 +721,17 @@ def q_stream_incremental_dedup(spark, sf_dir):
             os.utime(dst, (now + i, now + i))
 
     stage = _staged_dir(src, "split3", build=_split, link_src=False)
-    wkey = hashlib.sha1(f"{stage}|incdedup".encode()).hexdigest()[:16]
-    work = os.path.join(tempfile.gettempdir(), "ksjc_work", wkey)
+    # work dirs mirror the stage's two-level (source, generation) layout
+    # so regenerated testdata sweeps the prior generation's index/store
+    # alongside its stage dir (round-8 ADVICE: these held O(corpus)
+    # band-index files and would otherwise accrete across driver rounds)
+    wsrc = os.path.join(
+        _user_root("ksjc_work"), os.path.basename(os.path.dirname(stage))
+    )
+    work = os.path.join(wsrc, os.path.basename(stage))
     shutil.rmtree(work, ignore_errors=True)  # fresh index/store per call
     os.makedirs(work)
+    _sweep_superseded(wsrc, keep=os.path.basename(stage))
     idx = os.path.join(work, "band_index")
     store = os.path.join(work, "kept")
     schema = spark.read.parquet(src).schema

@@ -116,43 +116,47 @@ def planted_neardups(spark):
 
 
 def test_lsh_ann_recall_on_planted_neardups(spark, planted_neardups):
-    """Single-probe sign-bit LSH must retrieve >= 9/10 planted
-    near-duplicates (measured: 10/10), while scanning well under the full
-    table — the recall/pruning contract of the operator."""
+    """The SRP signature prefilter must retrieve >= 9/10 planted
+    near-duplicates (measured: 10/10) while the Hamming ball admits well
+    under the full table — the recall/pruning contract of the operator.
+    Planted near-dups sit at cos >= ~0.95 (θ/π ≈ 0.1 → expected Hamming
+    ≈ 19 of 192, far inside t = 84); random rows concentrate at 96 ± 7,
+    so the t = 84 radius rejects the bulk."""
     df, qdf = planted_neardups
     exact = [r["vec_id"] for r in S.cosine_topk(df, qdf, k=10).collect()]
     assert sorted(exact) == [1000 + i for i in range(10)]  # planted are top
-    got = [
-        r["vec_id"]
-        for r in S.lsh_ann_topk(df, qdf, k=10, n_planes=8, multiprobe=1).collect()
-    ]
+    got = [r["vec_id"] for r in S.lsh_ann_topk(df, qdf, k=10).collect()]
     assert _recall(got, exact) >= 0.9
 
-    # pruning is real: the Hamming<=1 probe set touches a small fraction
-    b_df = S.lsh_buckets(df, n_planes=8, dim=64)
-    b_q = S.lsh_buckets(qdf, n_planes=8, dim=64).collect()[0]["bucket"]
-    probe = {b_q} | {b_q ^ (1 << p) for p in range(8)}
-    n_cand = b_df.filter(F.col("bucket").isin(probe)).count()
+    # pruning is real: the Hamming<=84 ball admits a small fraction
+    n_cand = S.lsh_candidates(df, qdf).count()
     assert n_cand < 0.4 * df.count(), f"scanned {n_cand} of {df.count()}"
 
 
-def test_lsh_multiprobe_monotone_recall(spark, planted_neardups):
-    """multiprobe=2's candidate set is a superset of multiprobe=1's, so
-    recall can only grow; verified on the adversarial random embeddings
-    where single-bucket recall actually loses neighbors."""
+def test_lsh_hamming_radius_monotone_recall(spark, planted_neardups):
+    """A larger Hamming radius's candidate set is a superset of a smaller
+    one's, so recall can only grow; verified on the adversarial
+    near-uniform embeddings where tight radii actually lose neighbors.
+    Also pins the deployment contract that motivated the round-9 switch
+    from bucket probing to signatures: recall@10 >= 0.8 at the default
+    radius on the driver's own testdata."""
     e = load_table(spark, SF_DIR, "embeddings")
     q = e.filter(F.col("vec_id") == 0)
     base = e.filter(F.col("vec_id") != 0)
     exact = [r["vec_id"] for r in S.cosine_topk(base, q, k=10).collect()]
     r1 = _recall(
-        [r["vec_id"] for r in S.lsh_ann_topk(base, q, k=10, multiprobe=1).collect()],
+        [
+            r["vec_id"]
+            for r in S.lsh_ann_topk(base, q, k=10, hamming_t=64).collect()
+        ],
         exact,
     )
     r2 = _recall(
-        [r["vec_id"] for r in S.lsh_ann_topk(base, q, k=10, multiprobe=2).collect()],
+        [r["vec_id"] for r in S.lsh_ann_topk(base, q, k=10).collect()],
         exact,
     )
     assert r2 >= r1
+    assert r2 >= 0.8, f"default-radius recall {r2}"
 
 
 def test_pq_ann_recall_on_planted_neardups(spark, planted_neardups):

@@ -727,10 +727,20 @@ def test_staged_dir_reuse_failure_and_regeneration(spark, tmp_path):
     after = set(os.listdir(stage_root))
     assert after == before, f"failed build leaked staging dirs: {after - before}"
 
-    # in-place regeneration: new content identity -> new staging dir
+    # in-place regeneration: new content identity -> new staging dir,
+    # and the SUPERSEDED generation is swept on publish (round-8 ADVICE:
+    # full-copy variants otherwise accrete one corpus copy per driver
+    # round) — generations are siblings under the per-(src,variant) dir
     with open(src, "wb") as f:
         f.write(b"PAR1regenerated-longer-body")
     os.utime(src, (1, 1))  # force a distinct mtime_ns deterministically
     d3 = _staged_dir(src, "t_reuse")
     assert d3 != d1, "stale staging dir served after source regeneration"
     assert os.path.exists(os.path.join(d3, "_READY"))
+    assert os.path.dirname(d3) == stage_root  # same (src, variant) parent
+    assert not os.path.exists(d1), "superseded generation not swept"
+
+    # the cache root is namespaced per uid and owned by us
+    root = os.path.dirname(stage_root)
+    assert root.endswith(f"_{os.getuid()}")
+    assert os.stat(root).st_uid == os.getuid()
