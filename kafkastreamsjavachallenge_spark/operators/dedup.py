@@ -827,6 +827,7 @@ def connected_components(
     ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         prop = (
             e.join(labels, e.src == labels.node)
@@ -844,9 +845,11 @@ def connected_components(
         rounds += 1
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     _cc_introspect.last_rounds = rounds
+    _cc_introspect.converged = converged
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
 
 
@@ -860,6 +863,16 @@ def cc_last_rounds() -> int | None:
     another call's count; the value is not updated on exception, so read
     it only directly after a successful call."""
     return getattr(_cc_introspect, "last_rounds", None)
+
+
+def cc_last_converged() -> bool | None:
+    """Whether THIS thread's most recent ``connected_components`` call
+    reached its fixpoint before ``max_iter`` (round-9: the round cap is
+    a defined contract, and a caller raising graph scale 100× needs to
+    SEE when the cap truncated convergence instead of silently getting
+    partially-propagated labels).  Same thread-local discipline as
+    ``cc_last_rounds``."""
+    return getattr(_cc_introspect, "converged", None)
 
 
 def _cc_two_phase(e: DataFrame, nodes: DataFrame, id_col: str, max_iter: int) -> DataFrame:
@@ -883,6 +896,7 @@ def _cc_two_phase(e: DataFrame, nodes: DataFrame, id_col: str, max_iter: int) ->
 
     cur = canon(e).localCheckpoint(eager=True)
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         start = cur  # fixpoint = a FULL round leaves the edge set unchanged
         # large-star: per node u, hook every LARGER neighbor to
@@ -922,8 +936,10 @@ def _cc_two_phase(e: DataFrame, nodes: DataFrame, id_col: str, max_iter: int) ->
         )
         cur = nxt
         if not changed:
+            converged = True
             break
     _cc_introspect.last_rounds = rounds
+    _cc_introspect.converged = converged
     return (
         nodes.select(F.col(id_col).alias("node"))
         .join(

@@ -30,6 +30,60 @@ def degrees(edges: DataFrame, src: str = "ua", dst: str = "ub") -> DataFrame:
     )
 
 
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    max_rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    with_convergence: bool = False,
+) -> DataFrame:
+    """k-core peel over a SYMMETRIC edge list (both directions present):
+    ``max_rounds`` simultaneous-removal rounds of dropping nodes with
+    fewer than ``k`` surviving neighbors (Matula & Beck 1983); returns
+    (node, deg_core) for the surviving core.
+
+    ``max_rounds`` is the round-9 tunable surfaced from q_kcore's fixed
+    unroll: at sf-scale LSH graphs the peel converges in 2-3 rounds, but
+    at 100× a pathological chain needs depth/2 rounds — so the cap is a
+    DEFINED CONTRACT, not a convergence guarantee, and callers that need
+    the distinction pass ``with_convergence=True`` to get a constant
+    ``converged`` column: true iff one more peel round would remove
+    nothing (every surviving node keeps degree >= k).  The flag is a
+    1-row broadcast attached declaratively — no driver-side action, no
+    extra shuffle beyond one aggregate over the (small) core.
+
+    Scale: each round is one count aggregate + two semi-joins shuffling
+    on node id, cost tracking the monotonically-shrinking edge set;
+    per-round ``localCheckpoint`` truncates lineage (the degree agg and
+    two semi-joins reference the prior round three times, so an
+    unchecked plan grows 3^rounds copies of the base)."""
+    sym = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_rounds):
+        keep = (
+            sym.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("src")
+        )
+        sym = (
+            sym.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    core = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg_core")
+    )
+    if not with_convergence:
+        return core
+    flag = core.agg(
+        F.count_if(F.col("deg_core") < k).alias("n_under")
+    ).select((F.col("n_under") == 0).alias("converged"))
+    return core.crossJoin(F.broadcast(flag))
+
+
 def triangle_count(
     edges: DataFrame, src: str = "ua", dst: str = "ub"
 ) -> DataFrame:

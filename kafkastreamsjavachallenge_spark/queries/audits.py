@@ -61,6 +61,8 @@ def q_kcore(spark, sf_dir):
     monotonically; the candidate graph itself is the banded bucket join
     (never all-pairs).  Cites the peeling formulation of Matula &
     Beck 1983."""
+    from kafkastreamsjavachallenge_spark.operators.graph import kcore
+
     sigs = D.minhash_signatures(_docs(spark, sf_dir), n_perm=8)
     pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     sym = pairs.select(
@@ -68,27 +70,12 @@ def q_kcore(spark, sf_dir):
     ).unionAll(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
-    # checkpoint EVERY round, not just the LSH subtree: each peel stage
-    # references the previous edge set three times (degree agg + two
-    # semi-joins), so without lineage truncation the logical plan grows
-    # 3^rounds copies of the base — the same exponential-inlining blowup
-    # the oracle's MATERIALIZED CTEs prevent (observed as a driver OOM
-    # in plan analysis, mirroring connected_components' per-round move)
-    sym = sym.localCheckpoint(eager=False)
-    for _ in range(_KCORE_ROUNDS):
-        keep = (
-            sym.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= _KCORE_K)
-            .select("src")
-        )
-        sym = (
-            sym.join(keep, "src", "left_semi")
-            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=False)
-        )
-    return sym.groupBy(F.col("src").alias("doc_id")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("deg_core")
+    # the peel loop lives in operators/graph.kcore (round-9: max_rounds
+    # surfaced as a tunable with an optional convergence flag); the
+    # ORACLE stays pinned at the fixed 8-round contract, so the query
+    # keeps the defaults and no flag column
+    return kcore(sym, k=_KCORE_K, max_rounds=_KCORE_ROUNDS).select(
+        F.col("node").alias("doc_id"), "deg_core"
     )
 
 
