@@ -671,3 +671,67 @@ def test_margin_knn_broadcasts_both_blocks(spark):
     p = plan(df)
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
     assert "SortMergeJoin" not in p.split("Window")[0], p
+
+
+def test_aqe_skew_join_absorbs_unsalted_fixture(spark):
+    """Round-8 VERDICT item 6: the manual-salting operators
+    (q_salted_join / salted_join) predate trusting AQE — this pins WHEN
+    the handwritten salt is actually needed at 100x.  The same skewed
+    fixture (99% of the big side on one key) run UNSALTED with
+    spark.sql.adaptive.skewJoin enabled must (a) return exactly the
+    plain-join result and (b) show the skewed partition SPLIT in the
+    final adaptive plan (SortMergeJoin(skew=true) reading an
+    'AQEShuffleRead skewed').  Conclusion encoded by this test: for
+    shuffle JOINS, AQE's runtime split makes manual salting optional;
+    manual salting remains necessary for skewed AGGREGATIONS
+    (OptimizeSkewedJoin does not split groupBy state — q_salted_agg's
+    two-phase shape) and for engines/paths without AQE.
+    Thresholds are lowered test-side only because local fixtures are
+    MBs, not the 256 MB default partition size."""
+    saved = {}
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the SMJ
+    }
+    for k, v in tuned.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 303000).select(
+            F.when(F.col("id") < 300000, 0)
+            .otherwise((F.col("id") % 100) + 1)
+            .alias("k"),
+            F.concat(F.lit("payload-payload-"), F.col("id").cast("string")).alias(
+                "pay"
+            ),
+        )
+        small = spark.range(0, 101).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        j = big.join(small, "k")
+        got = len(j.collect())  # j's OWN execution finalizes its plan
+        assert got == 303000
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p
+        assert "SortMergeJoin(skew=true)" in p, p[:2000]
+        assert "AQEShuffleRead skewed" in p, p[:2000]
+
+        # both ways: the manual salted join on the same fixture (skew
+        # handling OFF so the salt itself carries the skew) agrees
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        from kafkastreamsjavachallenge_spark.operators.relational import (
+            salted_join,
+        )
+
+        sj = salted_join(big, small, on="k", salt_buckets=8)
+        assert sj.count() == 303000
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
