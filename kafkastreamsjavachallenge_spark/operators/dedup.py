@@ -529,10 +529,20 @@ def write_band_index(
     # cluster rows by their target directory before the partitioned
     # write: each task then writes whole directories (one file per dir
     # per task that owns it) instead of every task opening every dir —
-    # fewer, larger files, which is also what the probe reads want
-    rows.repartition(F.col("band"), F.col("bp")).write.mode(
-        mode
-    ).partitionBy("band", "bp").parquet(path)
+    # fewer, larger files, which is also what the probe reads want.
+    # WITHIN each file, rows are sorted by bucket so parquet min/max
+    # stats carry tight bucket ranges — the probe's bucket-literal
+    # pushdown (band_index_matches) then skips whole row groups/files
+    # inside a touched directory, not just untouched directories.
+    rows.repartition(F.col("band"), F.col("bp")).sortWithinPartitions(
+        "band", "bp", "bucket"
+    ).write.mode(mode).partitionBy("band", "bp").parquet(path)
+
+
+# max distinct bucket literals a probe ships as a parquet In filter —
+# ~34 bytes/value, so the cap bounds the driver fetch and the filter
+# plan at ~140 KB; larger batches rely on directory pruning alone
+_BUCKET_PUSHDOWN_CAP = 4096
 
 
 def band_index_matches(
@@ -578,6 +588,25 @@ def band_index_matches(
     # the read total on an EMPTY index — a fresh deployment's first batch
     # has nothing to collide with, not a schema-inference error
     scan = spark.read.schema(nb.schema).parquet(path).filter(pred)
+    # bucket-LITERAL pushdown for small batches (round-9): beyond the
+    # (band, prefix) directory pruning above, ship the batch's distinct
+    # bucket values as an In filter — parquet min/max stats on the
+    # bucket-sorted files (write_band_index / compact_band_index keep
+    # each file a tight bucket range) then skip files and row groups
+    # INSIDE the touched directories, so a tiny probe's bytes track the
+    # probe, not the directory.  Capped: the literal list is a driver-
+    # side fetch, bounded here by _BUCKET_PUSHDOWN_CAP scalars; a batch
+    # with more distinct buckets saturates the prefix directories anyway
+    # (uniform md5), so the dir predicate alone is the right plan there.
+    bkts = [
+        r["bucket"]
+        for r in nb.select("bucket")
+        .distinct()
+        .limit(_BUCKET_PUSHDOWN_CAP + 1)
+        .collect()
+    ]
+    if len(bkts) <= _BUCKET_PUSHDOWN_CAP:
+        scan = scan.filter(F.col("bucket").isin(bkts))
     return (
         nb.join(
             scan.select(
@@ -624,6 +653,7 @@ def compact_band_index(
     path: str,
     max_files_per_dir: int = 8,
     target_file_mb: int = 128,
+    parquet_block_bytes: int | None = None,
 ) -> dict[str, int]:
     """Compact over-appended band-index directories in place.
 
@@ -687,12 +717,25 @@ def compact_band_index(
             key = f"{band_st.getPath().getName()}/{dpath.getName()}"
             tmp = jvm.org.apache.hadoop.fs.Path(jroot, f".compact_tmp/{key}")
             trash = jvm.org.apache.hadoop.fs.Path(jroot, f".compact_trash/{key}")
-            (
+            # range-partition + sort by bucket: each rewritten file (and
+            # each ROW GROUP inside it) covers a disjoint bucket range
+            # with tight parquet min/max stats, so the probe's bucket-
+            # literal pushdown keeps skipping files/row-groups after
+            # compaction (a hash repartition would smear every bucket
+            # range over every file and defeat stat-based skipping).
+            # parquet_block_bytes overrides the row-group size — the
+            # prune granularity; production keeps parquet's default
+            # (128 MB), tests shrink it to get the multi-row-group file
+            # shape a at-scale index actually has.
+            w = (
                 spark.read.parquet(dpath.toString())
-                .repartition(n_out)
+                .repartitionByRange(n_out, "bucket")
+                .sortWithinPartitions("bucket")
                 .write.mode("overwrite")
-                .parquet(tmp.toString())
             )
+            if parquet_block_bytes:
+                w = w.option("parquet.block.size", parquet_block_bytes)
+            w.parquet(tmp.toString())
             # rename the live dir ASIDE (not delete) before promoting the
             # rewrite: a crash at any point leaves both complete file
             # sets on disk — the old rows are only deleted after the new

@@ -445,3 +445,166 @@ def test_incremental_ingest_rehearsal_end_to_end(spark, tmp_path):
     copies = {x for t in planted_triples for x in t[1:]}
     keep_ids = {d for d, l in lab.items() if l == d}
     assert keep_ids == set(lab) - copies
+
+
+def test_ten_batch_ingest_io_proportionality_sf01(spark, tmp_path):
+    """Round-8 VERDICT item 5 — the incremental loop at sf0.1 scale and
+    depth: TEN ingest batches (the 5000-doc corpus split by doc_id % 10),
+    each probed against the growing band index before its survivors are
+    appended, compaction interleaved every 3rd batch.  Asserted across
+    ALL batches, not just at the end:
+
+    - per-batch PROBE BYTES (Hadoop FS global bytesRead around the probe
+      action — inputFiles() is pruning-blind): a fixed 3-doc reference
+      probe is re-measured after EVERY ingest; between compactions its
+      bytes may grow by the appended wide-range files, but measured at
+      each COMPACTED state (the steady state a maintained index lives
+      in) they must stay near-flat while the index triples — the
+      round-9 bucket-literal pushdown over range-sorted row groups
+      (compaction writes multi-row-group files via parquet.block.size,
+      the shape a 100 TB index has by default) skips everything but the
+      probe's own bucket ranges;
+    - per-directory FILE COUNTS: <= cap after every compaction pass, and
+      between passes bounded by cap + batches-since-compaction — so any
+      probe's planning cost (one footer read per file) is bounded by
+      dirs x cap regardless of ingest depth;
+    - probe FILES-READ proportional to batch size: the reference probe's
+      touched (band, prefix) directories hold <= touched_dirs x bound
+      files, a fixed bound while total index files keep growing."""
+    import os
+
+    from kafkastreamsjavachallenge_spark.operators.dedup import (
+        band_index_matches,
+        compact_band_index,
+        write_band_index,
+    )
+
+    CAP = 2
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    batches = [
+        docs.filter(F.col("doc_id") % 10 == b).localCheckpoint()
+        for b in range(10)
+    ]
+    # fixed reference probe: 3 synthetic docs with probe-unique vocab
+    probe = spark.createDataFrame(
+        [
+            (9_000_000 + k, " ".join(f"probe{k}w{j}" for j in range(24)),
+             "en", "synth", 100)
+            for k in range(3)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).localCheckpoint()
+
+    def fs_bytes_read():
+        it = (
+            spark._jvm.org.apache.hadoop.fs.FileSystem
+            .getGlobalStorageStatistics().iterator()
+        )
+        total = 0
+        while it.hasNext():
+            v = it.next().getLong("bytesRead")
+            total += v if v else 0
+        return total
+
+    idx = str(tmp_path / "band_index")
+    probe_bytes_per_batch = []
+    compacted_probe_bytes = []  # measured at each post-compaction state
+    since_compact = 0
+    for b, batch in enumerate(batches):
+        if b == 0:
+            kept = batch
+        else:
+            matches = band_index_matches(batch, spark, idx)
+            kept = batch.join(
+                matches.select(F.col("new_id").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            ).localCheckpoint()
+        write_band_index(kept, idx, mode="append" if b else "overwrite")
+        since_compact += 1
+        if (b + 1) % 3 == 0:
+            # 64 KB row groups: the prune-granularity shape a 100 TB
+            # index has with parquet's 128 MB default — without this,
+            # every test-scale file is ONE row group spanning the whole
+            # directory range and stat-skipping has nothing to skip
+            compact_band_index(
+                spark, idx, max_files_per_dir=CAP,
+                parquet_block_bytes=64 * 1024,
+            )
+            since_compact = 0
+        # bounded per-directory file counts at EVERY batch
+        for root, _dirs, fs in os.walk(idx):
+            pq = [f for f in fs if f.endswith(".parquet")]
+            bound = CAP + since_compact * 2  # append adds <=2 files/dir
+            assert len(pq) <= bound, (
+                f"batch {b}: {root} holds {len(pq)} files (bound {bound})"
+            )
+        # fixed-probe bytes after every ingest
+        scan = band_index_matches(probe, spark, idx)
+        b0 = fs_bytes_read()
+        assert scan.count() == 0  # probe vocab is unique by construction
+        delta = fs_bytes_read() - b0
+        probe_bytes_per_batch.append(delta)
+        if since_compact == 0:
+            compacted_probe_bytes.append(delta)
+
+    # pruning discipline holds at final depth: probe ≪ full scan
+    b0 = fs_bytes_read()
+    spark.read.parquet(idx).count()
+    full_bytes = fs_bytes_read() - b0
+    assert probe_bytes_per_batch[-1] < full_bytes / 2, (
+        f"final probe read {probe_bytes_per_batch[-1]} of {full_bytes}"
+    )
+    # IO-proportionality: at the compacted steady states (after batches
+    # 3, 6, 9) the index grew 3x but the fixed probe's bytes must stay
+    # near-flat — row-group stat-skipping reads footers + the probe's
+    # own ranges, not the directory.  2x headroom covers footer growth.
+    assert len(compacted_probe_bytes) == 3
+    assert compacted_probe_bytes[-1] < 2 * compacted_probe_bytes[0], (
+        f"probe bytes track the index, not the probe: "
+        f"{compacted_probe_bytes} (full per-batch: {probe_bytes_per_batch})"
+    )
+
+    # files-read proportional to the probe, not the index: the probe's
+    # touched directories hold a bounded file count
+    from kafkastreamsjavachallenge_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+
+    touched = {
+        (int(r["band"]), str(r["bucket"])[:1])
+        for r in lsh_band_buckets(minhash_signatures(probe))
+        .select("band", "bucket")
+        .collect()
+    }
+    n_files_touched = 0
+    for band, bp in touched:
+        d = os.path.join(idx, f"band={band}", f"bp={bp}")
+        if os.path.isdir(d):
+            n_files_touched += sum(
+                1 for f in os.listdir(d) if f.endswith(".parquet")
+            )
+    total_files = sum(
+        1
+        for root, _d, fs in os.walk(idx)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert n_files_touched <= len(touched) * (CAP + 2)
+    assert n_files_touched < total_files, (n_files_touched, total_files)
+
+    # correctness of the loop at depth: survivors = the oracle's chained
+    # sequential dedup is covered by q_incremental_dedup; here pin that
+    # nothing was lost or duplicated across 10 appends
+    import duckdb as _dk
+
+    store_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+    )
+    assert len(store_ids) == len(set(store_ids))
+    assert len(store_ids) <= 5000
+    assert len(store_ids) >= 4000  # the corpus is mostly unique docs
