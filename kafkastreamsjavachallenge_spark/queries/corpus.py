@@ -1179,8 +1179,10 @@ def q_ann_batch(spark, sf_dir):
     """BATCH LSH retrieval: top-3 neighbors for EIGHT query vectors in one
     plan — the production retrieval shape (the other q_ann_* ids retrieve
     for one query; a serving/mining workload joins a query BATCH against
-    the bucketed corpus).  Every query's probe set (own bucket ∪ 8
-    Hamming-1 flips, the lsh_ann_topk probe rule) explodes into one
+    the bucketed corpus).  Every query's probe set (own 8-plane bucket ∪
+    8 Hamming-1 flips — the coarse-bucket scheme lsh_buckets keeps for
+    equi-join retrieval; the single-query path moved to SRP signatures
+    in round 9) explodes into one
     broadcast (query_id, bucket) table; candidates come from ONE
     equi-join on bucket — per-query work is the probe fan-out, never a
     corpus scan per query.  Ranking is over integer e6 cosines, zero-norm

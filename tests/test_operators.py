@@ -1307,3 +1307,38 @@ def test_cc_convergence_introspection(spark):
     out = connected_components(edges, nodes)
     assert cc_last_converged() is True
     assert {r["component"] for r in out.collect()} == {0}
+
+
+def test_semdedup_pandas_equals_declarative(spark):
+    """The Arrow/BLAS semdedup twin returns EXACTLY the declarative
+    path's kept set (ids and cluster assignments) on the driver's own
+    embeddings — both sf dirs, both k=16 (the registered query's config)
+    and a larger k (the scale config the rehearsal runs)."""
+    from kafkastreamsjavachallenge_spark.operators.similarity import (
+        semdedup,
+        semdedup_pandas,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = load_table(spark, sf_dir, "embeddings")
+        for k in (16, 64):
+            cent = e.filter(F.col("vec_id") < k).select(
+                F.col("vec_id").alias("centroid_id"), "embedding"
+            )
+            jvm = {
+                (r["vec_id"], r["centroid_id"])
+                for r in semdedup(e, cent, threshold=0.92)
+                .select("vec_id", "centroid_id")
+                .collect()
+            }
+            blas = {
+                (r["vec_id"], r["centroid_id"])
+                for r in semdedup_pandas(e, cent, threshold=0.92)
+                .select("vec_id", "centroid_id")
+                .collect()
+            }
+            assert jvm == blas, (
+                sf_dir,
+                k,
+                sorted(jvm ^ blas)[:10],
+            )
