@@ -231,12 +231,17 @@ def main() -> None:
             medians[name] = round(sorted(samples)[len(samples) // 2], 3)
             # every sample is post-warmup now; with a single sample
             # spread is undefined and stays 0 — one observation can't
-            # evidence variance.
-            med = sorted(samples)[len(samples) // 2]
+            # evidence variance.  Spread is TRIMMED at n>=5: the single
+            # slowest sample is dropped before max-min — a lone GC/JIT
+            # hiccup is not instability (and max-min over MORE samples
+            # otherwise grows by extreme-value statistics, so better
+            # sampling was inflating the very gate it should steady);
+            # two slow samples still flag.
+            srt = sorted(samples)
+            med = srt[len(srt) // 2]
+            steady = srt[:-1] if len(srt) >= 5 else srt
             abs_spread[name] = (
-                round(max(samples) - min(samples), 3)
-                if len(samples) > 1
-                else 0.0
+                round(steady[-1] - steady[0], 3) if len(steady) > 1 else 0.0
             )
             spreads[name] = (
                 round(abs_spread[name] / med, 3) if med > 0 else 0.0
