@@ -223,14 +223,6 @@ def semdedup_pandas(
     same remedy as the JVM path: raise k / second-level split."""
     import numpy as np
 
-    crows = (
-        centroids.select(centroid_id, vec_col).orderBy(centroid_id).collect()
-    )
-    cids = np.asarray([r[centroid_id] for r in crows], dtype=np.int64)
-    C = np.asarray([list(r[vec_col]) for r in crows], dtype=np.float64)
-    cn = np.sqrt((C * C).sum(axis=1))
-    Cn = C / np.where(cn == 0, 1.0, cn)[:, None]
-
     from pyspark.sql.types import LongType, StructField, StructType
 
     # a COPY, not df.schema.add(...): add() mutates (and returns) the
@@ -239,6 +231,31 @@ def semdedup_pandas(
         list(df.schema.fields) + [StructField(centroid_id, LongType())]
     )
 
+    crows = (
+        centroids.select(centroid_id, vec_col).orderBy(centroid_id).collect()
+    )
+    if not crows:  # no centroids: the JVM path's broadcast join is empty
+        return df.sparkSession.createDataFrame([], out_schema)
+    dim = max(
+        (len(r[vec_col]) for r in crows if r[vec_col] is not None), default=1
+    )
+
+    def _vec(v):
+        # null vectors map to zeros (cosine 0, argmax falls to the
+        # lowest centroid id) — the crash-freedom contract of the
+        # robustness sweep's fully-nulled tables; real corpora never
+        # take this branch
+        return (
+            np.asarray(v, dtype="float64")
+            if v is not None and len(v) == dim
+            else np.zeros(dim)
+        )
+
+    cids = np.asarray([r[centroid_id] for r in crows], dtype=np.int64)
+    C = np.stack([_vec(r[vec_col]) for r in crows])
+    cn = np.sqrt((C * C).sum(axis=1))
+    Cn = C / np.where(cn == 0, 1.0, cn)[:, None]
+
     def assign(batches):
         import pandas as pd
 
@@ -246,9 +263,7 @@ def semdedup_pandas(
             if len(pdf) == 0:
                 yield pdf.assign(**{centroid_id: pd.Series([], dtype="int64")})
                 continue
-            m = np.stack(
-                pdf[vec_col].apply(lambda v: np.asarray(v, dtype="float64"))
-            )
+            m = np.stack(pdf[vec_col].apply(_vec))
             # row norms are constant across centroids — argmax unaffected
             idx = (m @ Cn.T).argmax(axis=1)
             yield pdf.assign(**{centroid_id: cids[idx]})
@@ -257,9 +272,7 @@ def semdedup_pandas(
 
     def dedup(pdf):
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
-        m = np.stack(
-            pdf[vec_col].apply(lambda v: np.asarray(v, dtype="float64"))
-        )
+        m = np.stack(pdf[vec_col].apply(_vec))
         nrm = np.sqrt((m * m).sum(axis=1))
         mn = m / np.where(nrm == 0, 1.0, nrm)[:, None]
         g = mn @ mn.T

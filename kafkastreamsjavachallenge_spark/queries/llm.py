@@ -1136,6 +1136,27 @@ def q_semdedup(spark, sf_dir):
     return kept.select("vec_id", "centroid_id")
 
 
+def q_semdedup_blas(spark, sf_dir):
+    """Arrow/BLAS SemDeDup twin (similarity.semdedup_pandas): identical
+    kept-set contract to q_semdedup — nearest-centroid assignment
+    (lowest-id ties) then drop the higher id of any within-cluster pair
+    with cosine >= 0.92 — computed as one assignment matmul per Arrow
+    batch and one Gram matrix per cluster, the shape that survived the
+    round-9 sf1 rehearsal at 2.3x growth where the declarative path's
+    n*k interpreted assignment folds grew 45x.  The output is INTEGER
+    (vec_id, centroid_id), so the q_semdedup oracle checks this path
+    exactly; parity holds away from ulp-of-threshold/argmax boundaries
+    (BLAS reorders sums), the same documented class as q_maxsim_blas —
+    set equality with the declarative path is additionally pinned in
+    tests/test_operators.py across both sf dirs and two k values."""
+    e = _embs(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    kept = S.semdedup_pandas(e, cent, threshold=0.92)
+    return kept.select("vec_id", "centroid_id")
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction pass: email then digit-run regex rewrite over a
     synthesized contact string — stateless projection, Catalyst keeps it
@@ -3711,6 +3732,9 @@ QUERIES = {
     "q_ann_pq": (q_ann_pq, _ANN_PQ_SQL),
     "q_ann_ivfpq": (q_ann_ivfpq, _ANN_IVFPQ_SQL),
     "q_semdedup": (q_semdedup, _SEMDEDUP_SQL),
+    # the BLAS twin shares q_semdedup's oracle: same integer kept-set
+    # contract, different physical path (round 9)
+    "q_semdedup_blas": (q_semdedup_blas, _SEMDEDUP_SQL),
     "q_curation_pipeline": (
         q_curation_pipeline,
         f"WITH t AS (SELECT doc_id, text, {_TOKS} AS l FROM documents), "
