@@ -451,6 +451,15 @@ def lsh_candidates(
     if hamming_t is None:
         hamming_t = (n_planes * 7) // 16  # 0.4375 — 84 bits at 192
     spark = df.sparkSession
+    # the signature projection is n_planes*dim fold ops PER ROW — a small
+    # parquet input arrives as ONE partition and would run it
+    # single-threaded (measured 2.4s for 2000 rows at 192x64); a tiny
+    # reshuffle buys full parallelism.  At scale the input already has
+    # >= parallelism partitions and this is a no-op — the corpus is
+    # never shuffled for the filter itself.
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        df = df.repartition(par)
     planes = spark.createDataFrame(
         [(srp_plane_values(n_planes, dim),)], "__planes array<double>"
     )
