@@ -1844,17 +1844,22 @@ sig AS (SELECT doc_id,
 FROM hv)
 """
 
-# Sign-bit LSH mirrored in SQL: identical md5-derived hyperplanes
-# (hex4/65536 - 0.5 per (plane, dim) cell), identical sequential-fold dot
-# products (list ops, not a GROUP BY sum, so addition order matches
-# Spark's HOF fold).  Two schemes share the plane formula:
+# Sign-bit LSH mirrored in SQL: identical md5-derived hyperplanes per
+# (plane, dim) cell.  Two schemes share the md5 cell formula:
 #  - _LSH_BK_CTES: the coarse 8-plane BUCKET id (q_ann_batch's equi-join
-#    key, Hamming-1 probe fan-out);
+#    key, Hamming-1 probe fan-out) — float planes hex4/65536 - 0.5 with
+#    sequential-fold dots (list ops, so addition order matches Spark's
+#    HOF fold);
 #  - _ANN_LSH_CTES: the 192-bit SRP SIGNATURE + Hamming<=84 candidate
 #    filter (q_ann_lsh / q_ann_frontier / q_rank_biased_overlap) — the
 #    binary-sketch prefilter that replaced bucket probing in round 9
 #    (bucket probing could not pass recall 0.5 at <=400 candidates on
 #    this near-uniform corpus; signatures measure 1.0 at 244, sf0.1).
+#    INTEGER planes (hex4 - 32768) against floor(vec*2^20): the sign dot
+#    is exact on every engine in ANY accumulation order (products <=
+#    2^36, sums <= 2^42 < 2^53), which is what lets the Spark side run
+#    it as one BLAS matmul per Arrow batch while this oracle folds —
+#    and still hash-match bit-for-bit.
 _LSH_PLANES, _LSH_DIM = 8, 64
 _SRP_BITS, _SRP_HAMT = 192, 84  # t = floor(0.4375 * bits)
 _COSINE_TOPK_SQL = (
@@ -1885,34 +1890,43 @@ _LSH_BK_CTES = (
     "THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS bucket "
     "FROM v CROSS JOIN pl GROUP BY v.vec_id, v.vec), "
 )
-# SRP signature CTEs: plf = the flat row-major plane matrix (cell
-# p*dim+i holds plane p component i — one md5 per CELL, computed once in
-# the CTE, exactly similarity.srp_plane_values); bk = every vector with
-# its 192-bit sign signature; cand = vectors within Hamming 84 of the
-# query's signature.  Downstream consumers (_ANN_LSH_SQL scoring,
-# _rbo_sql, q_ann_frontier's count) read bk/qn/cand — same CTE contract
-# as the retired bucket-probe version.
+# SRP signature CTEs: plf = the flat row-major INTEGER plane matrix
+# (cell p*dim+i holds plane p component i as md5hex4 - 32768 — exactly
+# similarity.srp_plane_ints); bk = every vector with its 192-bit sign
+# signature packed into four 48-bit words (sign of the integer-quantized
+# dot floor(vec*2^20)·plane — exact and order-independent on every
+# engine, see srp_plane_ints); cand = vectors within Hamming 84 of the
+# query's signature via bit_count(xor) over the words.  Downstream
+# consumers (_ANN_LSH_SQL scoring, _rbo_sql, q_ann_frontier's count)
+# read bk/qn/cand — same CTE contract as the retired bucket-probe
+# version.
+_SRP_WORD_BITS = 48
+_SRP_WORDS = _SRP_BITS // _SRP_WORD_BITS
 _ANN_LSH_CTES = (
     "WITH v AS (SELECT vec_id, "
     "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
     "FROM embeddings), "
-    "plf AS (SELECT list(('0x' || substr(md5("
+    "vq AS (SELECT vec_id, vec, list_transform(vec, "
+    "x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS iq FROM v), "
+    "plf AS (SELECT list((('0x' || substr(md5("
     f"(t.t // {_LSH_DIM}) || '|' || (t.t % {_LSH_DIM})), 1, 4))"
-    "::BIGINT / 65536.0 - 0.5 ORDER BY t.t) AS w "
+    "::BIGINT - 32768) ORDER BY t.t) AS w "
     f"FROM range(0, {_SRP_BITS * _LSH_DIM}) t(t)), "
-    "bk AS (SELECT v.vec_id, v.vec, "
-    f"list_transform(range(0, {_SRP_BITS}), p -> "
+    "bk AS (SELECT vq.vec_id, vq.vec, "
+    f"list_transform(range(0, {_SRP_WORDS}), wd -> "
+    f"CAST(list_sum(list_transform(range(0, {_SRP_WORD_BITS}), j -> "
     f"CASE WHEN list_sum(list_transform(range(1, {_LSH_DIM + 1}), "
-    f"i -> v.vec[i] * plf.w[p * {_LSH_DIM} + i])) >= 0 "
-    "THEN 1 ELSE 0 END) AS sig FROM v CROSS JOIN plf), "
-    "qb AS (SELECT sig, vec FROM bk WHERE vec_id = 0), "
+    f"i -> vq.iq[i] * plf.w[(wd * {_SRP_WORD_BITS} + j) * {_LSH_DIM} + i]"
+    ")) >= 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)) AS sw "
+    "FROM vq CROSS JOIN plf), "
+    "qb AS (SELECT sw, vec FROM bk WHERE vec_id = 0), "
     "qn AS (SELECT sqrt(list_sum(list_transform("
     f"range(1, {_LSH_DIM + 1}), i -> vec[i] * vec[i]))) AS qnorm, "
     "vec AS qv FROM qb), "
     "cand AS (SELECT b.vec_id, b.vec FROM bk b CROSS JOIN qb q "
     "WHERE b.vec_id <> 0 AND "
-    f"list_sum(list_transform(range(1, {_SRP_BITS + 1}), "
-    "j -> CASE WHEN b.sig[j] <> q.sig[j] THEN 1 ELSE 0 END)) "
+    f"list_sum(list_transform(range(1, {_SRP_WORDS + 1}), "
+    "w -> bit_count(xor(b.sw[w], q.sw[w])))) "
     f"<= {_SRP_HAMT}) "
 )
 _ANN_LSH_SQL = (
