@@ -51,8 +51,13 @@ HEADLINE = [
     # round-3 additions: end-to-end curation composite + PQ ANN
     "q_curation_pipeline",
     "q_ann_pq",
-    # round-4 additions: semantic dedup + corpus novelty
-    "q_semdedup",
+    # round-4 additions: semantic dedup + corpus novelty; round-9 swapped
+    # the semdedup headline to the Arrow/BLAS twin (same contract, same
+    # oracle — the declarative q_semdedup stays registered and
+    # hash-checked, but its |cluster|^2 HOF pair stage was ~1.5 s at
+    # sf0.1 and 45x growth at sf1 vs the twin's 2.3x; the sf1 scale
+    # rehearsal already benches the twin)
+    "q_semdedup_blas",
     "q_ngram_novelty",
     # round-4 additions: lexical retrieval + importance-weighted selection
     "q_bm25",

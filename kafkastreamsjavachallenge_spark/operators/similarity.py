@@ -414,17 +414,28 @@ def _srp_words_udf(n_planes: int, dim: int):
         planes = np.array(
             srp_plane_ints(n_planes, dim), dtype=np.float64
         ).reshape(n_planes, dim)
-        vq = np.floor(
-            np.stack(v.to_numpy()).astype(np.float64) * float(SRP_QUANT)
+        vals = v.to_numpy()
+        # a null or wrong-length embedding gets a NULL signature — the
+        # row then fails the Hamming filter, exactly like the fold form
+        # (null-padded zip_with → null dot → null bits → filtered)
+        valid = np.array(
+            [x is not None and len(x) == dim for x in vals], dtype=bool
         )
-        bits = (vq @ planes.T) >= 0.0  # exact integer compare
-        words = np.empty((len(vq), n_words), dtype=np.int64)
-        for w in range(n_words):
-            block = bits[
-                :, w * SRP_WORD_BITS : (w + 1) * SRP_WORD_BITS
-            ].astype(np.int64)
-            words[:, w] = block @ shifts
-        return pd.Series(list(words))
+        out = [None] * len(vals)
+        if valid.any():
+            vq = np.floor(
+                np.stack(vals[valid]).astype(np.float64) * float(SRP_QUANT)
+            )
+            bits = (vq @ planes.T) >= 0.0  # exact integer compare
+            words = np.empty((len(vq), n_words), dtype=np.int64)
+            for w in range(n_words):
+                block = bits[
+                    :, w * SRP_WORD_BITS : (w + 1) * SRP_WORD_BITS
+                ].astype(np.int64)
+                words[:, w] = block @ shifts
+            for i, j in enumerate(np.flatnonzero(valid)):
+                out[j] = words[i]
+        return pd.Series(out)
 
     # module-wide `from __future__ import annotations` stringifies def-site
     # hints, which the pandas_udf validator cannot resolve against the
