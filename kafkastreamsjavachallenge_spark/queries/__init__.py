@@ -54,7 +54,8 @@ _MODULES = (
 # r09 (this slate, per round-8 VERDICT item 4 "re-burn the stale
 # third"): 2 pinned flagships (the reference-parity headliner and the
 # 1-row source canary — the other four round-8 flagships were all green
-# r08 and give up their slots to stale ids this round); the 5 ids whose
+# r08 and give up their slots to stale ids this round); the NEW
+# never-driver-checked id q_semdedup_blas; the 5 ids whose
 # oracles CHANGED this round (q_ann_lsh family — the LSH retrieval moved
 # from 8-bit bucket probing to 192-bit SRP signatures + Hamming<=84 for
 # deployment-grade recall, which rewrites _ANN_LSH_CTES and so also
@@ -75,6 +76,10 @@ _PRIORITY = (
     "q_rank_biased_overlap",
     # oracle changed this round: symmetric off-grid rounding nudge
     "q_maxsim_blas",
+    # NEW id this round (never driver-checked): the BLAS SemDeDup twin —
+    # never-checked outranks oldest-checked, so it takes the slate slot
+    # of one r02 stale id (q_ngram_jaccard rolls to the r10 burn)
+    "q_semdedup_blas",
     # stale burn: latest driver-green row r01 (39 ids)
     "q_agg_multi",
     "q_cube",
@@ -115,11 +120,11 @@ _PRIORITY = (
     "q_tpch_q9",
     "q_union",
     "q_windowed_count",
-    # stale burn: latest driver-green row r02 (4 ids)
+    # stale burn: latest driver-green row r02 (3 ids; q_ngram_jaccard
+    # gave its slot to the new q_semdedup_blas, rolls to r10)
     "q_ewma",
     "q_fingerprint",
     "q_minhash_sig",
-    "q_ngram_jaccard",
 )
 
 
