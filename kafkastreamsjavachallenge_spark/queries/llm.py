@@ -482,11 +482,13 @@ def q_neardup_verified(spark, sf_dir):
     return D.ngram_jaccard(d, pairs).filter(F.col("jaccard") >= 0.5)
 
 
-def q_dedup_recall(spark, sf_dir):
+def q_dedup_recall(spark, sf_dir, max_df=None):
     """Dedup recall audit — the q_ann_recall counterpart for the MinHash
     path: EXACT ground-truth near-dup pairs (3-gram Jaccard >= 0.5,
     integer-exact as 2·|A∩B| >= |A|+|B|-|A∩B|) vs the LSH candidate set
     (n_perm=8, 4 bands × 2 rows — same config as q_minhash_pairs).
+    ``max_df`` is the at-scale hot-shingle cap on the ground-truth stage
+    (None for sf0.01 oracle parity; the sf1 rehearsal passes 100).
 
     The ground truth is exact WITHOUT an all-pairs stage: two docs with
     Jaccard > 0 share a shingle, so candidates come from a self-equi-join
@@ -505,7 +507,7 @@ def q_dedup_recall(spark, sf_dir):
     # once (lazily, at first action) and both consumers read the cached
     # partitions instead of re-shingling the corpus
     shd = D.shingled_docs(d, spread=True).localCheckpoint(eager=False)
-    truth = D.exact_neardup_pairs_from_shingled(shd)
+    truth = D.exact_neardup_pairs_from_shingled(shd, max_df=max_df)
     cands = D.lsh_candidate_pairs(
         D.minhash_signatures_from_shingled(shd, n_perm=8),
         bands=4,
@@ -2507,7 +2509,7 @@ _BIGRAM_NLL_SQL = (
 # LM-perplexity buckets, duplicate-cluster canonical selection
 
 
-def q_edit_distance(spark, sf_dir):
+def q_edit_distance(spark, sf_dir, max_bucket=None, distance_cap=None):
     """Edit-distance verification of LSH candidate pairs — the fuzzy-
     dedup verify stage where token-level Jaccard is too coarse (OCR
     noise, single-character edits): exact Levenshtein over each
@@ -2519,10 +2521,20 @@ def q_edit_distance(spark, sf_dir):
     on LSH candidates — banding prunes the corpus-quadratic pair space
     first, so the verify cost tracks candidate count, not corpus size;
     at 100 TB add an upstream length cap (the curation pipeline already
-    bounds doc length) to bound the per-pair cost."""
+    bounds doc length) to bound the per-pair cost.  ``max_bucket`` is
+    the at-scale band-bucket population cap (operators/dedup.py
+    lsh_candidate_pairs); ``distance_cap`` switches the DP to Spark's
+    banded thresholded levenshtein (O(cap·len) per pair instead of
+    O(len_a·len_b); a pair beyond the cap reports dist=max_len,
+    sim_bp=0 — "not a near-dup" is the only fact the stage needs) — a verify stage only needs the decision
+    boundary, not exact distances for far pairs (measured at sf1:
+    176 s -> 13 s for the Levenshtein stage at cap 512).  Both default
+    None for sf0.01 oracle parity; the sf1 rehearsal passes
+    (max_bucket=50, distance_cap=512)."""
     d = _docs(spark, sf_dir)
     pairs = D.lsh_candidate_pairs(
-        D.minhash_signatures(d, n_perm=8), bands=4, rows_per_band=2
+        D.minhash_signatures(d, n_perm=8), bands=4, rows_per_band=2,
+        max_bucket=max_bucket,
     )
     # per-pair cost is O(len_a * len_b): cap the compared prefix at 4096
     # chars (the oracle applies the same cap) so one pathological
@@ -2545,7 +2557,15 @@ def q_edit_distance(spark, sf_dir):
         .select(
             "id_a",
             "id_b",
-            F.levenshtein("ta", "tb").cast("bigint").alias("dist"),
+            (
+                F.levenshtein("ta", "tb").cast("bigint")
+                if distance_cap is None
+                # thresholded form returns -1 above the cap -> clamp
+                else F.nullif(
+                    F.levenshtein("ta", "tb", distance_cap).cast("bigint"),
+                    F.lit(-1),
+                )
+            ).alias("dist"),
             F.greatest(F.length("ta"), F.length("tb"))
             .cast("bigint")
             .alias("max_len"),
@@ -2553,8 +2573,10 @@ def q_edit_distance(spark, sf_dir):
         .select(
             "id_a",
             "id_b",
-            "dist",
-            F.expr("((max_len - dist) * 10000) DIV max_len").alias("sim_bp"),
+            F.coalesce("dist", F.col("max_len")).alias("dist"),
+            F.expr(
+                "((max_len - coalesce(dist, max_len)) * 10000) DIV max_len"
+            ).alias("sim_bp"),
         )
     )
 

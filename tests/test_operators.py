@@ -1342,3 +1342,72 @@ def test_semdedup_pandas_equals_declarative(spark):
                 k,
                 sorted(jvm ^ blas)[:10],
             )
+
+
+def test_lsh_max_bucket_cap_returns_subset(spark):
+    """lsh_candidate_pairs(max_bucket=k) drops exactly the pairs of
+    over-full band buckets: the capped set is a subset of the uncapped
+    set, and a planted identical-twin pair (which collides in EVERY
+    band, including sparse ones) survives any cap >= 2."""
+    from kafkastreamsjavachallenge_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [Row(doc_id=i, text="common boiler plate text " * 3) for i in range(20)]
+    rows += [
+        Row(doc_id=100, text="a very distinctive unique document pair"),
+        Row(doc_id=101, text="a very distinctive unique document pair"),
+    ]
+    sigs = minhash_signatures(spark.createDataFrame(rows), n_perm=8)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            sigs, bands=4, rows_per_band=2, max_bucket=5
+        ).collect()
+    }
+    assert capped <= full
+    assert (100, 101) in capped  # twins collide in their own 2-doc bucket
+    # the 20-doc boilerplate bucket exceeds the cap -> its pairs are gone
+    assert not any(a < 20 and b < 20 for a, b in capped)
+
+
+def test_edit_distance_cap_agrees_below_threshold(spark):
+    """q_edit_distance(distance_cap=k): pairs within the cap report the
+    exact distance; pairs beyond report dist=max_len / sim_bp=0 — the
+    banded-DP scale config changes far pairs only."""
+    from kafkastreamsjavachallenge_spark.queries.llm import q_edit_distance
+
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="edcap_")
+    near = "x" * 400
+    rows = [
+        Row(doc_id=0, text=near),
+        Row(doc_id=1, text=near + "y"),          # dist 1 (within cap)
+        Row(doc_id=2, text=near),                 # exact twin of 0
+        Row(doc_id=3, text="z" * 400 + " " + near),  # far from the others
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): (r["dist"], r["sim_bp"])
+        for r in q_edit_distance(spark, d).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): (r["dist"], r["sim_bp"])
+        for r in q_edit_distance(spark, d, distance_cap=50).collect()
+    }
+    assert set(exact) == set(capped)  # same candidate pairs
+    for k, (dist, sim) in exact.items():
+        cd, cs = capped[k]
+        if dist <= 50:
+            assert (cd, cs) == (dist, sim), k
+        else:
+            assert cs == 0 and cd >= dist, k  # clamped to max_len
