@@ -167,6 +167,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
 
+    # Pre-warm both directories BEFORE timing: load_table triggers the
+    # once-per-process single-row-group relayout (a layout-migration
+    # cost a real deployment pays once, not an operator property) and a
+    # count() faults the parquet into page cache.  Without this the
+    # FIRST id touching each big table absorbs the relayout write plus
+    # a cold sequential read — measured as q_agg_multi "32.9x growth"
+    # that a warm re-measure puts at 1.9x (round-9 finding; this host's
+    # virtio disk stalls under writeback make the artifact severe).
+    from kafkastreamsjavachallenge_spark.catalog import load_table
+
+    for d in (dir10, dir100):
+        for t in ("lineitem", "orders", "events", "documents",
+                  "embeddings", "customer", "supplier", "part"):
+            try:
+                load_table(spark, d, t).count()
+            except Exception:
+                pass  # table absent in a partial fuzz dir — fine
+
     def run(name: str, sf_dir: str, runs: int = 2) -> float:
         best = float("inf")
         fn = _fn(qs, name)
