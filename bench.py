@@ -48,9 +48,13 @@ HEADLINE = [
     "q_tpch_q9",
     "q_fuzzy_join",
     "q_knn_join",
-    # round-3 additions: end-to-end curation composite + PQ ANN
+    # round-3 additions: end-to-end curation composite + PQ ANN;
+    # round-9 swapped the PQ headline to the Arrow/BLAS twin (same
+    # trainer, encode+ADC fused into one exact sequential-fold kernel,
+    # same _ANN_PQ_SQL oracle, equality test-pinned — the declarative
+    # q_ann_pq stays registered and hash-checked)
     "q_curation_pipeline",
-    "q_ann_pq",
+    "q_ann_pq_blas",
     # round-4 additions: semantic dedup + corpus novelty; round-9 swapped
     # the semdedup headline to the Arrow/BLAS twin (same contract, same
     # oracle — the declarative q_semdedup stays registered and

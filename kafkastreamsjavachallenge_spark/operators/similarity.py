@@ -714,6 +714,112 @@ def pq_ann_topk(
     )
 
 
+def pq_ann_topk_blas(
+    df: DataFrame,
+    query: DataFrame,
+    codebook: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/BLAS twin of ``pq_ann_topk`` (single-row query): encode +
+    ADC in ONE vectorized kernel per Arrow batch instead of the
+    explode → broadcast-join → hash-agg pipeline (whose per-(row, sub,
+    code) interpreted l2 folds dominate the declarative path's cost —
+    the same finding as the q_maxsim_blas / q_semdedup_blas twins).
+
+    Exactness contract: the per-subspace squared distances accumulate
+    with an EXPLICIT 8-step sequential loop — numpy's axis-sum is
+    pairwise even at 8 elements (measured: not bit-identical), so the
+    kernel adds term-by-term in index order, reproducing the Catalyst
+    fold and the DuckDB oracle bit-for-bit (float32→float64 casts and
+    products are exact on all three).  argmin's first-minimum IS the
+    lowest-code tie-break.  The ADC sum is 8 floats in subspace order;
+    like the declarative path it agrees with the oracle away from the
+    4-dp rounding boundary (the documented _PQ_SQL caveat).  The
+    codebook (m×k rows) and the query block are bounded driver-side
+    collections — the same discipline as the MaxSim query block.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sub_len = dim // m
+    cb_rows = codebook.collect()  # m*k rows — bounded by construction
+    q_rows = query.select(vec_col).collect()
+    if len(q_rows) > 1:
+        raise ValueError("pq_ann_topk_blas supports at most one query row")
+    degenerate = (
+        not cb_rows
+        or not q_rows
+        or q_rows[0][0] is None
+        or len(q_rows[0][0]) != dim
+    )
+    if degenerate:  # empty/nulled corpus fixtures — same rows as the
+        # declarative path's empty joins: none
+        return (
+            df.select(
+                F.col(id_col), F.lit(None).cast("double").alias("adc_dist")
+            )
+            .filter(F.lit(False))
+        )
+    k_codes = 1 + max(r["code"] for r in cb_rows)
+    C = np.zeros((m, k_codes, sub_len), dtype=np.float64)
+    for r in cb_rows:
+        C[r["sub"], r["code"]] = np.asarray(r["cvec"], dtype=np.float64)
+    qv = np.asarray(q_rows[0][0], dtype=np.float64)
+
+    def _seq_l2(X, Cs):
+        # (n, L) vs (k, L) -> (n, k), summed in index order (see above)
+        acc = None
+        for i in range(X.shape[1]):
+            d = X[:, i : i + 1] - Cs[None, :, i]
+            t = d * d
+            acc = t if acc is None else acc + t
+        return acc
+
+    # query ADC table: dt[sub, code], same sequential fold as l2_sq
+    dt = np.stack(
+        [
+            _seq_l2(qv[s * sub_len : (s + 1) * sub_len][None, :], C[s])[0]
+            for s in range(m)
+        ]
+    )
+
+    def _adc(v):
+        vals = v.to_numpy()
+        # null / wrong-length embeddings score NULL and are filtered —
+        # the rows the declarative path's joins would drop
+        valid = np.array(
+            [x is not None and len(x) == dim for x in vals], dtype=bool
+        )
+        out = np.full(len(vals), np.nan)
+        if valid.any():
+            X = np.stack(vals[valid]).astype(np.float64)
+            total = None
+            for s in range(m):
+                codes = np.argmin(
+                    _seq_l2(X[:, s * sub_len : (s + 1) * sub_len], C[s]),
+                    axis=1,
+                )
+                t = dt[s][codes]
+                total = t if total is None else total + t
+            out[valid] = total
+        return pd.Series(out)
+
+    _adc.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    adc = pandas_udf(_adc, "double")
+    return (
+        df.select(id_col, F.round(adc(F.col(vec_col)), 4).alias("adc_dist"))
+        # NaN (not NULL) marks the invalid rows through Arrow — filter both
+        .filter(F.col("adc_dist").isNotNull() & ~F.isnan("adc_dist"))
+        .orderBy(F.col("adc_dist"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def kmeans(
     df: DataFrame,
     k: int = 8,

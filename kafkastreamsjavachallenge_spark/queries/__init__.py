@@ -76,10 +76,12 @@ _PRIORITY = (
     "q_rank_biased_overlap",
     # oracle changed this round: symmetric off-grid rounding nudge
     "q_maxsim_blas",
-    # NEW id this round (never driver-checked): the BLAS SemDeDup twin —
-    # never-checked outranks oldest-checked, so it takes the slate slot
-    # of one r02 stale id (q_ngram_jaccard rolls to the r10 burn)
+    # NEW ids this round (never driver-checked): the BLAS SemDeDup and
+    # PQ twins — never-checked outranks oldest-checked, so they take the
+    # slate slots of two r02 stale ids (q_ngram_jaccard, q_minhash_sig
+    # roll to the r10 burn)
     "q_semdedup_blas",
+    "q_ann_pq_blas",
     # stale burn: latest driver-green row r01 (39 ids)
     "q_agg_multi",
     "q_cube",
@@ -120,11 +122,10 @@ _PRIORITY = (
     "q_tpch_q9",
     "q_union",
     "q_windowed_count",
-    # stale burn: latest driver-green row r02 (3 ids; q_ngram_jaccard
-    # gave its slot to the new q_semdedup_blas, rolls to r10)
+    # stale burn: latest driver-green row r02 (2 ids; q_ngram_jaccard and
+    # q_minhash_sig gave their slots to the new BLAS twins, roll to r10)
     "q_ewma",
     "q_fingerprint",
-    "q_minhash_sig",
 )
 
 

@@ -759,6 +759,22 @@ def q_ann_pq(spark, sf_dir):
     return S.pq_ann_topk(base, query, codebook, k=10)
 
 
+def q_ann_pq_blas(spark, sf_dir):
+    """Arrow/BLAS twin of q_ann_pq (operators/similarity.py
+    pq_ann_topk_blas): identical deterministic trainer, encode + ADC
+    fused into one vectorized kernel per Arrow batch with sequential
+    index-order accumulation so per-subspace distances match the
+    Catalyst fold and the DuckDB oracle bit-for-bit — registered against
+    the SAME _ANN_PQ_SQL oracle, hash-checked, and exact-equivalence
+    pinned against the declarative path in tests/test_approx.py."""
+    e = _embs(spark, sf_dir)
+    base = e.filter(F.col("vec_id") != 0)
+    query = e.filter(F.col("vec_id") == 0)
+    train = base.filter(_h28(F.col("vec_id")) % 10 == 0)
+    codebook = S.pq_train(train, m=8, k=16, iters=2)
+    return S.pq_ann_topk_blas(base, query, codebook, k=10)
+
+
 def q_ann_ivfpq(spark, sf_dir):
     """IVF-PQ composite ANN (no-residual IVFPQ): the coarse quantizer
     (16 deterministic centroids, nprobe=4) prunes the corpus to 4
@@ -3766,6 +3782,7 @@ QUERIES = {
     "q_ann_lsh": (q_ann_lsh, _ANN_LSH_SQL),
     "q_ann_ivf": (q_ann_ivf, _ANN_IVF_SQL),
     "q_ann_pq": (q_ann_pq, _ANN_PQ_SQL),
+    "q_ann_pq_blas": (q_ann_pq_blas, _ANN_PQ_SQL),
     "q_ann_ivfpq": (q_ann_ivfpq, _ANN_IVFPQ_SQL),
     "q_semdedup": (q_semdedup, _SEMDEDUP_SQL),
     # the BLAS twin shares q_semdedup's oracle: same integer kept-set

@@ -540,3 +540,20 @@ def test_broadcast_advisor_exact_sizes(spark, tmp_path):
     # 11k rows x (24 + 1000 + 3) bytes = ~11.3 MB > 10 MiB -> must shuffle
     assert out["customer"]["est_bytes"] == 11_000 * (24 + 1000 + 3)
     assert out["customer"]["broadcastable"] == 0
+
+
+def test_pq_blas_twin_matches_declarative(spark):
+    """pq_ann_topk_blas must return EXACTLY the declarative pq_ann_topk
+    rows (ids, 4-dp ADC distances, order) — the kernel's sequential
+    index-order accumulation reproduces the Catalyst fold bit-for-bit,
+    so this is an equality pin, not a tolerance check."""
+    from kafkastreamsjavachallenge_spark.queries.llm import (
+        q_ann_pq,
+        q_ann_pq_blas,
+    )
+
+    from tests.conftest import SF_DIR
+
+    a = [tuple(r) for r in q_ann_pq(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in q_ann_pq_blas(spark, SF_DIR).collect()]
+    assert a == b
