@@ -364,6 +364,114 @@ def ivfpq_ann_topk(
     return pq_ann_topk(cands, query, codebook, k, m, dim, id_col, vec_col)
 
 
+def ivf_assign_blas(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Arrow twin of ``ivf_assign``: the nearest-centroid argmax computed
+    as one vectorized kernel per Arrow batch.  Every arithmetic step
+    reproduces the declarative form bit-for-bit: dots and norms
+    accumulate with an explicit index-order loop (numpy reductions are
+    pairwise — NOT fold-order), division and sqrt are single correctly-
+    rounded IEEE ops, and argmax's first-maximum is the lowest-centroid
+    tie-break (max_by(struct(sim, -cid))).  NaN similarity (zero norms)
+    wins in both engines (Spark orders NaN largest; numpy argmax
+    propagates NaN), ties on NaN break to the first = lowest cid.
+    Rows with null/wrong-length vectors get a NULL centroid (the rows
+    the declarative crossJoin drops).  Centroids collect driver-side —
+    bounded by construction (k ≪ n), same discipline as the codebook."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c_rows = centroids.select(centroid_id, vec_col).collect()
+    # ascending-cid order makes argmax's first-maximum THE lowest-cid
+    # tie-break (collect() order is otherwise partition-dependent)
+    c_rows = sorted(
+        (r for r in c_rows if r[1] is not None and len(r[1]) == dim),
+        key=lambda r: r[0],
+    )
+    if not c_rows:
+        return df.withColumn(centroid_id, F.lit(None).cast("long")).filter(
+            F.lit(False)
+        )
+    cids = np.array([r[0] for r in c_rows], dtype=np.int64)
+    C = np.stack(
+        [np.asarray(r[1], dtype=np.float64) for r in c_rows]
+    )  # (k, dim)
+
+    def _seq_dot(X, Y):
+        acc = None
+        for i in range(X.shape[1]):
+            t = X[:, i : i + 1] * Y[None, :, i]
+            acc = t if acc is None else acc + t
+        return acc
+
+    def _seq_norm(X):
+        acc = None
+        for i in range(X.shape[1]):
+            t = X[:, i] * X[:, i]
+            acc = t if acc is None else acc + t
+        return np.sqrt(acc)
+
+    cn = _seq_norm(C)
+
+    def _assign(v):
+        vals = v.to_numpy()
+        valid = np.array(
+            [x is not None and len(x) == dim for x in vals], dtype=bool
+        )
+        out = [None] * len(vals)
+        if valid.any():
+            X = np.stack(vals[valid]).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = _seq_dot(X, C) / (_seq_norm(X)[:, None] * cn[None, :])
+            # NaN must win like Spark's max_by (NaN orders largest):
+            # argmax alone returns the FIRST NaN, matching the lowest-cid
+            # tie-break among NaNs; for NaN-free rows it is the plain
+            # first-maximum = lowest cid on exact ties.
+            best = np.argmax(sim, axis=1)
+            for i, j in enumerate(np.flatnonzero(valid)):
+                out[j] = int(cids[best[i]])
+        return pd.Series(out, dtype="object")
+
+    _assign.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    assign = pandas_udf(_assign, "long")
+    return df.withColumn(centroid_id, assign(F.col(vec_col))).filter(
+        F.col(centroid_id).isNotNull()
+    )
+
+
+def ivfpq_ann_topk_blas(
+    df: DataFrame,
+    query: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow twin of ``ivfpq_ann_topk``: BLAS coarse assignment
+    (``ivf_assign_blas``) + the declarative probe list (nprobe rows,
+    trivial) + the fused encode/ADC kernel (``pq_ann_topk_blas``) over
+    the probed survivors.  Candidate sets and distances match the
+    declarative composite bit-for-bit (each stage's exactness contract
+    is its twin's)."""
+    assigned = ivf_assign_blas(df, centroids, id_col, vec_col, dim=dim)
+    probes = _probe_lists(query, centroids, nprobe, vec_col)
+    cands = assigned.join(
+        F.broadcast(probes), on="centroid_id", how="left_semi"
+    ).drop("centroid_id")
+    return pq_ann_topk_blas(cands, query, codebook, k, m, dim, id_col, vec_col)
+
+
 #: SRP packed-signature word width.  48 (not 64) so ``1 << j`` never
 #: touches the sign bit — DuckDB's ``1::BIGINT << 63`` and a JVM long
 #: would disagree on overflow semantics; 48-bit words stay positive

@@ -82,6 +82,7 @@ _PRIORITY = (
     # roll to the r10 burn)
     "q_semdedup_blas",
     "q_ann_pq_blas",
+    "q_ann_ivfpq_blas",
     # stale burn: latest driver-green row r01 (39 ids)
     "q_agg_multi",
     "q_cube",
@@ -122,10 +123,10 @@ _PRIORITY = (
     "q_tpch_q9",
     "q_union",
     "q_windowed_count",
-    # stale burn: latest driver-green row r02 (2 ids; q_ngram_jaccard and
-    # q_minhash_sig gave their slots to the new BLAS twins, roll to r10)
+    # stale burn: latest driver-green row r02 (1 id; q_ngram_jaccard,
+    # q_minhash_sig and q_fingerprint gave their slots to the new BLAS
+    # twins, roll to r10)
     "q_ewma",
-    "q_fingerprint",
 )
 
 

@@ -798,6 +798,27 @@ def q_ann_ivfpq(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_blas(spark, sf_dir):
+    """Arrow twin of q_ann_ivfpq (operators/similarity.py
+    ivfpq_ann_topk_blas): BLAS coarse assignment with index-order
+    accumulation + the fused encode/ADC kernel over the probed lists —
+    candidate sets and 4-dp ADC distances match the declarative
+    composite bit-for-bit, so it registers against the SAME
+    _ANN_IVFPQ_SQL oracle; exact equality vs q_ann_ivfpq is pinned in
+    tests/test_approx.py."""
+    e = _embs(spark, sf_dir)
+    base = e.filter(F.col("vec_id") != 0)
+    query = e.filter(F.col("vec_id") == 0)
+    centroids = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    train = base.filter(_h28(F.col("vec_id")) % 10 == 0)
+    codebook = S.pq_train(train, m=8, k=16, iters=2)
+    return S.ivfpq_ann_topk_blas(
+        base, query, centroids, codebook, k=10, nprobe=4
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end curation composite — the north-star pipeline as ONE
     declarative plan: quality gate (token-count bounds + lexical
@@ -3784,6 +3805,7 @@ QUERIES = {
     "q_ann_pq": (q_ann_pq, _ANN_PQ_SQL),
     "q_ann_pq_blas": (q_ann_pq_blas, _ANN_PQ_SQL),
     "q_ann_ivfpq": (q_ann_ivfpq, _ANN_IVFPQ_SQL),
+    "q_ann_ivfpq_blas": (q_ann_ivfpq_blas, _ANN_IVFPQ_SQL),
     "q_semdedup": (q_semdedup, _SEMDEDUP_SQL),
     # the BLAS twin shares q_semdedup's oracle: same integer kept-set
     # contract, different physical path (round 9)

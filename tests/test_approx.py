@@ -557,3 +557,18 @@ def test_pq_blas_twin_matches_declarative(spark):
     a = [tuple(r) for r in q_ann_pq(spark, SF_DIR).collect()]
     b = [tuple(r) for r in q_ann_pq_blas(spark, SF_DIR).collect()]
     assert a == b
+
+
+def test_ivfpq_blas_twin_matches_declarative(spark):
+    """ivfpq_ann_topk_blas: BLAS assignment + fused ADC must reproduce
+    the declarative composite exactly (ids, distances, order)."""
+    from kafkastreamsjavachallenge_spark.queries.llm import (
+        q_ann_ivfpq,
+        q_ann_ivfpq_blas,
+    )
+
+    from tests.conftest import SF_DIR
+
+    a = [tuple(r) for r in q_ann_ivfpq(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in q_ann_ivfpq_blas(spark, SF_DIR).collect()]
+    assert a == b
