@@ -280,6 +280,10 @@ def test_registry_plans_lint_clean(spark):
         # IVF-PQ composite: 16-centroid + nprobe-probe + ADC-table
         # broadcasts — all bounded by k/nprobe/m·k, never the corpus
         "q_ann_ivfpq",
+        # Arrow twin: keeps the declarative probe-list crossJoin (16
+        # broadcast centroids × 1 query row; the corpus-sized stages are
+        # in-kernel)
+        "q_ann_ivfpq_blas",
         # topic labeling: inherits kmeans' k-centroid broadcasts
         "q_topic_labels",
         # dedup recall audit: 1-row candidate-count broadcast (precision)
