@@ -300,6 +300,24 @@ def main() -> None:
         record["ann_recall@10"] = {
             m: v["recall_bp"] / 10000 for m, v in record["ann_frontier"].items()
         }
+        # round-9 extension: the PQ / IVF-PQ paths tracked too — recall
+        # computed inline as id-set overlap vs the exact cosine top-10
+        # (the frontier query itself stays oracle-pinned to its three
+        # methods).  PQ ranks by quantized L2, exact by cosine; on the
+        # normalized-ish corpus they agree when the codebook is healthy,
+        # so this is the per-round "did PQ training degrade" canary.
+        exact_ids = {
+            r["vec_id"] for r in qs["q_cosine_topk"](spark, sf_dir).collect()
+        }
+        for m, qid in (
+            ("pq", "q_ann_pq_blas"),
+            ("ivfpq", "q_ann_ivfpq_blas"),
+            ("pq_refine", "q_ann_pq_refine"),
+        ):
+            got = {r["vec_id"] for r in qs[qid](spark, sf_dir).collect()}
+            record["ann_recall@10"][m] = len(got & exact_ids) / max(
+                len(exact_ids), 1
+            )
     except Exception as exc:
         record["ann_frontier_error"] = f"{type(exc).__name__}: {exc}"[:200]
     record["plans"] = plans

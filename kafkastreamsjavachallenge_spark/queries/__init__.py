@@ -83,6 +83,7 @@ _PRIORITY = (
     "q_semdedup_blas",
     "q_ann_pq_blas",
     "q_ann_ivfpq_blas",
+    "q_ann_pq_refine",
     # stale burn: latest driver-green row r01 (39 ids)
     "q_agg_multi",
     "q_cube",
@@ -123,10 +124,9 @@ _PRIORITY = (
     "q_tpch_q9",
     "q_union",
     "q_windowed_count",
-    # stale burn: latest driver-green row r02 (1 id; q_ngram_jaccard,
-    # q_minhash_sig and q_fingerprint gave their slots to the new BLAS
-    # twins, roll to r10)
-    "q_ewma",
+    # (the four r02 stale ids — q_ngram_jaccard, q_minhash_sig,
+    # q_fingerprint, q_ewma — all gave their slots to this round's new
+    # never-checked ids and roll to the r10 burn)
 )
 
 

@@ -775,6 +775,51 @@ def q_ann_pq_blas(spark, sf_dir):
     return S.pq_ann_topk_blas(base, query, codebook, k=10)
 
 
+def q_ann_pq_refine(spark, sf_dir):
+    """PQ-refine retrieval (FAISS IndexRefineFlat shape): ADC-rank the
+    corpus from the code words, keep the top-100 candidates, exact
+    e6-floored cosine re-rank of the survivors — the deployment answer
+    to PQ's quantization noise.  Motivated by a round-9 measurement: the
+    default 8x16 codebook's raw ADC top-10 has recall 0.0-0.2 vs exact
+    cosine on this near-uniform corpus, and NO sampled codebook geometry
+    fixes the top-10 directly — but a 16-subspace, 64-code codebook's
+    ADC top-100 contains the true top-10 at every SF (10/10 measured at
+    sf0.001/0.01/0.1), so candidate-generate + refine restores
+    recall@10 = 1.0 while the exact stage touches only 100 rows.  Fully
+    deterministic (ADC ties break on vec_id; the re-rank is integer
+    e6 cosine; zero-norm rows excluded both engines) — hash-checked
+    against _ANN_PQ_REFINE_SQL.  Recall tracked per round in bench.py
+    (ann_recall@10: pq raw vs pq_refine)."""
+    from kafkastreamsjavachallenge_spark.functions.vector import dot, norm
+
+    e = _embs(spark, sf_dir)
+    base = e.filter(F.col("vec_id") != 0)
+    query = e.filter(F.col("vec_id") == 0)
+    train = base.filter(_h28(F.col("vec_id")) % 10 == 0)
+    codebook = S.pq_train(train, m=16, k=64, iters=2)
+    cands = S.pq_ann_topk_blas(base, query, codebook, k=100, m=16)
+    q = query.select(
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("__qn"),
+    ).filter(F.col("__qn") > 0)
+    rer = (
+        cands.select("vec_id")
+        .join(base.select("vec_id", "embedding"), "vec_id")
+        .withColumn("__bn", norm(F.col("embedding")))
+        .filter(F.col("__bn") > 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.floor(
+                dot(F.col("embedding"), F.col("qv"))
+                / (F.col("__bn") * F.col("__qn"))
+                * 1000000
+            ).cast("bigint").alias("cos_e6"),
+        )
+    )
+    return rer.orderBy(F.col("cos_e6").desc(), "vec_id").limit(10)
+
+
 def q_ann_ivfpq(spark, sf_dir):
     """IVF-PQ composite ANN (no-residual IVFPQ): the coarse quantizer
     (16 deterministic centroids, nprobe=4) prunes the corpus to 4
@@ -1989,24 +2034,32 @@ _ANN_LSH_SQL = (
 _PQ_M, _PQ_K, _PQ_ITERS, _PQ_SUB = 8, 16, 2, 8
 
 
-def _pq_l2(a, b):
+def _pq_l2(a, b, sub=None):
     # (x-y)*(x-y), not (x-y)**2: DuckDB's ** is libm pow, which differs
     # from the correctly-rounded product by 1 ulp for ~2% of doubles —
     # enough to flip an argmin when two centroids are near-equidistant.
     # Spark's l2_sq multiplies, so the oracle must multiply too.
     return (
-        f"list_sum(list_transform(range(1, {_PQ_SUB + 1}), "
+        f"list_sum(list_transform(range(1, {(sub or _PQ_SUB) + 1}), "
         f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
     )
 
 
-def _pq_sql(ivf_nprobe=None):
+def _pq_sql(ivf_nprobe=None, m=None, k=None, refine=None):
     """PQ ADC oracle; with ``ivf_nprobe`` set, adds the IVF coarse-
     quantizer CTEs (same centroid set / tie-breaks as _ANN_IVF_SQL) and
     restricts the final ADC sum to vectors in the probed lists — the
     IVF-PQ composite.  Encoding stays corpus-wide on both engines (codes
     are per-vector deterministic, so restricting before or after encode
-    yields identical candidate distances)."""
+    yields identical candidate distances).  ``m``/``k`` override the
+    default codebook geometry; ``refine`` switches the tail to the
+    FAISS-style refine contract — ADC-rank the corpus, keep the top
+    ``refine`` candidates (ORDER BY adc, vec_id — deterministic), then
+    EXACT e6-floored cosine re-rank of the survivors (zero-norm rows
+    excluded on both engines, the q_embed_norm_audit lesson)."""
+    m = m or _PQ_M
+    k = k or _PQ_K
+    sub = 64 // m
     s = (
         "WITH v AS (SELECT vec_id, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec "
@@ -2014,8 +2067,8 @@ def _pq_sql(ivf_nprobe=None):
         "base AS (SELECT * FROM v WHERE vec_id <> 0), "
         "q AS (SELECT * FROM v WHERE vec_id = 0), "
         "subs AS (SELECT vec_id, s.s AS sub, "
-        f"vec[s.s*{_PQ_SUB}+1 : s.s*{_PQ_SUB}+{_PQ_SUB}] AS sv "
-        f"FROM base CROSS JOIN range(0, {_PQ_M}) s(s)), "
+        f"vec[s.s*{sub}+1 : s.s*{sub}+{sub}] AS sv "
+        f"FROM base CROSS JOIN range(0, {m}) s(s)), "
         # sample-train mirror: codebook iterations see only the ~10%
         # hash-sampled vectors, encode/probe see all of them
         "tsubs AS (SELECT s.* FROM subs s WHERE "
@@ -2023,7 +2076,7 @@ def _pq_sql(ivf_nprobe=None):
         "cb0 AS (SELECT sub, row_number() OVER "
         "(PARTITION BY sub ORDER BY vec_id) - 1 AS code, sv AS cvec "
         "FROM (SELECT * FROM tsubs QUALIFY row_number() OVER "
-        f"(PARTITION BY sub ORDER BY vec_id) <= {_PQ_K}))"
+        f"(PARTITION BY sub ORDER BY vec_id) <= {k}))"
     )
     prev = "cb0"
     for it in range(1, _PQ_ITERS + 1):
@@ -2033,7 +2086,7 @@ def _pq_sql(ivf_nprobe=None):
             f"AS code FROM tsubs s JOIN {prev} c ON s.sub = c.sub "
             "GROUP BY s.vec_id, s.sub, s.sv), "
             f"m{it} AS (SELECT a.sub, a.code, t.i, avg(a.sv[t.i]) AS m "
-            f"FROM a{it} a CROSS JOIN range(1, {_PQ_SUB + 1}) t(i) "
+            f"FROM a{it} a CROSS JOIN range(1, {sub + 1}) t(i) "
             "GROUP BY a.sub, a.code, t.i), "
             f"cb{it} AS (SELECT c.sub, c.code, coalesce(n.cvec, c.cvec) AS cvec "
             f"FROM {prev} c LEFT JOIN (SELECT sub, code, "
@@ -2043,13 +2096,13 @@ def _pq_sql(ivf_nprobe=None):
         prev = f"cb{it}"
     s += (
         ", enc AS (SELECT s.vec_id, s.sub, "
-        f"(min(struct_pack(d := {_pq_l2('s.sv', 'c.cvec')}, c := c.code))).c "
+        f"(min(struct_pack(d := {_pq_l2('s.sv', 'c.cvec', sub)}, c := c.code))).c "
         f"AS code FROM subs s JOIN {prev} c ON s.sub = c.sub "
         "GROUP BY s.vec_id, s.sub, s.sv), "
         "qsubs AS (SELECT s.s AS sub, "
-        f"vec[s.s*{_PQ_SUB}+1 : s.s*{_PQ_SUB}+{_PQ_SUB}] AS sv "
-        f"FROM q CROSS JOIN range(0, {_PQ_M}) s(s)), "
-        f"dtab AS (SELECT c.sub, c.code, {_pq_l2('qs.sv', 'c.cvec')} AS d "
+        f"vec[s.s*{sub}+1 : s.s*{sub}+{sub}] AS sv "
+        f"FROM q CROSS JOIN range(0, {m}) s(s)), "
+        f"dtab AS (SELECT c.sub, c.code, {_pq_l2('qs.sv', 'c.cvec', sub)} AS d "
         f"FROM qsubs qs JOIN {prev} c ON qs.sub = c.sub)"
     )
     cand_where = ""
@@ -2071,16 +2124,41 @@ def _pq_sql(ivf_nprobe=None):
             "WHERE a.cid IN (SELECT cid FROM probes))"
         )
         cand_where = "WHERE e.vec_id IN (SELECT vec_id FROM cand) "
+    if refine is None:
+        s += (
+            " SELECT e.vec_id, round(sum(t.d), 4) AS adc_dist "
+            "FROM enc e JOIN dtab t ON e.sub = t.sub AND e.code = t.code "
+            f"{cand_where}"
+            "GROUP BY e.vec_id ORDER BY adc_dist, e.vec_id LIMIT 10"
+        )
+        return s
+    dot_bq = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> b.vec[i] * qq.vec[i]))"
+    )
+    nrm_b = (
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> b.vec[i] * b.vec[i])))"
+    )
     s += (
-        " SELECT e.vec_id, round(sum(t.d), 4) AS adc_dist "
+        ", adc AS (SELECT e.vec_id, round(sum(t.d), 4) AS adc_dist "
         "FROM enc e JOIN dtab t ON e.sub = t.sub AND e.code = t.code "
         f"{cand_where}"
-        "GROUP BY e.vec_id ORDER BY adc_dist, e.vec_id LIMIT 10"
+        f"GROUP BY e.vec_id ORDER BY adc_dist, e.vec_id LIMIT {refine}), "
+        "qn2 AS (SELECT vec, sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> vec[i] * vec[i]))) AS qnorm FROM q) "
+        "SELECT a.vec_id, CAST(floor("
+        f"{dot_bq} / ({nrm_b} * qq.qnorm) * 1000000) AS BIGINT) AS cos_e6 "
+        "FROM adc a JOIN base b ON a.vec_id = b.vec_id "
+        "CROSS JOIN qn2 qq "
+        f"WHERE {nrm_b} > 0 AND qq.qnorm > 0 "
+        "ORDER BY cos_e6 DESC, a.vec_id LIMIT 10"
     )
     return s
 
 
 _ANN_PQ_SQL = _pq_sql()
+_ANN_PQ_REFINE_SQL = _pq_sql(m=16, k=64, refine=100)
 
 # IVF ANN mirrored in SQL: identical centroid set (vec_id < 16),
 # identical argmax-cosine assignment with lowest-cid tie-break
@@ -3804,6 +3882,7 @@ QUERIES = {
     "q_ann_ivf": (q_ann_ivf, _ANN_IVF_SQL),
     "q_ann_pq": (q_ann_pq, _ANN_PQ_SQL),
     "q_ann_pq_blas": (q_ann_pq_blas, _ANN_PQ_SQL),
+    "q_ann_pq_refine": (q_ann_pq_refine, _ANN_PQ_REFINE_SQL),
     "q_ann_ivfpq": (q_ann_ivfpq, _ANN_IVFPQ_SQL),
     "q_ann_ivfpq_blas": (q_ann_ivfpq_blas, _ANN_IVFPQ_SQL),
     "q_semdedup": (q_semdedup, _SEMDEDUP_SQL),

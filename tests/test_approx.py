@@ -637,3 +637,20 @@ def test_srp_words_match_pure_python_reference(spark):
     }
     for row in rows:
         assert got[row.vec_id] == ref_words(row.embedding), row.vec_id
+
+
+def test_pq_refine_restores_exact_recall(spark):
+    """q_ann_pq_refine's deployment contract: the refined top-10 id set
+    must EQUAL the exact cosine top-10 (recall 1.0) — the reason the
+    refine stage exists, given raw ADC top-10 recall of 0.0-0.2 with
+    the default codebook on this corpus."""
+    from kafkastreamsjavachallenge_spark.queries.llm import (
+        q_ann_pq_refine,
+        q_cosine_topk,
+    )
+
+    from tests.conftest import SF_DIR
+
+    exact = {r["vec_id"] for r in q_cosine_topk(spark, SF_DIR).collect()}
+    refined = {r["vec_id"] for r in q_ann_pq_refine(spark, SF_DIR).collect()}
+    assert refined == exact
