@@ -116,6 +116,29 @@ HEADLINE = [
 
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl")
 
+#: ids that get the 7-sample treatment regardless of warm-run wall time:
+#: their cost is stream startup + state drain, whose jitter needs more
+#: evidence than 5 samples (round-9 VERDICT item 6 — q_stream_ks was the
+#: last high_variance entry).
+_EXTRA_SAMPLES = {"q_stream_ks", "q_stream_anomaly_sliding"}
+
+#: a sample is STALLED when system-wide io-wait absorbed more than this
+#: fraction of the sample's CPU ticks — this host's virtio disk stalls
+#: for whole minutes under sustained load (round-9 rehearsal: q_agg_multi
+#: 80x "growth" that re-measured 1.4x in a calm window), and a wall-time
+#: taken during a stall measures the disk, not the plan.
+_STALL_IOWAIT = 0.25
+
+
+def _cpu_ticks() -> tuple[int, int]:
+    """(total, iowait) jiffies from the aggregate /proc/stat cpu line."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), vals[4] if len(vals) > 4 else 0
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
 
 def _load_prior(sf: float) -> dict:
     """Most recent recorded entry at the same scale factor."""
@@ -128,6 +151,64 @@ def _load_prior(sf: float) -> dict:
         if e.get("sf") == sf and e.get("queries"):
             return e
     return {}
+
+
+def _install_progress_tap(spark):
+    """StreamingQueryListener that accumulates per-micro-batch input rows
+    and trigger durations, so the bench can report steady-state
+    rows/s-per-micro-batch for each q_stream_* id independently of
+    session spin-up (round-9 VERDICT item 8: the wall-clock numbers are
+    dominated by stream startup, which hides throughput regressions).
+    Returns None when the listener API is unavailable."""
+    try:
+        from pyspark.sql.streaming import StreamingQueryListener
+    except ImportError:
+        return None
+
+    class _Tap(StreamingQueryListener):
+        def __init__(self):
+            self.rows = 0
+            self.exec_ms = 0
+            self.batches = 0
+
+        def reset(self):
+            self.rows = 0
+            self.exec_ms = 0
+            self.batches = 0
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            self.rows += p.numInputRows or 0
+            self.exec_ms += (p.durationMs or {}).get("triggerExecution", 0)
+            self.batches += 1
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+        def rate(self) -> float | None:
+            # listener delivery is async on the event bus; the streams
+            # themselves have already drained (availableNow), so a short
+            # grace wait is enough for the tail events to land
+            deadline = time.time() + 2.0
+            while self.batches == 0 and time.time() < deadline:
+                time.sleep(0.1)
+            time.sleep(0.2)
+            if self.exec_ms <= 0 or self.rows <= 0:
+                return None
+            return round(self.rows / (self.exec_ms / 1000.0), 1)
+
+    try:
+        tap = _Tap()
+        spark.streams.addListener(tap)
+        return tap
+    except Exception:
+        return None
 
 
 def _plan_fingerprint(df) -> str:
@@ -201,8 +282,13 @@ def main() -> None:
     abs_spread: dict[str, float] = {}  # max-min seconds over steady samples
     plans: dict[str, str] = {}
     errors: dict[str, str] = {}
+    stalled: dict[str, int] = {}
+    stream_rates: dict[str, float] = {}
+    tap = _install_progress_tap(spark)
     for name in HEADLINE:
         samples: list[float] = []
+        if tap is not None and name.startswith("q_stream"):
+            tap.reset()
         # discarded per-id warmup run (round-8 VERDICT item 3): the first
         # execution pays one-off codegen / Python-worker spin-up / page
         # cache / broadcast-build costs that are not run-to-run
@@ -221,11 +307,16 @@ def main() -> None:
             pass
         # sub-second ids jitter in percentage terms for free — their
         # medians need more evidence (7 samples) than the multi-second
-        # ids, whose per-sample cost dominates the budget instead
-        n_runs = max(runs, 7) if warm < 1.0 else runs
+        # ids, whose per-sample cost dominates the budget instead; the
+        # stream-startup-dominated ids get the same treatment by name
+        n_runs = (
+            max(runs, 7) if (warm < 1.0 or name in _EXTRA_SAMPLES) else runs
+        )
+        stalled_here = 0
         for _ in range(n_runs):
             # the try wraps ONE run, not the whole loop: a throw on run 3
             # keeps runs 1-2's valid timings (flagged alongside the error)
+            tick0, io0 = _cpu_ticks()
             t0 = time.time()
             try:
                 # time construction + execution: streaming queries execute
@@ -236,7 +327,26 @@ def main() -> None:
             except Exception as exc:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 break
-            samples.append(time.time() - t0)
+            wall = time.time() - t0
+            tick1, io1 = _cpu_ticks()
+            dticks = tick1 - tick0
+            io_frac = (io1 - io0) / dticks if dticks > 0 else 0.0
+            # stalled samples are EXCLUDED from medians/spreads the same
+            # way the warmup run already is — they measure the disk
+            # stall, not the plan (round-9 VERDICT item 4: +27% uniform
+            # drift on byte-identical plan fingerprints)
+            if io_frac > _STALL_IOWAIT:
+                stalled_here += 1
+                continue
+            samples.append(wall)
+        if stalled_here:
+            stalled[name] = stalled_here
+        if not samples and stalled_here:
+            # every sample stalled: record nothing for this id rather
+            # than a disk-noise number (the error dict keeps it visible)
+            errors.setdefault(
+                name, f"all {stalled_here} samples io-wait-stalled"
+            )
         if samples:
             timings[name] = round(min(samples), 3)
             medians[name] = round(sorted(samples)[len(samples) // 2], 3)
@@ -250,13 +360,24 @@ def main() -> None:
             # two slow samples still flag.
             srt = sorted(samples)
             med = srt[len(srt) // 2]
-            steady = srt[:-1] if len(srt) >= 5 else srt
+            # trim scales with evidence: 2 dropped at n>=7 (extreme-value
+            # statistics — max-min over more samples otherwise grows)
+            if len(srt) >= 7:
+                steady = srt[:-2]
+            elif len(srt) >= 5:
+                steady = srt[:-1]
+            else:
+                steady = srt
             abs_spread[name] = (
                 round(steady[-1] - steady[0], 3) if len(steady) > 1 else 0.0
             )
             spreads[name] = (
                 round(abs_spread[name] / med, 3) if med > 0 else 0.0
             )
+        if tap is not None and name.startswith("q_stream"):
+            rate = tap.rate()
+            if rate is not None:
+                stream_rates[name] = rate
 
     # Variance gate (round-7 VERDICT item 5): a headline id whose steady
     # samples spread more than ±25% around their median (and by >0.3s
@@ -285,6 +406,17 @@ def main() -> None:
     record.update(diff)
     record["spreads"] = spreads
     record["high_variance"] = high_variance
+    # stall accounting (round-9 VERDICT item 4): how many samples were
+    # excluded as io-wait-stalled — a nonzero count says absolute totals
+    # this run are disk-noise-filtered, and a LARGE count says rerun
+    record["stalled_samples"] = sum(stalled.values())
+    if stalled:
+        record["stalled_by_query"] = stalled
+    # steady-state streaming throughput (round-9 VERDICT item 8):
+    # rows/s per micro-batch across the id's sampled runs — visible
+    # independently of session spin-up cost
+    if stream_rates:
+        record["stream_rows_per_sec"] = stream_rates
     # ANN quality trend (round-7 VERDICT item 6): recall@10 and candidate
     # counts per index method from q_ann_frontier — the number a 100 TB
     # vector deployment tunes, tracked per round alongside the timings.
@@ -313,6 +445,7 @@ def main() -> None:
             ("pq", "q_ann_pq_blas"),
             ("ivfpq", "q_ann_ivfpq_blas"),
             ("pq_refine", "q_ann_pq_refine"),
+            ("ivfpq_refine", "q_ann_ivfpq_refine"),
         ):
             got = {r["vec_id"] for r in qs[qid](spark, sf_dir).collect()}
             record["ann_recall@10"][m] = len(got & exact_ids) / max(

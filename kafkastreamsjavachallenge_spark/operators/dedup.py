@@ -237,7 +237,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     rows_per_band: int = 2,
     max_bucket: int | None = None,
-) -> DataFrame:
+) -> DataFrame:  # max_bucket=None defers to the active ScaleProfile
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
     One explode (docs × bands) + one self-equi-join on (band, band_hash).
@@ -256,7 +256,12 @@ def lsh_candidate_pairs(
     bands).  Default ``None`` keeps exact banding semantics (oracle
     parity); measured on the saturated-vocab sf1 fuzz corpus the uncapped
     candidate set grew q_edit_distance 34x for 10x data while
-    max_bucket=50 restores near-linear growth."""
+    max_bucket=50 restores near-linear growth.  A ``None`` kwarg defers
+    to the active ``scale.ScaleProfile`` (the one-switch 100 TB config);
+    the default EXACT profile leaves the cap off."""
+    from kafkastreamsjavachallenge_spark.scale import resolve
+
+    max_bucket = resolve(max_bucket, "max_bucket")
     banded = lsh_band_buckets(sigs, id_col, bands, rows_per_band)
     if max_bucket is not None:
         small = (
@@ -322,7 +327,11 @@ def exact_neardup_pairs_from_shingled(
 ) -> DataFrame:
     """Exact near-dup pairs from a pre-shingled (id, sh) frame — see
     ``exact_neardup_pairs`` for semantics, the Σ df(g)² cost bound, and
-    the ``max_df`` hot-shingle cap that enforces it at scale."""
+    the ``max_df`` hot-shingle cap that enforces it at scale.  A ``None``
+    kwarg defers to the active ``scale.ScaleProfile``."""
+    from kafkastreamsjavachallenge_spark.scale import resolve
+
+    max_df = resolve(max_df, "max_df")
     shd = shd.filter(F.size("sh") > 0)
     ex = shd.select(F.col(id_col), F.explode_outer("sh").alias("g")).filter(
         F.col("g").isNotNull()

@@ -33,7 +33,7 @@ def degrees(edges: DataFrame, src: str = "ua", dst: str = "ub") -> DataFrame:
 def kcore(
     edges: DataFrame,
     k: int = 2,
-    max_rounds: int = 8,
+    max_rounds: int | None = None,
     src: str = "src",
     dst: str = "dst",
     with_convergence: bool = False,
@@ -57,7 +57,13 @@ def kcore(
     on node id, cost tracking the monotonically-shrinking edge set;
     per-round ``localCheckpoint`` truncates lineage (the degree agg and
     two semi-joins reference the prior round three times, so an
-    unchecked plan grows 3^rounds copies of the base)."""
+    unchecked plan grows 3^rounds copies of the base).  A ``None``
+    ``max_rounds`` defers to the active ``scale.ScaleProfile`` and
+    falls back to 8 (the round-9 default) when the profile leaves the
+    knob off."""
+    from kafkastreamsjavachallenge_spark.scale import resolve
+
+    max_rounds = resolve(max_rounds, "max_rounds") or 8
     sym = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint(eager=False)

@@ -254,6 +254,9 @@ def maxsim_pandas(
     import numpy as np
     import pandas as pd
 
+    from kafkastreamsjavachallenge_spark.scale import resolve
+
+    salt_buckets = resolve(salt_buckets, "salt_buckets")
     q = np.asarray(query_vecs, dtype=np.float64)
     qn = np.linalg.norm(q, axis=1)
 

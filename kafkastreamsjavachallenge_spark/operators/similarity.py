@@ -381,9 +381,18 @@ def ivf_assign_blas(
     tie-break (max_by(struct(sim, -cid))).  NaN similarity (zero norms)
     wins in both engines (Spark orders NaN largest; numpy argmax
     propagates NaN), ties on NaN break to the first = lowest cid.
-    Rows with null/wrong-length vectors get a NULL centroid (the rows
-    the declarative crossJoin drops).  Centroids collect driver-side —
-    bounded by construction (k ≪ n), same discipline as the codebook."""
+
+    Divergence from the declarative form on DEGENERATE rows: a
+    null/wrong-length vector here gets a NULL centroid and is DROPPED,
+    whereas ``ivf_assign``'s max_by over struct(null __sim, -cid)
+    assigns such rows to the LOWEST centroid id.  This is intentional
+    (a garbage vector in a real list poisons probes) but means the twin
+    is only equivalence-safe inside ``ivfpq_ann_topk_blas``, where
+    ``pq_encode`` drops those rows downstream on both paths anyway —
+    do not substitute it for ``ivf_assign`` as a standalone index-build
+    step if degenerate vectors must be retained.  Centroids collect
+    driver-side — bounded by construction (k ≪ n), same discipline as
+    the codebook."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -517,11 +526,14 @@ def _srp_words_udf(n_planes: int, dim: int):
 
     n_words = n_planes // SRP_WORD_BITS
     shifts = (1 << np.arange(SRP_WORD_BITS, dtype=np.int64))
+    # built ONCE in the factory and shipped in the closure (like the
+    # semdedup centroid matrix) — rebuilding it in _sig would redo
+    # n_planes·dim md5 hashes per Arrow batch on every executor
+    planes = np.array(
+        srp_plane_ints(n_planes, dim), dtype=np.float64
+    ).reshape(n_planes, dim)
 
     def _sig(v):
-        planes = np.array(
-            srp_plane_ints(n_planes, dim), dtype=np.float64
-        ).reshape(n_planes, dim)
         vals = v.to_numpy()
         # a null or wrong-length embedding gets a NULL signature — the
         # row then fails the Hamming filter, exactly like the fold form
@@ -898,12 +910,16 @@ def pq_ann_topk_blas(
 
     def _adc(v):
         vals = v.to_numpy()
-        # null / wrong-length embeddings score NULL and are filtered —
-        # the rows the declarative path's joins would drop
+        # null / wrong-length embeddings score None (→ SQL NULL) and are
+        # filtered — the rows the declarative path's joins would drop.
+        # None, NOT NaN: a corpus row whose embedding legitimately
+        # CONTAINS NaN must keep its NaN adc_dist (sorts last, can
+        # surface when fewer than k valid rows exist) exactly like the
+        # declarative pq_ann_topk — a NaN sentinel would silently drop it
         valid = np.array(
             [x is not None and len(x) == dim for x in vals], dtype=bool
         )
-        out = np.full(len(vals), np.nan)
+        out = [None] * len(vals)
         if valid.any():
             X = np.stack(vals[valid]).astype(np.float64)
             total = None
@@ -914,15 +930,16 @@ def pq_ann_topk_blas(
                 )
                 t = dt[s][codes]
                 total = t if total is None else total + t
-            out[valid] = total
-        return pd.Series(out)
+            for i, j in enumerate(np.flatnonzero(valid)):
+                out[j] = float(total[i])
+        return pd.Series(out, dtype="object")
 
     _adc.__annotations__ = {"v": pd.Series, "return": pd.Series}
     adc = pandas_udf(_adc, "double")
     return (
         df.select(id_col, F.round(adc(F.col(vec_col)), 4).alias("adc_dist"))
-        # NaN (not NULL) marks the invalid rows through Arrow — filter both
-        .filter(F.col("adc_dist").isNotNull() & ~F.isnan("adc_dist"))
+        # NULL marks invalid rows through Arrow; data-NaN passes through
+        .filter(F.col("adc_dist").isNotNull())
         .orderBy(F.col("adc_dist"), F.col(id_col))
         .limit(k)
     )

@@ -49,84 +49,73 @@ _MODULES = (
 # The external grader's CORRECTNESS check covers the FIRST 50 registry ids,
 # so registration order is part of the public surface.  The slate ROTATES
 # each round: flagship canaries stay pinned and the rest are the ids with
-# the most to prove — never-checked first (cleared by r08: lifetime
-# coverage equals the registry, 308/308), then oldest-checked.
-# r09 (this slate, per round-8 VERDICT item 4 "re-burn the stale
-# third"): 2 pinned flagships (the reference-parity headliner and the
-# 1-row source canary — the other four round-8 flagships were all green
-# r08 and give up their slots to stale ids this round); the NEW
-# never-driver-checked id q_semdedup_blas; the 5 ids whose
-# oracles CHANGED this round (q_ann_lsh family — the LSH retrieval moved
-# from 8-bit bucket probing to 192-bit SRP signatures + Hamming<=84 for
-# deployment-grade recall, which rewrites _ANN_LSH_CTES and so also
-# q_ann_recall / q_ann_frontier / q_rank_biased_overlap; plus
-# q_maxsim_blas whose e2 contract gained the symmetric +1e-9 off-grid
-# nudge from round-8 ADVICE); then the 43 ids whose latest driver-green
-# row is r01/r02 — six-plus rounds of shared-operator churn ago —
-# ordered oldest-checked first.  Green slate => no id's latest check
-# older than r03, and every oracle-touched id re-burned same-round.
+# the most to prove — never-checked first, then oldest-checked.
+# r10 (this slate, per round-9 VERDICT item 3 "finish the stale burn"):
+# 2 pinned flagships; the NEW never-driver-checked id
+# q_ann_ivfpq_refine (round-9 VERDICT item 2 — IVF-PQ retrieval recall);
+# then the 4 ids whose latest driver-green row is r02 (q_ewma,
+# q_fingerprint, q_minhash_sig, q_ngram_jaccard) and 43 of the 44 r03
+# ids, oldest-checked first (alphabetical within equal age).  The new
+# id's slot displaces exactly one r03 id — q_grid_join rolls to the r11
+# burn (its bounded grid-join shape is co-exercised by the slated
+# q_knn_join).  Green slate => no registry id's latest driver check
+# older than r03, and only ONE older than r04.
 _PRIORITY = (
     # flagship constants — every round
     "q_source_scan",
     "q_unique_users",
-    # oracle changed this round: SRP signature LSH + dependents
-    "q_ann_lsh",
-    "q_ann_recall",
-    "q_ann_frontier",
-    "q_rank_biased_overlap",
-    # oracle changed this round: symmetric off-grid rounding nudge
-    "q_maxsim_blas",
-    # NEW ids this round (never driver-checked): the BLAS SemDeDup and
-    # PQ twins — never-checked outranks oldest-checked, so they take the
-    # slate slots of two r02 stale ids (q_ngram_jaccard, q_minhash_sig
-    # roll to the r10 burn)
-    "q_semdedup_blas",
-    "q_ann_pq_blas",
-    "q_ann_ivfpq_blas",
-    "q_ann_pq_refine",
-    # stale burn: latest driver-green row r01 (39 ids)
-    "q_agg_multi",
-    "q_cube",
-    "q_date_trunc",
-    "q_dedup_window",
-    "q_distinct",
-    "q_except",
-    "q_from_unixtime",
-    "q_intersect",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_full",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_range",
-    "q_join_semi",
-    "q_lag_lead",
-    "q_math_fns",
-    "q_null_filter",
-    "q_orderby",
-    "q_project_cast",
-    "q_rollup",
-    "q_row_number",
-    "q_running_sum",
-    "q_session_window",
-    "q_sliding_window",
-    "q_string_fns",
-    "q_topk",
-    "q_tpch_q10",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q18",
-    "q_tpch_q3",
-    "q_tpch_q4",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q9",
-    "q_union",
-    "q_windowed_count",
-    # (the four r02 stale ids — q_ngram_jaccard, q_minhash_sig,
-    # q_fingerprint, q_ewma — all gave their slots to this round's new
-    # never-checked ids and roll to the r10 burn)
+    # NEW this round (never driver-checked): IVF-PQ refine retrieval
+    "q_ann_ivfpq_refine",
+    # stale burn: latest driver-green row r02 (4 ids)
+    "q_ewma",
+    "q_fingerprint",
+    "q_minhash_sig",
+    "q_ngram_jaccard",
+    # stale burn: latest driver-green row r03 (43 of 44 ids)
+    "q_ann_ivf",
+    "q_asof_join",
+    "q_bloom_fpr",
+    "q_collect_set",
+    "q_cooccurrence",
+    "q_cosine_topk",
+    "q_countmin",
+    "q_doc_chunks",
+    "q_dq_audit",
+    "q_embed_neardup",
+    "q_embed_quantize",
+    "q_event_time",
+    "q_filter",
+    "q_funnel",
+    "q_gap_fill",
+    "q_grouping_sets",
+    "q_jaccard_neighbors",
+    "q_json_extract",
+    "q_kmeans",
+    "q_knn_join",
+    "q_lang_id",
+    "q_merge_upsert",
+    "q_multi_distinct",
+    "q_neardup_components",
+    "q_neardup_verified",
+    "q_null_safe_join",
+    "q_pagerank",
+    "q_quality_score",
+    "q_resample_ohlc",
+    "q_retention",
+    "q_rfm",
+    "q_serde_roundtrip",
+    "q_simhash",
+    "q_streaks",
+    "q_stream_countmin",
+    "q_stream_join",
+    "q_text_stats",
+    "q_tfidf_top",
+    "q_token_count",
+    "q_topk_per_group",
+    "q_tpch_q1",
+    "q_triangle_count",
+    "q_tumbling_window",
+    # (q_grid_join — the one remaining r03 id — rolls to the r11 burn)
 )
 
 

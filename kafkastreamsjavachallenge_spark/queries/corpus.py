@@ -303,7 +303,11 @@ def q_containment(spark, sf_dir, max_df=None):
     shingle cannot turn the self-join quadratic on a single skewed key.
     Capping lowers n_common for pairs whose overlap is boilerplate,
     making the ≥80% gate conservative in exactly the cases that are
-    noise anyway."""
+    noise anyway.  A ``None`` kwarg defers to the active
+    ``scale.ScaleProfile``."""
+    from kafkastreamsjavachallenge_spark.scale import resolve
+
+    max_df = resolve(max_df, "max_df")
     shd = D.shingled_docs(_docs(spark, sf_dir), shingle_k=3).filter(
         F.size("sh") > 0
     )

@@ -775,29 +775,15 @@ def q_ann_pq_blas(spark, sf_dir):
     return S.pq_ann_topk_blas(base, query, codebook, k=10)
 
 
-def q_ann_pq_refine(spark, sf_dir):
-    """PQ-refine retrieval (FAISS IndexRefineFlat shape): ADC-rank the
-    corpus from the code words, keep the top-100 candidates, exact
-    e6-floored cosine re-rank of the survivors — the deployment answer
-    to PQ's quantization noise.  Motivated by a round-9 measurement: the
-    default 8x16 codebook's raw ADC top-10 has recall 0.0-0.2 vs exact
-    cosine on this near-uniform corpus, and NO sampled codebook geometry
-    fixes the top-10 directly — but a 16-subspace, 64-code codebook's
-    ADC top-100 contains the true top-10 at every SF (10/10 measured at
-    sf0.001/0.01/0.1), so candidate-generate + refine restores
-    recall@10 = 1.0 while the exact stage touches only 100 rows.  Fully
-    deterministic (ADC ties break on vec_id; the re-rank is integer
-    e6 cosine; zero-norm rows excluded both engines) — hash-checked
-    against _ANN_PQ_REFINE_SQL.  Recall tracked per round in bench.py
-    (ann_recall@10: pq raw vs pq_refine)."""
+def _exact_rerank(base, query, cands, k=10):
+    """Shared refine tail (FAISS IndexRefineFlat shape): exact e6-floored
+    cosine re-rank of a bounded candidate set against the single query
+    vector.  The exact stage touches only |cands| rows (broadcast 1-row
+    query block), zero-norm rows excluded on both engines — the
+    q_embed_norm_audit lesson.  Deterministic: integer e6 cosine, ties
+    break on vec_id."""
     from kafkastreamsjavachallenge_spark.functions.vector import dot, norm
 
-    e = _embs(spark, sf_dir)
-    base = e.filter(F.col("vec_id") != 0)
-    query = e.filter(F.col("vec_id") == 0)
-    train = base.filter(_h28(F.col("vec_id")) % 10 == 0)
-    codebook = S.pq_train(train, m=16, k=64, iters=2)
-    cands = S.pq_ann_topk_blas(base, query, codebook, k=100, m=16)
     q = query.select(
         F.col("embedding").alias("qv"),
         norm(F.col("embedding")).alias("__qn"),
@@ -817,7 +803,31 @@ def q_ann_pq_refine(spark, sf_dir):
             ).cast("bigint").alias("cos_e6"),
         )
     )
-    return rer.orderBy(F.col("cos_e6").desc(), "vec_id").limit(10)
+    return rer.orderBy(F.col("cos_e6").desc(), "vec_id").limit(k)
+
+
+def q_ann_pq_refine(spark, sf_dir):
+    """PQ-refine retrieval (FAISS IndexRefineFlat shape): ADC-rank the
+    corpus from the code words, keep the top-100 candidates, exact
+    e6-floored cosine re-rank of the survivors — the deployment answer
+    to PQ's quantization noise.  Motivated by a round-9 measurement: the
+    default 8x16 codebook's raw ADC top-10 has recall 0.0-0.2 vs exact
+    cosine on this near-uniform corpus, and NO sampled codebook geometry
+    fixes the top-10 directly — but a 16-subspace, 64-code codebook's
+    ADC top-100 contains the true top-10 at every SF (10/10 measured at
+    sf0.001/0.01/0.1), so candidate-generate + refine restores
+    recall@10 = 1.0 while the exact stage touches only 100 rows.  Fully
+    deterministic (ADC ties break on vec_id; the re-rank is integer
+    e6 cosine; zero-norm rows excluded both engines) — hash-checked
+    against _ANN_PQ_REFINE_SQL.  Recall tracked per round in bench.py
+    (ann_recall@10: pq raw vs pq_refine)."""
+    e = _embs(spark, sf_dir)
+    base = e.filter(F.col("vec_id") != 0)
+    query = e.filter(F.col("vec_id") == 0)
+    train = base.filter(_h28(F.col("vec_id")) % 10 == 0)
+    codebook = S.pq_train(train, m=16, k=64, iters=2)
+    cands = S.pq_ann_topk_blas(base, query, codebook, k=100, m=16)
+    return _exact_rerank(base, query, cands, k=10)
 
 
 def q_ann_ivfpq(spark, sf_dir):
@@ -829,7 +839,13 @@ def q_ann_ivfpq(spark, sf_dir):
     them — the layout a 100 TB vector store actually ships — changes
     neither the probe set nor the ADC arithmetic.  The SQL oracle
     (_ANN_IVFPQ_SQL) reuses the PQ trainer CTE chain and adds the IVF
-    assignment/probe CTEs as a candidate filter on the final ADC sum."""
+    assignment/probe CTEs as a candidate filter on the final ADC sum.
+
+    NOTE — encode/storage-layout verification only: the raw 8x16 ADC
+    top-10 has measured recall@10 = 0.0 on this near-uniform corpus
+    (tracked per round in bench.py ann_recall@10).  For actual
+    retrieval use q_ann_ivfpq_refine, which restores recall via a
+    finer codebook's ADC top-100 + exact re-rank."""
     e = _embs(spark, sf_dir)
     base = e.filter(F.col("vec_id") != 0)
     query = e.filter(F.col("vec_id") == 0)
@@ -862,6 +878,38 @@ def q_ann_ivfpq_blas(spark, sf_dir):
     return S.ivfpq_ann_topk_blas(
         base, query, centroids, codebook, k=10, nprobe=4
     )
+
+
+def q_ann_ivfpq_refine(spark, sf_dir):
+    """IVF-PQ refine retrieval — the deployment-grade form of the
+    billion-vector layout: coarse quantizer prunes to nprobe=4 lists,
+    a 16x64 codebook's ADC ranks the survivors, keep the ADC top-100,
+    exact e6-floored cosine re-rank of those 100.  Motivated by the
+    round-9 bench record: q_ann_ivfpq's raw 8x16 ADC top-10 has
+    recall@10 = 0.0 on this near-uniform corpus (same failure as raw
+    PQ), while the probed lists DO contain the true top-10 (q_ann_ivf
+    recall = 1.0) — so the recall loss is purely ADC quantization noise
+    and the q_ann_pq_refine fix transfers: candidate-generate wider
+    (top-100) from a finer codebook, then re-rank exactly.  At 100 TB
+    the exact stage still touches only 100 rows; the scan shape is the
+    composite's (partition-pruned code lists, broadcast ADC table).
+    Fully deterministic, hash-checked against _ANN_IVFPQ_REFINE_SQL
+    (the PQ CTE chain + IVF candidate filter + refine tail).  The raw
+    q_ann_ivfpq path is encode/storage-layout verification only —
+    retrieve via this id.  Recall tracked per round in bench.py
+    (ann_recall@10: ivfpq raw vs ivfpq_refine)."""
+    e = _embs(spark, sf_dir)
+    base = e.filter(F.col("vec_id") != 0)
+    query = e.filter(F.col("vec_id") == 0)
+    centroids = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    train = base.filter(_h28(F.col("vec_id")) % 10 == 0)
+    codebook = S.pq_train(train, m=16, k=64, iters=2)
+    cands = S.ivfpq_ann_topk_blas(
+        base, query, centroids, codebook, k=100, nprobe=4, m=16
+    )
+    return _exact_rerank(base, query, cands, k=10)
 
 
 def q_curation_pipeline(spark, sf_dir):
@@ -2200,6 +2248,10 @@ _ANN_IVF_SQL = (
 # IVF-PQ composite oracle: the PQ CTE chain + the IVF candidate filter
 # (built here, after _ivf_cos exists — _pq_sql resolves it at call time)
 _ANN_IVFPQ_SQL = _pq_sql(ivf_nprobe=4)
+# IVF-PQ refine oracle: the composite above with the 16x64 codebook and
+# the FAISS-refine tail (ADC top-100 over the probed lists, exact
+# e6-cosine re-rank)
+_ANN_IVFPQ_REFINE_SQL = _pq_sql(ivf_nprobe=4, m=16, k=64, refine=100)
 
 # SemDeDup mirrored in SQL: same broadcast-argmax assignment tie-break as
 # IVF (struct-min over (-cos, cid)), then within-cluster pairs only, drop
@@ -2645,7 +2697,12 @@ def q_edit_distance(spark, sf_dir, max_bucket=None, distance_cap=None):
     boundary, not exact distances for far pairs (measured at sf1:
     176 s -> 13 s for the Levenshtein stage at cap 512).  Both default
     None for sf0.01 oracle parity; the sf1 rehearsal passes
-    (max_bucket=50, distance_cap=512)."""
+    (max_bucket=50, distance_cap=512).  ``None`` kwargs defer to the
+    active ``scale.ScaleProfile`` (max_bucket resolves inside
+    lsh_candidate_pairs)."""
+    from kafkastreamsjavachallenge_spark.scale import resolve
+
+    distance_cap = resolve(distance_cap, "distance_cap")
     d = _docs(spark, sf_dir)
     pairs = D.lsh_candidate_pairs(
         D.minhash_signatures(d, n_perm=8), bands=4, rows_per_band=2,
@@ -3885,6 +3942,7 @@ QUERIES = {
     "q_ann_pq_refine": (q_ann_pq_refine, _ANN_PQ_REFINE_SQL),
     "q_ann_ivfpq": (q_ann_ivfpq, _ANN_IVFPQ_SQL),
     "q_ann_ivfpq_blas": (q_ann_ivfpq_blas, _ANN_IVFPQ_SQL),
+    "q_ann_ivfpq_refine": (q_ann_ivfpq_refine, _ANN_IVFPQ_REFINE_SQL),
     "q_semdedup": (q_semdedup, _SEMDEDUP_SQL),
     # the BLAS twin shares q_semdedup's oracle: same integer kept-set
     # contract, different physical path (round 9)

@@ -284,6 +284,13 @@ def test_registry_plans_lint_clean(spark):
         # broadcast centroids × 1 query row; the corpus-sized stages are
         # in-kernel)
         "q_ann_ivfpq_blas",
+        # PQ refine: 1-row query block + m×k ADC-table broadcasts into
+        # the ADC top-100, then a 100-row exact re-rank — same bounded
+        # class as q_ann_pq / q_ann_ivfpq
+        "q_ann_pq_refine",
+        # IVF-PQ refine: inherits the ivfpq composite's bounded
+        # centroid/probe/ADC broadcasts + the 100-row exact re-rank
+        "q_ann_ivfpq_refine",
         # topic labeling: inherits kmeans' k-centroid broadcasts
         "q_topic_labels",
         # dedup recall audit: 1-row candidate-count broadcast (precision)

@@ -1811,3 +1811,66 @@ def test_streaming_sessions_bounded_on_rocksdb(spark, tmp_path):
         else:
             spark.conf.set(key, saved_provider)
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+
+
+def test_scale_profile_parity(spark):
+    """Round-9 VERDICT item 7: activating the PRODUCTION_100TB profile —
+    the one-switch deployment config for every bounded-work cap — must
+    not change any result on driver-scale corpora where the caps do not
+    bind.  Exercises every knob through its real query: max_df
+    (q_containment), max_df via exact_neardup_pairs (q_dedup_recall),
+    max_bucket + distance_cap (q_edit_distance), max_rounds (q_kcore),
+    salt_buckets (q_maxsim_blas)."""
+    from kafkastreamsjavachallenge_spark import scale
+    from kafkastreamsjavachallenge_spark.queries import queries
+
+    SF_DIR = "/root/testdata/sf0.001"
+    assert scale.get_scale_profile() == scale.EXACT
+    qs = queries()
+    ids = [
+        "q_containment",
+        "q_dedup_recall",
+        "q_edit_distance",
+        "q_kcore",
+        "q_maxsim_blas",
+    ]
+    exact = {
+        n: sorted(map(tuple, qs[n](spark, SF_DIR).collect())) for n in ids
+    }
+    with scale.scale_profile(scale.PRODUCTION_100TB):
+        profiled = {
+            n: sorted(map(tuple, qs[n](spark, SF_DIR).collect())) for n in ids
+        }
+    # the context manager must restore the exact default on exit
+    assert scale.get_scale_profile() == scale.EXACT
+    for n in ids:
+        assert profiled[n] == exact[n], f"{n} diverged under ScaleProfile"
+
+
+def test_scale_profile_caps_bind_on_degenerate_corpus(spark):
+    """The inverse of the parity test: on a boilerplate-flooded corpus
+    the profile's max_bucket cap must actually PRUNE the degenerate LSH
+    bucket join (the knob does something), while explicit kwargs still
+    beat the profile."""
+    from kafkastreamsjavachallenge_spark import scale
+    from kafkastreamsjavachallenge_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # 300 identical docs: every band bucket holds all 300 -> 300*299/2
+    # uncapped candidate pairs
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated everywhere").alias("text"),
+    )
+    sigs = minhash_signatures(docs, n_perm=8)
+    assert lsh_candidate_pairs(sigs).count() == 300 * 299 // 2
+    with scale.scale_profile(scale.PRODUCTION_100TB):
+        # every bucket holds 300 > max_bucket=50 -> all dropped pre-join
+        assert lsh_candidate_pairs(sigs).count() == 0
+        # explicit kwarg wins over the active profile
+        assert (
+            lsh_candidate_pairs(sigs, max_bucket=1000).count()
+            == 300 * 299 // 2
+        )
