@@ -27,6 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 IDS = [
     "q_ann_ivfpq",
     "q_ann_pq",
+    # round-10: the deployment-grade refine retrieval paths — candidate
+    # stage is the parent's (ADC over probed lists / corpus), the exact
+    # re-rank touches a constant 100 rows, so growth must track the
+    # parent's, not the corpus
+    "q_ann_pq_refine",
+    "q_ann_ivfpq_refine",
     "q_rank_biased_overlap",
     "q_kcore",
     "q_containment",
@@ -68,10 +74,11 @@ IDS = [
 # completeness of the VERDICT's named set, read it as "constant-size".
 
 
-def _containment_scaled(spark, sf_dir):
-    from kafkastreamsjavachallenge_spark.queries.corpus import q_containment
-
-    return q_containment(spark, sf_dir, max_df=100)
+# Round-10: the cap values below moved into scale.PRODUCTION_100TB, and
+# the rehearsal activates that profile around every measured run (main()
+# below) — the rehearsal IS the one-switch deployment it rehearses.  The
+# per-id wrappers remain only where the at-scale config is more than a
+# cap value (q_semdedup: corpus-scaled centroid count).
 
 
 def _semdedup_scaled(spark, sf_dir):
@@ -90,38 +97,16 @@ def _semdedup_scaled(spark, sf_dir):
     )
 
 
-def _dedup_recall_scaled(spark, sf_dir):
-    # same saturated-shingle-space finding as q_containment: the fuzz
-    # corpus's 30-word vocab makes df grow linearly with the corpus, so
-    # the EXACT ground-truth stage needs its documented at-scale max_df
-    # cap (llm.py:494 "boilerplate shingles are df-capped first"); the
-    # registered query keeps max_df=None for sf0.01 oracle parity
-    from kafkastreamsjavachallenge_spark.queries.llm import q_dedup_recall
-
-    return q_dedup_recall(spark, sf_dir, max_df=100)
-
-
-def _edit_distance_scaled(spark, sf_dir):
-    # MEASURED at 100x: candidates stayed modest (68k pairs, max bucket
-    # 59), so the 34x growth was NOT the pair space — it was the exact
-    # Levenshtein DP itself (O(len²) per ~1k-char pair: 176 s).  The
-    # at-scale config bounds both: max_bucket caps degenerate buckets
-    # before the self-join, distance_cap switches to the banded
-    # thresholded DP (176 s -> 13 s for the same pairs).  The registered
-    # query keeps both None for sf0.01 oracle parity.
-    from kafkastreamsjavachallenge_spark.queries.llm import q_edit_distance
-
-    return q_edit_distance(spark, sf_dir, max_bucket=50, distance_cap=512)
-
-
+# (q_containment / q_dedup_recall / q_edit_distance used to carry
+# per-id cap wrappers here — max_df=100, max_bucket=50,
+# distance_cap=512, with the measured findings now documented in
+# scale.py and DESIGN.md; the PRODUCTION_100TB profile supplies those
+# exact values to every run below)
 SCALE_FNS = {
-    "q_containment": _containment_scaled,
     "q_semdedup": _semdedup_scaled,
     # the bench headline swapped to the BLAS twin in round 9 — same
     # at-scale configuration (corpus-scaled k keeps Sigma-|c|^2 ~ n*100)
     "q_semdedup_blas": _semdedup_scaled,
-    "q_dedup_recall": _dedup_recall_scaled,
-    "q_edit_distance": _edit_distance_scaled,
 }
 
 
@@ -185,12 +170,25 @@ def main() -> None:
             except Exception:
                 pass  # table absent in a partial fuzz dir — fine
 
+    # the rehearsal measures every id in its at-scale deployment
+    # configuration: the ONE switch a 100 TB cluster flips (round-10;
+    # replaces the per-id cap wrappers — same values, now from the
+    # profile).  Oracle-parity of the profile on driver corpora is
+    # pinned by tests/test_scale.py::test_scale_profile_parity.
+    from kafkastreamsjavachallenge_spark.scale import (
+        PRODUCTION_100TB,
+        scale_profile,
+    )
+
     def run(name: str, sf_dir: str, runs: int = 2) -> float:
         best = float("inf")
         fn = _fn(qs, name)
         for _ in range(runs):
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            with scale_profile(PRODUCTION_100TB):
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             best = min(best, time.time() - t0)
         return round(best, 3)
 

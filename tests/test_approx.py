@@ -654,3 +654,28 @@ def test_pq_refine_restores_exact_recall(spark):
     exact = {r["vec_id"] for r in q_cosine_topk(spark, SF_DIR).collect()}
     refined = {r["vec_id"] for r in q_ann_pq_refine(spark, SF_DIR).collect()}
     assert refined == exact
+
+
+def test_ivfpq_refine_restores_probe_limited_recall(spark):
+    """q_ann_ivfpq_refine's deployment contract (round-10, mirroring
+    q_ann_pq_refine): the refine stage must eliminate ALL quantization
+    loss — its top-10 id set equals the exact-cosine top-10 OVER THE
+    PROBED LISTS, i.e. q_ann_ivf's answer (raw IVF-PQ ADC top-10
+    measured recall 0.0 on this corpus).  Residual miss vs the
+    corpus-wide exact top-10 is governed solely by nprobe (at sf0.001
+    one true neighbor sits in an unprobed list: probe recall 0.9;
+    at sf0.01+ it is 1.0 — tracked per round in the bench record), so
+    the corpus-wide floor asserted here is the deployment bar 0.8."""
+    from kafkastreamsjavachallenge_spark.queries.llm import (
+        q_ann_ivf,
+        q_ann_ivfpq_refine,
+        q_cosine_topk,
+    )
+
+    from tests.conftest import SF_DIR
+
+    probe_exact = {r["vec_id"] for r in q_ann_ivf(spark, SF_DIR).collect()}
+    refined = {r["vec_id"] for r in q_ann_ivfpq_refine(spark, SF_DIR).collect()}
+    assert refined == probe_exact
+    exact = {r["vec_id"] for r in q_cosine_topk(spark, SF_DIR).collect()}
+    assert len(refined & exact) >= 8
