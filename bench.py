@@ -166,24 +166,31 @@ def _install_progress_tap(spark):
         return None
 
     class _Tap(StreamingQueryListener):
-        def __init__(self):
-            self.rows = 0
-            self.exec_ms = 0
-            self.batches = 0
+        """Per-id accumulator: `assign(name)` routes subsequent progress
+        events to that id's bucket.  The bench runs stream queries
+        synchronously (availableNow drains before the call returns), so
+        event-bus delivery lag can only leak a tail event into the NEXT
+        id's bucket — negligible against the ~6 samples each id
+        aggregates, and `rates()` takes one grace wait at the end."""
 
-        def reset(self):
-            self.rows = 0
-            self.exec_ms = 0
-            self.batches = 0
+        def __init__(self):
+            self.key = None
+            self.acc: dict[str, list[int]] = {}
+
+        def assign(self, key):
+            self.key = key
 
         def onQueryStarted(self, event):
             pass
 
         def onQueryProgress(self, event):
+            k = self.key
+            if k is None:
+                return
             p = event.progress
-            self.rows += p.numInputRows or 0
-            self.exec_ms += (p.durationMs or {}).get("triggerExecution", 0)
-            self.batches += 1
+            a = self.acc.setdefault(k, [0, 0])
+            a[0] += p.numInputRows or 0
+            a[1] += (p.durationMs or {}).get("triggerExecution", 0)
 
         def onQueryIdle(self, event):
             pass
@@ -191,17 +198,13 @@ def _install_progress_tap(spark):
         def onQueryTerminated(self, event):
             pass
 
-        def rate(self) -> float | None:
-            # listener delivery is async on the event bus; the streams
-            # themselves have already drained (availableNow), so a short
-            # grace wait is enough for the tail events to land
-            deadline = time.time() + 2.0
-            while self.batches == 0 and time.time() < deadline:
-                time.sleep(0.1)
-            time.sleep(0.2)
-            if self.exec_ms <= 0 or self.rows <= 0:
-                return None
-            return round(self.rows / (self.exec_ms / 1000.0), 1)
+        def rates(self) -> dict[str, float]:
+            time.sleep(1.0)  # grace for async event-bus tail delivery
+            return {
+                k: round(rows / (ms / 1000.0), 1)
+                for k, (rows, ms) in self.acc.items()
+                if rows > 0 and ms > 0
+            }
 
     try:
         tap = _Tap()
@@ -283,16 +286,43 @@ def main() -> None:
     plans: dict[str, str] = {}
     errors: dict[str, str] = {}
     stalled: dict[str, int] = {}
-    stream_rates: dict[str, float] = {}
     tap = _install_progress_tap(spark)
+
+    def _sample(name: str) -> float | None:
+        """One timed noop-sink execution; None = errored or io-stalled."""
+        if tap is not None:
+            tap.assign(name if name.startswith("q_stream") else None)
+        tick0, io0 = _cpu_ticks()
+        t0 = time.time()
+        try:
+            # time construction + execution: streaming queries execute
+            # during construction (availableNow → memory sink); noop
+            # sink = full execution, no driver materialization
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            return None
+        wall = time.time() - t0
+        tick1, io1 = _cpu_ticks()
+        dticks = tick1 - tick0
+        io_frac = (io1 - io0) / dticks if dticks > 0 else 0.0
+        # stalled samples are EXCLUDED from medians/spreads the same way
+        # the warmup run already is — they measure the disk stall, not
+        # the plan (round-9 VERDICT item 4: +27% uniform drift on
+        # byte-identical plan fingerprints)
+        if io_frac > _STALL_IOWAIT:
+            stalled[name] = stalled.get(name, 0) + 1
+            return None
+        return wall
+
+    # Pass 1 — discarded per-id warmup (round-8 VERDICT item 3): the
+    # first execution pays one-off codegen / Python-worker spin-up /
+    # page-cache / broadcast-build costs that are not run-to-run
+    # instability; its wall-time only sizes the sample count below.
+    n_runs: dict[str, int] = {}
     for name in HEADLINE:
-        samples: list[float] = []
-        if tap is not None and name.startswith("q_stream"):
-            tap.reset()
-        # discarded per-id warmup run (round-8 VERDICT item 3): the first
-        # execution pays one-off codegen / Python-worker spin-up / page
-        # cache / broadcast-build costs that are not run-to-run
-        # instability; its wall-time only sizes the sample count below.
         t0 = time.time()
         try:
             df = qs[name](spark, sf_dir)
@@ -309,75 +339,103 @@ def main() -> None:
         # medians need more evidence (7 samples) than the multi-second
         # ids, whose per-sample cost dominates the budget instead; the
         # stream-startup-dominated ids get the same treatment by name
-        n_runs = (
+        n_runs[name] = (
             max(runs, 7) if (warm < 1.0 or name in _EXTRA_SAMPLES) else runs
         )
-        stalled_here = 0
-        for _ in range(n_runs):
-            # the try wraps ONE run, not the whole loop: a throw on run 3
-            # keeps runs 1-2's valid timings (flagged alongside the error)
-            tick0, io0 = _cpu_ticks()
-            t0 = time.time()
-            try:
-                # time construction + execution: streaming queries execute
-                # during construction (availableNow → memory sink)
-                df = qs[name](spark, sf_dir)
-                # noop sink: full execution, no driver materialization
-                df.write.format("noop").mode("overwrite").save()
-            except Exception as exc:
-                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-                break
-            wall = time.time() - t0
-            tick1, io1 = _cpu_ticks()
-            dticks = tick1 - tick0
-            io_frac = (io1 - io0) / dticks if dticks > 0 else 0.0
-            # stalled samples are EXCLUDED from medians/spreads the same
-            # way the warmup run already is — they measure the disk
-            # stall, not the plan (round-9 VERDICT item 4: +27% uniform
-            # drift on byte-identical plan fingerprints)
-            if io_frac > _STALL_IOWAIT:
-                stalled_here += 1
+
+    # Pass 2 — INTERLEAVED sampling: round-robin over the headline list
+    # instead of all samples per id back-to-back.  This host's dominant
+    # noise is a minutes-scale drift (round-10 probe: identical runs at
+    # 94% idle, zero io-wait, walls moving 2.4 s -> 1.3 s), which makes
+    # temporally-clustered samples agree with each other while whole
+    # runs diverge; spreading each id's samples across the full bench
+    # window turns that drift into per-id variance the median rejects.
+    all_samples: dict[str, list[tuple[int, float]]] = {n: [] for n in n_runs}
+    for rnd in range(max(n_runs.values(), default=0)):
+        for name in HEADLINE:
+            if name in errors or rnd >= n_runs.get(name, 0):
                 continue
-            samples.append(wall)
-        if stalled_here:
-            stalled[name] = stalled_here
-        if not samples and stalled_here:
-            # every sample stalled: record nothing for this id rather
-            # than a disk-noise number (the error dict keeps it visible)
+            wall = _sample(name)
+            if wall is not None:
+                all_samples[name].append((rnd, wall))
+
+    # Round-drift correction (two-way id × round model): estimate each
+    # round's GLOBAL slowdown factor as the cross-id median of
+    # wall / per-id-median, then divide it out.  The host's minutes-scale
+    # drift moves every id in a round together (the probe evidence:
+    # 94% idle, zero io-wait, synchronized wall movement), so the factor
+    # captures host state, not plan behavior; per-id signals — one
+    # operator genuinely unstable relative to the rest — survive intact.
+    # Two fixed-point iterations: medians re-estimated on corrected
+    # samples re-estimate the factors.  Factors need >= 5 contributing
+    # ids per round to be trusted (else 1.0), and their range is
+    # reported as round_drift for visibility.
+    factors: dict[int, float] = {}
+    corrected: dict[str, list[float]] = {
+        n: [w for _, w in s] for n, s in all_samples.items()
+    }
+    for _ in range(2):
+        med = {
+            n: sorted(v)[len(v) // 2]
+            for n, v in corrected.items()
+            if v
+        }
+        by_round: dict[int, list[float]] = {}
+        for n, s in all_samples.items():
+            if n not in med or med[n] <= 0:
+                continue
+            for rnd, w in s:
+                by_round.setdefault(rnd, []).append(
+                    (w / factors.get(rnd, 1.0)) / med[n]
+                )
+        factors = {
+            rnd: factors.get(rnd, 1.0)
+            * sorted(v)[len(v) // 2]
+            for rnd, v in by_round.items()
+            if len(v) >= 5
+        }
+        corrected = {
+            n: [w / factors.get(rnd, 1.0) for rnd, w in s]
+            for n, s in all_samples.items()
+        }
+    round_drift = (
+        {
+            "min_factor": round(min(factors.values()), 3),
+            "max_factor": round(max(factors.values()), 3),
+        }
+        if factors
+        else {}
+    )
+
+    for name, samples in corrected.items():
+        if not samples:
+            # every sample stalled/errored: record nothing rather than a
+            # disk-noise number (the error dict keeps it visible)
             errors.setdefault(
-                name, f"all {stalled_here} samples io-wait-stalled"
+                name,
+                f"all {n_runs.get(name, 0)} samples io-wait-stalled",
             )
-        if samples:
-            timings[name] = round(min(samples), 3)
-            medians[name] = round(sorted(samples)[len(samples) // 2], 3)
-            # every sample is post-warmup now; with a single sample
-            # spread is undefined and stays 0 — one observation can't
-            # evidence variance.  Spread is TRIMMED at n>=5: the single
-            # slowest sample is dropped before max-min — a lone GC/JIT
-            # hiccup is not instability (and max-min over MORE samples
-            # otherwise grows by extreme-value statistics, so better
-            # sampling was inflating the very gate it should steady);
-            # two slow samples still flag.
-            srt = sorted(samples)
-            med = srt[len(srt) // 2]
-            # trim scales with evidence: 2 dropped at n>=7 (extreme-value
-            # statistics — max-min over more samples otherwise grows)
-            if len(srt) >= 7:
-                steady = srt[:-2]
-            elif len(srt) >= 5:
-                steady = srt[:-1]
-            else:
-                steady = srt
-            abs_spread[name] = (
-                round(steady[-1] - steady[0], 3) if len(steady) > 1 else 0.0
-            )
-            spreads[name] = (
-                round(abs_spread[name] / med, 3) if med > 0 else 0.0
-            )
-        if tap is not None and name.startswith("q_stream"):
-            rate = tap.rate()
-            if rate is not None:
-                stream_rates[name] = rate
+            continue
+        timings[name] = round(min(samples), 3)
+        medians[name] = round(sorted(samples)[len(samples) // 2], 3)
+        # spread over TRIMMED steady samples: the slowest 1 (n>=5) or 2
+        # (n>=7) are dropped before max-min — a lone GC/JIT hiccup is
+        # not instability, and max-min over more samples otherwise grows
+        # by extreme-value statistics; two+ slow samples still flag.
+        srt = sorted(samples)
+        med = srt[len(srt) // 2]
+        if len(srt) >= 7:
+            steady = srt[:-2]
+        elif len(srt) >= 5:
+            steady = srt[:-1]
+        else:
+            steady = srt
+        abs_spread[name] = (
+            round(steady[-1] - steady[0], 3) if len(steady) > 1 else 0.0
+        )
+        spreads[name] = round(abs_spread[name] / med, 3) if med > 0 else 0.0
+
+    stream_rates = tap.rates() if tap is not None else {}
 
     # Variance gate (round-7 VERDICT item 5): a headline id whose steady
     # samples spread more than ±25% around their median (and by >0.3s
@@ -412,6 +470,11 @@ def main() -> None:
     record["stalled_samples"] = sum(stalled.values())
     if stalled:
         record["stalled_by_query"] = stalled
+    # host drift within this run, as seen by the round-factor model —
+    # a wide range here means the box was drifting and the corrected
+    # medians/spreads are doing real work
+    if round_drift:
+        record["round_drift"] = round_drift
     # steady-state streaming throughput (round-9 VERDICT item 8):
     # rows/s per micro-batch across the id's sampled runs — visible
     # independently of session spin-up cost

@@ -919,10 +919,9 @@ def pq_ann_topk_blas(
         valid = np.array(
             [x is not None and len(x) == dim for x in vals], dtype=bool
         )
-        out = [None] * len(vals)
+        total = None
         if valid.any():
             X = np.stack(vals[valid]).astype(np.float64)
-            total = None
             for s in range(m):
                 codes = np.argmin(
                     _seq_l2(X[:, s * sub_len : (s + 1) * sub_len], C[s]),
@@ -930,6 +929,13 @@ def pq_ann_topk_blas(
                 )
                 t = dt[s][codes]
                 total = t if total is None else total + t
+        if valid.all() and total is not None:
+            # fast path (the normal case — whole batch valid): a float64
+            # ndarray crosses Arrow an order of magnitude cheaper than
+            # the object Series the mixed path needs for its None cells
+            return pd.Series(total)
+        out = [None] * len(vals)
+        if total is not None:
             for i, j in enumerate(np.flatnonzero(valid)):
                 out[j] = float(total[i])
         return pd.Series(out, dtype="object")
