@@ -477,9 +477,27 @@ def main() -> None:
         record["round_drift"] = round_drift
     # steady-state streaming throughput (round-9 VERDICT item 8):
     # rows/s per micro-batch across the id's sampled runs — visible
-    # independently of session spin-up cost
+    # independently of session spin-up cost.  A rate DROP >30% vs the
+    # prior record is the streaming-specific regression flag (wall-time
+    # comparison is blind to it: stream wall is startup-dominated).
     if stream_rates:
         record["stream_rows_per_sec"] = stream_rates
+        prior_run = _load_prior(sf)
+        prior_rates = prior_run.get("stream_rows_per_sec") or {}
+        prior_plans = prior_run.get("plans") or {}
+        # same discipline as the wall tracker: a >30% rate drop counts
+        # as a regression only on a CHANGED plan fingerprint — measured
+        # back-to-back runs move stream rates ±60% on identical plans
+        # (trigger durations absorb the host drift), so an ungated flag
+        # would cry wolf every round
+        record["stream_rate_regressed"] = sorted(
+            f"{q}:{prior_rates[q]}->{r}"
+            for q, r in stream_rates.items()
+            if q in prior_rates
+            and r < prior_rates[q] * 0.7
+            and bool(prior_plans.get(q))
+            and prior_plans.get(q) != plans.get(q)
+        )
     # ANN quality trend (round-7 VERDICT item 6): recall@10 and candidate
     # counts per index method from q_ann_frontier — the number a 100 TB
     # vector deployment tunes, tracked per round alongside the timings.
