@@ -196,6 +196,7 @@ def semdedup_pandas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
+    k_per_n: float | None = None,
 ) -> DataFrame:
     """Arrow/BLAS twin of ``semdedup`` — the shape the SemDeDup paper
     actually runs (GPU/BLAS matmuls), and the scale path once the
@@ -220,10 +221,38 @@ def semdedup_pandas(
     same bounded-fetch class as the PQ codebook; at k beyond closure
     size, shard the assignment with a coarse first level (IVF-style).
     A pathologically skewed cluster makes one Gram matrix large —
-    same remedy as the JVM path: raise k / second-level split."""
+    same remedy as the JVM path: raise k / second-level split.
+
+    ``k_per_n`` (explicit kwarg, else the active ``scale.ScaleProfile``'s
+    ``semdedup_k_per_n``) is the at-scale contract that makes "raise k"
+    automatic: when it resolves non-None, the caller-supplied fixed
+    ``centroids`` set is SUPERSEDED by the ``max(16, int(n * k_per_n))``
+    lowest-``id_col`` rows of ``df`` itself, so cluster size — the
+    quadratic hazard — stays ~1/k_per_n regardless of corpus growth
+    (the round-9 rehearsal measured k = n/100 holding the BLAS path at
+    2.3x growth for 10x data where fixed-k was n²-quadratic).  Under the
+    default EXACT profile the knob is off and the passed centroids are
+    used verbatim; at driver SFs the floor of 16 makes the derived set
+    equal the registered queries' fixed lowest-16 centroids, so the
+    profile does not move oracle-checked results there (pinned by
+    tests/test_scale.py::test_scale_profile_parity)."""
     import numpy as np
 
     from pyspark.sql.types import LongType, StructField, StructType
+
+    from kafkastreamsjavachallenge_spark.scale import resolve
+
+    k_per_n = resolve(k_per_n, "semdedup_k_per_n")
+    if k_per_n is not None:
+        # one count job (the same single pass an index build pays) sizes
+        # k; lowest-id selection is a distributed TakeOrdered bounded by
+        # k — the same deterministic convention as the fixed-16 queries
+        k = max(16, int(df.count() * k_per_n))
+        centroids = (
+            df.select(F.col(id_col).alias(centroid_id), F.col(vec_col))
+            .orderBy(centroid_id)
+            .limit(k)
+        )
 
     # a COPY, not df.schema.add(...): add() mutates (and returns) the
     # DataFrame's cached schema object, which desyncs it from the JVM plan
@@ -285,6 +314,15 @@ def semdedup_pandas(
     )
 
 
+def _resolve_nprobe(nprobe: int | None) -> int:
+    """Explicit ``nprobe`` wins; ``None`` falls back to the active
+    ``scale.ScaleProfile``'s ``ann_nprobe`` (the one-switch deployment
+    probe width), else the historical operator default of 2."""
+    from kafkastreamsjavachallenge_spark.scale import resolve
+
+    return resolve(nprobe, "ann_nprobe") or 2
+
+
 def _probe_lists(
     query: DataFrame, centroids: DataFrame, nprobe: int, vec_col: str
 ) -> DataFrame:
@@ -312,7 +350,7 @@ def ivf_ann_topk(
     query: DataFrame,
     centroids: DataFrame,
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -321,8 +359,11 @@ def ivf_ann_topk(
 
     Candidate filter is a semi-join on centroid_id (broadcast — nprobe
     ids), then exact cosine within the probed lists.  Recall grows with
-    nprobe; cost is |probed lists|, not |table|.
+    nprobe; cost is |probed lists|, not |table|.  ``nprobe=None`` defers
+    to the active ``scale.ScaleProfile``'s ``ann_nprobe`` (the
+    deployment-wide probe-width switch), else 2.
     """
+    nprobe = _resolve_nprobe(nprobe)
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     probes = _probe_lists(query, centroids, nprobe, vec_col)
     cands = assigned.join(F.broadcast(probes), on="centroid_id", how="left_semi")
@@ -335,7 +376,7 @@ def ivfpq_ann_topk(
     centroids: DataFrame,
     codebook: DataFrame,
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: int | None = None,
     m: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -355,7 +396,10 @@ def ivfpq_ann_topk(
     table is written partitioned by ``centroid_id`` so a probe is a
     partition-pruned scan of compressed codes — the only layout that
     keeps both the scan bytes AND the float math sublinear.
+    ``nprobe=None`` defers to the active ``scale.ScaleProfile``'s
+    ``ann_nprobe``, else 2.
     """
+    nprobe = _resolve_nprobe(nprobe)
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     probes = _probe_lists(query, centroids, nprobe, vec_col)
     cands = assigned.join(
@@ -371,6 +415,7 @@ def ivf_assign_blas(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
     dim: int = 64,
+    strict_parity: bool = False,
 ) -> DataFrame:
     """Arrow twin of ``ivf_assign``: the nearest-centroid argmax computed
     as one vectorized kernel per Arrow batch.  Every arithmetic step
@@ -386,13 +431,16 @@ def ivf_assign_blas(
     null/wrong-length vector here gets a NULL centroid and is DROPPED,
     whereas ``ivf_assign``'s max_by over struct(null __sim, -cid)
     assigns such rows to the LOWEST centroid id.  This is intentional
-    (a garbage vector in a real list poisons probes) but means the twin
-    is only equivalence-safe inside ``ivfpq_ann_topk_blas``, where
-    ``pq_encode`` drops those rows downstream on both paths anyway —
-    do not substitute it for ``ivf_assign`` as a standalone index-build
-    step if degenerate vectors must be retained.  Centroids collect
-    driver-side — bounded by construction (k ≪ n), same discipline as
-    the codebook."""
+    (a garbage vector in a real list poisons probes) but means the
+    default twin is only equivalence-safe inside ``ivfpq_ann_topk_blas``,
+    where ``pq_encode`` drops those rows downstream on both paths anyway.
+    A STANDALONE index build that must retain degenerate vectors passes
+    ``strict_parity=True``: null/wrong-length rows are then assigned the
+    lowest centroid id exactly like ``ivf_assign`` (row-for-row equality
+    on such fixtures is pinned by
+    tests/test_approx.py::test_ivf_assign_blas_strict_parity).
+    Centroids collect driver-side — bounded by construction (k ≪ n),
+    same discipline as the codebook."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -429,12 +477,16 @@ def ivf_assign_blas(
 
     cn = _seq_norm(C)
 
+    # strict_parity: degenerate rows take the declarative path's
+    # lowest-cid assignment instead of NULL-and-drop
+    fallback_cid = int(cids[0]) if strict_parity else None
+
     def _assign(v):
         vals = v.to_numpy()
         valid = np.array(
             [x is not None and len(x) == dim for x in vals], dtype=bool
         )
-        out = [None] * len(vals)
+        out = [fallback_cid] * len(vals)
         if valid.any():
             X = np.stack(vals[valid]).astype(np.float64)
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -450,9 +502,10 @@ def ivf_assign_blas(
 
     _assign.__annotations__ = {"v": pd.Series, "return": pd.Series}
     assign = pandas_udf(_assign, "long")
-    return df.withColumn(centroid_id, assign(F.col(vec_col))).filter(
-        F.col(centroid_id).isNotNull()
-    )
+    out = df.withColumn(centroid_id, assign(F.col(vec_col)))
+    if strict_parity:
+        return out  # no NULLs produced — every row carries a centroid
+    return out.filter(F.col(centroid_id).isNotNull())
 
 
 def ivfpq_ann_topk_blas(
@@ -461,7 +514,7 @@ def ivfpq_ann_topk_blas(
     centroids: DataFrame,
     codebook: DataFrame,
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: int | None = None,
     m: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -472,7 +525,9 @@ def ivfpq_ann_topk_blas(
     trivial) + the fused encode/ADC kernel (``pq_ann_topk_blas``) over
     the probed survivors.  Candidate sets and distances match the
     declarative composite bit-for-bit (each stage's exactness contract
-    is its twin's)."""
+    is its twin's).  ``nprobe=None`` defers to the active
+    ``scale.ScaleProfile``'s ``ann_nprobe``, else 2."""
+    nprobe = _resolve_nprobe(nprobe)
     assigned = ivf_assign_blas(df, centroids, id_col, vec_col, dim=dim)
     probes = _probe_lists(query, centroids, nprobe, vec_col)
     cands = assigned.join(
@@ -1194,7 +1249,7 @@ def ivf_partitioned_topk(
     query: DataFrame,
     centroids: DataFrame,
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1207,6 +1262,7 @@ def ivf_partitioned_topk(
     and only the probed inverted lists are ever read.  Result is
     identical to the in-memory `ivf_ann_topk` with the same
     (centroids, k, nprobe) — equality is part of the same test."""
+    nprobe = _resolve_nprobe(nprobe)
     probes = _probe_lists(query, centroids, nprobe, vec_col)
     probe_ids = [int(r["centroid_id"]) for r in probes.collect()]
     scan = spark.read.parquet(path).filter(

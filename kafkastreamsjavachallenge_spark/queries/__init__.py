@@ -50,72 +50,68 @@ _MODULES = (
 # so registration order is part of the public surface.  The slate ROTATES
 # each round: flagship canaries stay pinned and the rest are the ids with
 # the most to prove — never-checked first, then oldest-checked.
-# r10 (this slate, per round-9 VERDICT item 3 "finish the stale burn"):
-# 2 pinned flagships; the NEW never-driver-checked id
-# q_ann_ivfpq_refine (round-9 VERDICT item 2 — IVF-PQ retrieval recall);
-# then the 4 ids whose latest driver-green row is r02 (q_ewma,
-# q_fingerprint, q_minhash_sig, q_ngram_jaccard) and 43 of the 44 r03
-# ids, oldest-checked first (alphabetical within equal age).  The new
-# id's slot displaces exactly one r03 id — q_grid_join rolls to the r11
-# burn (its bounded grid-join shape is co-exercised by the slated
-# q_knn_join).  Green slate => no registry id's latest driver check
-# older than r03, and only ONE older than r04.
+# r11 (this slate, per round-10 VERDICT item 3 "burn q_grid_join"):
+# 2 pinned flagships; q_grid_join FIRST after them — the single registry
+# id whose latest driver-green row is r03 (its r10 slot went to the new
+# q_ann_ivfpq_refine); then the 41 ids whose latest driver-green row is
+# r04, alphabetical, and the 6 alphabetically-first of the 44 r05 ids to
+# fill the 50.  Green slate => zero registry ids with a driver check
+# older than r05.
 _PRIORITY = (
     # flagship constants — every round
     "q_source_scan",
     "q_unique_users",
-    # NEW this round (never driver-checked): IVF-PQ refine retrieval
-    "q_ann_ivfpq_refine",
-    # stale burn: latest driver-green row r02 (4 ids)
-    "q_ewma",
-    "q_fingerprint",
-    "q_minhash_sig",
-    "q_ngram_jaccard",
-    # stale burn: latest driver-green row r03 (43 of 44 ids)
-    "q_ann_ivf",
-    "q_asof_join",
-    "q_bloom_fpr",
-    "q_collect_set",
-    "q_cooccurrence",
-    "q_cosine_topk",
-    "q_countmin",
-    "q_doc_chunks",
-    "q_dq_audit",
-    "q_embed_neardup",
-    "q_embed_quantize",
-    "q_event_time",
-    "q_filter",
-    "q_funnel",
-    "q_gap_fill",
-    "q_grouping_sets",
-    "q_jaccard_neighbors",
-    "q_json_extract",
-    "q_kmeans",
-    "q_knn_join",
-    "q_lang_id",
-    "q_merge_upsert",
-    "q_multi_distinct",
-    "q_neardup_components",
-    "q_neardup_verified",
-    "q_null_safe_join",
-    "q_pagerank",
-    "q_quality_score",
-    "q_resample_ohlc",
-    "q_retention",
-    "q_rfm",
-    "q_serde_roundtrip",
-    "q_simhash",
-    "q_streaks",
-    "q_stream_countmin",
-    "q_stream_join",
-    "q_text_stats",
-    "q_tfidf_top",
-    "q_token_count",
-    "q_topk_per_group",
-    "q_tpch_q1",
-    "q_triangle_count",
-    "q_tumbling_window",
-    # (q_grid_join — the one remaining r03 id — rolls to the r11 burn)
+    # stale burn: the ONE id whose latest driver-green row is r03
+    "q_grid_join",
+    # stale burn: latest driver-green row r04 (all 41 ids)
+    "q_ann_pq",
+    "q_bm25",
+    "q_bpe_tokenize",
+    "q_chunk_dedup",
+    "q_cume_dist",
+    "q_curriculum",
+    "q_dataset_diff",
+    "q_decontaminate",
+    "q_dense_rank",
+    "q_domain_cap",
+    "q_dsir_weights",
+    "q_first_last",
+    "q_fuzzy_join",
+    "q_gopher_repetition",
+    "q_hll_explicit",
+    "q_hybrid_rrf",
+    "q_mix_weights",
+    "q_ntile",
+    "q_pca_project",
+    "q_percent_rank",
+    "q_pii_scrub",
+    "q_priority_sample",
+    "q_range_frame",
+    "q_remove_dup_spans",
+    "q_rp_project",
+    "q_sample_hash",
+    "q_shard_assign",
+    "q_stratified_sample",
+    "q_stream_curation",
+    "q_stream_session",
+    "q_tpch_q11",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q2",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_tpch_q8",
+    "q_train_test_split",
+    # stale burn: oldest r05 ids, alphabetical (6 slots remaining)
+    "q_ann_ivfpq",
+    "q_array_fns",
+    "q_autocorr",
+    "q_batch_padding",
+    "q_bit_agg",
+    "q_bool_agg",
 )
 
 

@@ -775,6 +775,29 @@ def q_ann_pq_blas(spark, sf_dir):
     return S.pq_ann_topk_blas(base, query, codebook, k=10)
 
 
+def _refine_knobs() -> tuple[int, int]:
+    """(nprobe, candidate width) for the refine-retrieval ids — the
+    active ``scale.ScaleProfile``'s ``ann_nprobe`` / ``ann_refine_width``
+    when set (PRODUCTION_100TB: 8 / 200), else the oracle-pinned 4 / 100.
+    Only the REFINE ids consume these.  For q_ann_pq_refine the PQ
+    candidate stage scans the whole corpus, so a wider ADC prefix is a
+    strict SUPERSET and the exact re-rank returns the identical
+    saturated top-10 — parity pinned by
+    tests/test_scale.py::test_scale_profile_parity.  For
+    q_ann_ivfpq_refine ann_nprobe is a recall-IMPROVING knob: wider
+    probes reach inverted lists the default misses, so the profile's
+    result may be strictly better (pinned there as pointwise dominance
+    of the sorted cosines).  The raw ADC ids (q_ann_ivf / q_ann_ivfpq*)
+    keep their hard-coded nprobe=4: widening probes changes THEIR
+    result set by design, and their hash oracles encode nprobe=4."""
+    from kafkastreamsjavachallenge_spark.scale import resolve
+
+    return (
+        resolve(None, "ann_nprobe") or 4,
+        resolve(None, "ann_refine_width") or 100,
+    )
+
+
 def _exact_rerank(base, query, cands, k=10):
     """Shared refine tail (FAISS IndexRefineFlat shape): exact e6-floored
     cosine re-rank of a bounded candidate set against the single query
@@ -826,7 +849,8 @@ def q_ann_pq_refine(spark, sf_dir):
     query = e.filter(F.col("vec_id") == 0)
     train = base.filter(_h28(F.col("vec_id")) % 10 == 0)
     codebook = S.pq_train(train, m=16, k=64, iters=2)
-    cands = S.pq_ann_topk_blas(base, query, codebook, k=100, m=16)
+    _, width = _refine_knobs()
+    cands = S.pq_ann_topk_blas(base, query, codebook, k=width, m=16)
     return _exact_rerank(base, query, cands, k=10)
 
 
@@ -906,8 +930,9 @@ def q_ann_ivfpq_refine(spark, sf_dir):
     )
     train = base.filter(_h28(F.col("vec_id")) % 10 == 0)
     codebook = S.pq_train(train, m=16, k=64, iters=2)
+    nprobe, width = _refine_knobs()
     cands = S.ivfpq_ann_topk_blas(
-        base, query, centroids, codebook, k=100, nprobe=4, m=16
+        base, query, centroids, codebook, k=width, nprobe=nprobe, m=16
     )
     return _exact_rerank(base, query, cands, k=10)
 

@@ -18,10 +18,19 @@ not bind is pinned by tests/test_scale.py::test_scale_profile_parity.
 Usage::
 
     from kafkastreamsjavachallenge_spark import scale
-    scale.set_scale_profile(scale.PRODUCTION_100TB)     # process-wide
-    # or scoped:
+    scale.set_scale_profile(scale.PRODUCTION_100TB)     # process-wide:
+    # every thread sees it (Spark drivers commonly submit jobs from
+    # multiple threads — the deployment switch must not silently miss
+    # a thread pool's workers).
+    # or scoped (THREAD-local — safe for concurrent test harnesses;
+    # other threads are unaffected):
     with scale.scale_profile(scale.PRODUCTION_100TB):
         q_edit_distance(spark, sf_dir)                  # caps active
+
+``set_scale_profile`` writes a module-level process-wide default;
+``scale_profile(...)`` pushes a thread-local override on top of it.
+``get_scale_profile`` reads: thread-local override > process default
+> ``EXACT``.
 """
 
 from __future__ import annotations
@@ -55,6 +64,22 @@ class ScaleProfile:
     #: iterative peel depth for k-core (operators/graph.py kcore);
     #: ``None`` keeps each operator's own default.
     max_rounds: int | None = None
+    #: SemDeDup centroids per corpus row (operators/similarity.py
+    #: semdedup_pandas): at scale the cluster SIZE is the knob, not the
+    #: cluster count, so k must grow with n — k = max(16, int(n *
+    #: k_per_n)) keeps Σ|c|² ~ n / k_per_n.  When set it supersedes a
+    #: caller-supplied fixed centroid set (that set's size is the
+    #: quadratic hazard the knob exists to remove).
+    semdedup_k_per_n: float | None = None
+    #: IVF probe width for the registered ANN queries (queries/llm.py
+    #: q_ann_ivf / q_ann_ivfpq* — resolved at query construction) and
+    #: for operator callers passing ``nprobe=None``
+    #: (operators/similarity.py ivf_ann_topk / ivfpq_ann_topk*).
+    ann_nprobe: int | None = None
+    #: refine-retrieval candidate width — how many ADC-ranked rows the
+    #: exact cosine re-rank touches (queries/llm.py q_ann_pq_refine /
+    #: q_ann_ivfpq_refine).
+    ann_refine_width: int | None = None
 
 
 #: exact semantics everywhere — the default, and what the driver's
@@ -74,29 +99,50 @@ PRODUCTION_100TB = ScaleProfile(
     distance_cap=512,
     salt_buckets=32,
     max_rounds=16,
+    # SemDeDup's real contract (k scales with n; the rehearsal measured
+    # k = n/100 keeping Σ|c|² ~ n·100 at 2.3x growth on the BLAS path)
+    semdedup_k_per_n=0.01,
+    # wider coarse probes + a wider exact-re-rank stage: at 100 TB the
+    # inverted lists are corpus-scaled, so recall needs more of them,
+    # and the refine tail stays O(width) = 200 rows regardless of corpus
+    ann_nprobe=8,
+    ann_refine_width=200,
 )
 
+#: process-wide default, set by ``set_scale_profile`` — the deployment
+#: switch; visible to EVERY thread (Spark drivers commonly submit jobs
+#: from thread pools).
+_default: ScaleProfile = EXACT
+
+#: thread-local override stack, used by the ``scale_profile`` context
+#: manager — scoped activations must not leak across concurrently
+#: running threads (e.g. parallel test workers).
 _local = threading.local()
 
 
 def get_scale_profile() -> ScaleProfile:
-    """The active profile (thread-local, defaulting to ``EXACT``)."""
-    return getattr(_local, "profile", EXACT)
+    """The active profile: thread-local override > process-wide default
+    (``set_scale_profile``) > ``EXACT``."""
+    return getattr(_local, "profile", None) or _default
 
 
 def set_scale_profile(profile: ScaleProfile) -> None:
-    _local.profile = profile
+    """Set the PROCESS-WIDE default profile (all threads see it unless
+    they hold a scoped ``scale_profile`` override)."""
+    global _default
+    _default = profile
 
 
 @contextmanager
 def scale_profile(profile: ScaleProfile):
-    """Scoped activation — restores the prior profile on exit."""
-    prev = get_scale_profile()
-    set_scale_profile(profile)
+    """Scoped THREAD-local activation — restores the prior state on
+    exit; concurrent threads are unaffected."""
+    prev = getattr(_local, "profile", None)
+    _local.profile = profile
     try:
         yield profile
     finally:
-        set_scale_profile(prev)
+        _local.profile = prev
 
 
 def resolve(value, knob: str):

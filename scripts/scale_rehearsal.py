@@ -36,7 +36,11 @@ IDS = [
     "q_rank_biased_overlap",
     "q_kcore",
     "q_containment",
-    "q_semdedup",
+    # round-11: the registered BLAS twin id, measured as-registered —
+    # PRODUCTION_100TB.semdedup_k_per_n now derives the corpus-scaled
+    # centroid count inside semdedup_pandas itself (the hand-rolled
+    # _semdedup_scaled wrapper this script used to carry is gone)
+    "q_semdedup_blas",
     "q_neardup_verified",
     "q_minhash_pairs",
     "q_dsir_weights",
@@ -64,54 +68,29 @@ IDS = [
 #   here k = n/100, keeping Sigma-|c|^2 ~ n * 100.  MEASURED: even with
 #   k = n/100 the declarative path grew 45.3x for 10x data (recorded in
 #   bench_history) because broadcast-argmax assignment is n*k
-#   interpreted folds — which is why the scale config now runs
-#   similarity.semdedup_pandas (one BLAS matmul per Arrow batch for
-#   assignment, one Gram matrix per cluster for pairs; exact-set
-#   equivalence to the declarative path is test-pinned).
+#   interpreted folds — which is why the rehearsal measures the BLAS
+#   twin id q_semdedup_blas (one matmul per Arrow batch for assignment,
+#   one Gram matrix per cluster for pairs; exact-set equivalence to the
+#   declarative path is test-pinned), with the corpus-scaled k now
+#   coming from PRODUCTION_100TB.semdedup_k_per_n inside
+#   similarity.semdedup_pandas itself.
 #
 # q_grid_join's inputs (supplier/customer) are static symlinked dims in
 # the fuzz dirs, so its growth ratio is ~1.0 by construction — kept for
 # completeness of the VERDICT's named set, read it as "constant-size".
 
 
-# Round-10: the cap values below moved into scale.PRODUCTION_100TB, and
-# the rehearsal activates that profile around every measured run (main()
-# below) — the rehearsal IS the one-switch deployment it rehearses.  The
-# per-id wrappers remain only where the at-scale config is more than a
-# cap value (q_semdedup: corpus-scaled centroid count).
-
-
-def _semdedup_scaled(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    from kafkastreamsjavachallenge_spark.catalog import load_table
-    from kafkastreamsjavachallenge_spark.operators import similarity as S
-
-    e = load_table(spark, sf_dir, "embeddings")
-    k = max(16, e.count() // 100)
-    cent = e.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
-    )
-    return S.semdedup_pandas(e, cent, threshold=0.92).select(
-        "vec_id", "centroid_id"
-    )
-
-
-# (q_containment / q_dedup_recall / q_edit_distance used to carry
-# per-id cap wrappers here — max_df=100, max_bucket=50,
-# distance_cap=512, with the measured findings now documented in
-# scale.py and DESIGN.md; the PRODUCTION_100TB profile supplies those
-# exact values to every run below)
-SCALE_FNS = {
-    "q_semdedup": _semdedup_scaled,
-    # the bench headline swapped to the BLAS twin in round 9 — same
-    # at-scale configuration (corpus-scaled k keeps Sigma-|c|^2 ~ n*100)
-    "q_semdedup_blas": _semdedup_scaled,
-}
+# Round-10: the cap values moved into scale.PRODUCTION_100TB, and the
+# rehearsal activates that profile around every measured run (main()
+# below) — the rehearsal IS the one-switch deployment it rehearses.
+# Round-11 removed the last hand-rolled wrapper (_semdedup_scaled):
+# PRODUCTION_100TB.semdedup_k_per_n makes semdedup_pandas derive the
+# corpus-scaled centroid count itself, so every id below now runs
+# exactly as registered.
 
 
 def _fn(qs, name):
-    return SCALE_FNS.get(name, qs.get(name))
+    return qs.get(name)
 
 
 def main() -> None:

