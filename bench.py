@@ -123,21 +123,66 @@ HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_histor
 _EXTRA_SAMPLES = {"q_stream_ks", "q_stream_anomaly_sliding"}
 
 #: a sample is STALLED when system-wide io-wait absorbed more than this
-#: fraction of the sample's CPU ticks — this host's virtio disk stalls
-#: for whole minutes under sustained load (round-9 rehearsal: q_agg_multi
-#: 80x "growth" that re-measured 1.4x in a calm window), and a wall-time
-#: taken during a stall measures the disk, not the plan.
+#: fraction of the sample's NON-IDLE CPU ticks — this host's virtio disk
+#: stalls for whole minutes under sustained load (round-9 rehearsal:
+#: q_agg_multi 80x "growth" that re-measured 1.4x in a calm window), and
+#: a wall-time taken during a stall measures the disk, not the plan.
+#: Round-11 (round-10 ADVICE): the denominator EXCLUDES idle ticks — on
+#: local[32] a single-task stage blocking on disk is 1 iowait core
+#: against 31 idle ones, which the old all-ticks fraction could never
+#: push past the threshold.
 _STALL_IOWAIT = 0.25
 
 
-def _cpu_ticks() -> tuple[int, int]:
-    """(total, iowait) jiffies from the aggregate /proc/stat cpu line."""
+def _cpu_ticks() -> tuple[int, int, int]:
+    """(total, idle, iowait) jiffies from the aggregate /proc/stat cpu
+    line."""
     try:
         with open("/proc/stat") as f:
             vals = [int(x) for x in f.readline().split()[1:]]
-        return sum(vals), vals[4] if len(vals) > 4 else 0
+        return (
+            sum(vals),
+            vals[3] if len(vals) > 3 else 0,
+            vals[4] if len(vals) > 4 else 0,
+        )
     except (OSError, ValueError, IndexError):
-        return 0, 0
+        return 0, 0, 0
+
+
+#: pinned pure-CPU calibration reference (round-10 VERDICT item 1): the
+#: warm median wall of _calibration() measured on this host in round
+#: 11's calm window (observed warm medians 1.07-1.28 s).  Every record
+#: carries calibration_sec and value_normalized = value /
+#: (min(start, end) / this constant), so cross-round totals can be read
+#: net of the host's compounding slowdown (raw totals moved
+#: 39.97 -> 57.38 s across r8-r10 on byte-identical plans).  min() of
+#: the two samples is the speed estimate: host decay raises BOTH ends
+#: of the bench window, while a JIT-cold start only raises the first.
+#: The workload is constant-size, in-memory, plan-pinned (range ->
+#: multiply-hash project -> 65k-key hash agg), so its wall tracks ONLY
+#: cpu speed + JVM state, never the data or repo.
+CALIBRATION_REF_SEC = 1.1
+
+
+def _calibration(spark) -> float:
+    """Median of 3 timed runs of the fixed calibration workload (one
+    discarded warm run first)."""
+    from pyspark.sql import functions as F
+
+    def one() -> float:
+        t0 = time.time()
+        # 65k keys keeps every task's partial hash map ~MBs (1M keys
+        # OOMed a default 1g driver heap at 32 partial maps)
+        spark.range(0, 192_000_000, 1, 32).select(
+            ((F.col("id") * 2654435761) % 65536).alias("k")
+        ).groupBy("k").agg(
+            F.count(F.lit(1)).alias("c"), F.sum("k").alias("s")
+        ).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    one()  # codegen/exchange warmup, discarded
+    walls = sorted(one() for _ in range(3))
+    return round(walls[1], 3)
 
 
 def _load_prior(sf: float) -> dict:
@@ -166,31 +211,56 @@ def _install_progress_tap(spark):
         return None
 
     class _Tap(StreamingQueryListener):
-        """Per-id accumulator: `assign(name)` routes subsequent progress
-        events to that id's bucket.  The bench runs stream queries
-        synchronously (availableNow drains before the call returns), so
-        event-bus delivery lag can only leak a tail event into the NEXT
-        id's bucket — negligible against the ~6 samples each id
-        aggregates, and `rates()` takes one grace wait at the end."""
+        """Per-SAMPLE buffered accumulator (round-10 VERDICT item 6 +
+        ADVICE): ``begin(name)`` opens a buffer for one timed sample's
+        micro-batch (rows, trigger_ms) pairs; ``commit()`` folds them
+        into the id's per-batch list after a short grace sleep (the
+        event bus is async — availableNow drains before the call
+        returns, but tail events can land milliseconds later, which
+        used to leak into the NEXT id's bucket once per round);
+        ``discard()`` drops them (io-wait-stalled samples must not
+        depress the rate — their inflated trigger durations measure the
+        disk).  ``rates()`` reports the MEDIAN of per-micro-batch rates
+        rather than a totals ratio, so one slow drifted batch cannot
+        move the cross-round number the way it moved the r10 53k vs 70k
+        same-day runs."""
+
+        GRACE_SEC = 0.5
 
         def __init__(self):
             self.key = None
-            self.acc: dict[str, list[int]] = {}
+            self.buf: list[tuple[int, int]] = []
+            self.acc: dict[str, list[tuple[int, int]]] = {}
 
-        def assign(self, key):
+        def begin(self, key):
             self.key = key
+            self.buf = []
+
+        def commit(self):
+            if self.key is None:
+                return
+            time.sleep(self.GRACE_SEC)  # async event-bus tail delivery
+            self.acc.setdefault(self.key, []).extend(self.buf)
+            self.key = None
+            self.buf = []
+
+        def discard(self):
+            self.key = None
+            self.buf = []
 
         def onQueryStarted(self, event):
             pass
 
         def onQueryProgress(self, event):
-            k = self.key
-            if k is None:
+            if self.key is None:
                 return
             p = event.progress
-            a = self.acc.setdefault(k, [0, 0])
-            a[0] += p.numInputRows or 0
-            a[1] += (p.durationMs or {}).get("triggerExecution", 0)
+            self.buf.append(
+                (
+                    p.numInputRows or 0,
+                    (p.durationMs or {}).get("triggerExecution", 0),
+                )
+            )
 
         def onQueryIdle(self, event):
             pass
@@ -198,13 +268,22 @@ def _install_progress_tap(spark):
         def onQueryTerminated(self, event):
             pass
 
-        def rates(self) -> dict[str, float]:
-            time.sleep(1.0)  # grace for async event-bus tail delivery
-            return {
-                k: round(rows / (ms / 1000.0), 1)
-                for k, (rows, ms) in self.acc.items()
-                if rows > 0 and ms > 0
-            }
+        def rates(self) -> tuple[dict[str, float], dict[str, int]]:
+            """(median per-micro-batch rows/s, #contributing batches)
+            per id — empty/zero batches (stream spin-up or drain ticks)
+            excluded."""
+            med: dict[str, float] = {}
+            counts: dict[str, int] = {}
+            for k, batches in self.acc.items():
+                rs = sorted(
+                    rows / (ms / 1000.0)
+                    for rows, ms in batches
+                    if rows > 0 and ms > 0
+                )
+                if rs:
+                    med[k] = round(rs[len(rs) // 2], 1)
+                    counts[k] = len(rs)
+            return med, counts
 
     try:
         tap = _Tap()
@@ -230,6 +309,31 @@ def _plan_fingerprint(df) -> str:
     s = re.sub(r"file:[^\s,\]]+", "file:", s)
     s = re.sub(r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "uuid", s)
     return hashlib.md5(s.encode()).hexdigest()[:12]
+
+
+def _variance_gate(
+    spreads: dict[str, float], abs_spread: dict[str, float]
+) -> list[str]:
+    """Round-10 VERDICT item 2: the old absolute ±25% gate flagged a
+    THIRD of headline ids whenever the host's minutes-scale drift
+    widened every id's spread together — a gate that flags everything
+    distinguishes nothing.  An id is now flagged only when its spread is
+    an OUTLIER against the same run's cross-id median spread (>2.5x) as
+    well as large in absolute terms (>25% of its median and >0.3s):
+    host drift moves the cross-id median up with the per-id spreads, so
+    a calm run and a drifty run both flag only operators that are
+    unstable RELATIVE to everything else measured alongside them.
+    Pinned by tests/test_bench_gates.py: a calm synthetic run flags
+    nothing, a sleep-jittered query still flags."""
+    if not spreads:
+        return []
+    med_spread = sorted(spreads.values())[len(spreads) // 2]
+    floor = max(0.25, 2.5 * med_spread)
+    return sorted(
+        n
+        for n, sp in spreads.items()
+        if sp > floor and abs_spread.get(n, 0.0) > 0.3
+    )
 
 
 def _regressions(prior: dict, medians: dict[str, float], plans: dict[str, str],
@@ -278,6 +382,12 @@ def main() -> None:
     # warmup: JVM/codegen/catalog spin-up not attributed to the first query
     qs["q_tumbling_window"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # host-speed anchor, sampled at both ends of the bench window
+    # (round-10 VERDICT item 1): a fixed pure-CPU workload whose wall
+    # moves only with host state, so totals can be normalized across
+    # rounds of compounding host decay
+    cal_start = _calibration(spark)
+
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}   # best-of (kept for history continuity)
     medians: dict[str, float] = {}   # regression detection uses these
@@ -290,9 +400,10 @@ def main() -> None:
 
     def _sample(name: str) -> float | None:
         """One timed noop-sink execution; None = errored or io-stalled."""
-        if tap is not None:
-            tap.assign(name if name.startswith("q_stream") else None)
-        tick0, io0 = _cpu_ticks()
+        is_stream = name.startswith("q_stream")
+        if tap is not None and is_stream:
+            tap.begin(name)
+        tick0, idle0, io0 = _cpu_ticks()
         t0 = time.time()
         try:
             # time construction + execution: streaming queries execute
@@ -303,18 +414,26 @@ def main() -> None:
             ).save()
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            if tap is not None and is_stream:
+                tap.discard()
             return None
         wall = time.time() - t0
-        tick1, io1 = _cpu_ticks()
-        dticks = tick1 - tick0
-        io_frac = (io1 - io0) / dticks if dticks > 0 else 0.0
+        tick1, idle1, io1 = _cpu_ticks()
+        busy = (tick1 - tick0) - (idle1 - idle0)
+        io_frac = (io1 - io0) / busy if busy > 0 else 0.0
         # stalled samples are EXCLUDED from medians/spreads the same way
         # the warmup run already is — they measure the disk stall, not
         # the plan (round-9 VERDICT item 4: +27% uniform drift on
-        # byte-identical plan fingerprints)
+        # byte-identical plan fingerprints); their stream batches are
+        # discarded too (round-10 ADVICE: inflated trigger durations
+        # would depress the steady-state rate)
         if io_frac > _STALL_IOWAIT:
             stalled[name] = stalled.get(name, 0) + 1
+            if tap is not None and is_stream:
+                tap.discard()
             return None
+        if tap is not None and is_stream:
+            tap.commit()
         return wall
 
     # Pass 1 — discarded per-id warmup (round-8 VERDICT item 3): the
@@ -435,21 +554,23 @@ def main() -> None:
         )
         spreads[name] = round(abs_spread[name] / med, 3) if med > 0 else 0.0
 
-    stream_rates = tap.rates() if tap is not None else {}
-
-    # Variance gate (round-7 VERDICT item 5): a headline id whose steady
-    # samples spread more than ±25% around their median (and by >0.3s
-    # absolute — sub-second queries jitter in percentage terms for free)
-    # is flagged so the BUILDER sees the noise before the driver's
-    # regression tracker does.  SPARK_GRAFT_BENCH_STRICT=1 turns the
-    # flag into a non-zero exit for pre-commit runs.
-    high_variance = sorted(
-        n
-        for n, sp in spreads.items()
-        if sp > 0.25 and abs_spread.get(n, 0.0) > 0.3
+    stream_rates, stream_rate_n = (
+        tap.rates() if tap is not None else ({}, {})
     )
+    cal_end = _calibration(spark)
+
+    # Variance gate (round-7 VERDICT item 5; drift-relative since round
+    # 11 — see _variance_gate): flagged so the BUILDER sees genuine
+    # instability before the driver's regression tracker does.
+    # SPARK_GRAFT_BENCH_STRICT=1 turns the flag into a non-zero exit for
+    # pre-commit runs.
+    high_variance = _variance_gate(spreads, abs_spread)
 
     total = round(sum(timings.values()), 3)
+    # host-speed normalization: >1 means this run's host was slower than
+    # the pinned reference window; normalized totals divide that out.
+    # min(): decay raises both ends, JIT-cold only raises the start.
+    speed = round(min(cal_start, cal_end) / CALIBRATION_REF_SEC, 3)
     record = {
         "metric": "headline_total_sec",
         "value": total,
@@ -457,6 +578,19 @@ def main() -> None:
         "queries": timings,
         "queries_median": medians,
         "sf": sf,
+        "calibration_sec": {
+            "start": cal_start,
+            "end": cal_end,
+            "ref": CALIBRATION_REF_SEC,
+        },
+        "host_speed_factor": speed,
+        "value_normalized": round(total / speed, 3) if speed > 0 else total,
+        "median_total_sec": round(sum(medians.values()), 3),
+        "median_total_normalized": (
+            round(sum(medians.values()) / speed, 3)
+            if speed > 0
+            else round(sum(medians.values()), 3)
+        ),
     }
     if errors:
         record["errors"] = errors
@@ -475,13 +609,16 @@ def main() -> None:
     # medians/spreads are doing real work
     if round_drift:
         record["round_drift"] = round_drift
-    # steady-state streaming throughput (round-9 VERDICT item 8):
-    # rows/s per micro-batch across the id's sampled runs — visible
+    # steady-state streaming throughput (round-9 VERDICT item 8;
+    # round-11: MEDIAN of per-micro-batch rates over all steady samples,
+    # not a totals ratio — the totals ratio let one drifted batch move
+    # cross-round numbers ±30% on identical plans) — visible
     # independently of session spin-up cost.  A rate DROP >30% vs the
     # prior record is the streaming-specific regression flag (wall-time
     # comparison is blind to it: stream wall is startup-dominated).
     if stream_rates:
         record["stream_rows_per_sec"] = stream_rates
+        record["stream_rate_samples"] = stream_rate_n
         prior_run = _load_prior(sf)
         prior_rates = prior_run.get("stream_rows_per_sec") or {}
         prior_plans = prior_run.get("plans") or {}
