@@ -119,8 +119,15 @@ HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_histor
 #: ids that get the 7-sample treatment regardless of warm-run wall time:
 #: their cost is stream startup + state drain, whose jitter needs more
 #: evidence than 5 samples (round-9 VERDICT item 6 — q_stream_ks was the
-#: last high_variance entry).
-_EXTRA_SAMPLES = {"q_stream_ks", "q_stream_anomaly_sliding"}
+#: last high_variance entry).  q_stream_unique_users added round 11: its
+#: availableNow drain lands in ~1 counted micro-batch per sample, so the
+#: rate median needs every sample it can get (5 points swung back-to-back
+#: runs 35%).
+_EXTRA_SAMPLES = {
+    "q_stream_ks",
+    "q_stream_anomaly_sliding",
+    "q_stream_unique_users",
+}
 
 #: a sample is STALLED when system-wide io-wait absorbed more than this
 #: fraction of the sample's NON-IDLE CPU ticks — this host's virtio disk
@@ -268,11 +275,18 @@ def _install_progress_tap(spark):
         def onQueryTerminated(self, event):
             pass
 
-        def rates(self) -> tuple[dict[str, float], dict[str, int]]:
-            """(median per-micro-batch rows/s, #contributing batches)
-            per id — empty/zero batches (stream spin-up or drain ticks)
-            excluded."""
+        def rates(
+            self,
+        ) -> tuple[dict[str, float], dict[str, float], dict[str, int]]:
+            """(median rate, PEAK rate, #contributing batches) per id,
+            over per-micro-batch rows/s — empty/zero batches (stream
+            spin-up or drain ticks) excluded.  The peak is the
+            drift-robust regression signal: host drift only SLOWS
+            batches, it never pushes one past the plan's capability, so
+            back-to-back peaks agree where medians of 5-7 drift-exposed
+            batches moved 35%."""
             med: dict[str, float] = {}
+            peak: dict[str, float] = {}
             counts: dict[str, int] = {}
             for k, batches in self.acc.items():
                 rs = sorted(
@@ -282,8 +296,9 @@ def _install_progress_tap(spark):
                 )
                 if rs:
                     med[k] = round(rs[len(rs) // 2], 1)
+                    peak[k] = round(rs[-1], 1)
                     counts[k] = len(rs)
-            return med, counts
+            return med, peak, counts
 
     try:
         tap = _Tap()
@@ -554,8 +569,8 @@ def main() -> None:
         )
         spreads[name] = round(abs_spread[name] / med, 3) if med > 0 else 0.0
 
-    stream_rates, stream_rate_n = (
-        tap.rates() if tap is not None else ({}, {})
+    stream_rates, stream_peaks, stream_rate_n = (
+        tap.rates() if tap is not None else ({}, {}, {})
     )
     cal_end = _calibration(spark)
 
@@ -618,18 +633,26 @@ def main() -> None:
     # comparison is blind to it: stream wall is startup-dominated).
     if stream_rates:
         record["stream_rows_per_sec"] = stream_rates
+        record["stream_rows_per_sec_peak"] = stream_peaks
         record["stream_rate_samples"] = stream_rate_n
         prior_run = _load_prior(sf)
-        prior_rates = prior_run.get("stream_rows_per_sec") or {}
+        # regression compares PEAK rates (falling back to the median for
+        # pre-round-11 records): drift only slows batches, so a peak
+        # drop means the plan itself lost throughput, where the median
+        # of the few counted batches still moved 35% between clean
+        # back-to-back runs
+        prior_rates = (
+            prior_run.get("stream_rows_per_sec_peak")
+            or prior_run.get("stream_rows_per_sec")
+            or {}
+        )
         prior_plans = prior_run.get("plans") or {}
         # same discipline as the wall tracker: a >30% rate drop counts
-        # as a regression only on a CHANGED plan fingerprint — measured
-        # back-to-back runs move stream rates ±60% on identical plans
-        # (trigger durations absorb the host drift), so an ungated flag
-        # would cry wolf every round
+        # as a regression only on a CHANGED plan fingerprint, so host
+        # drift cannot cry wolf
         record["stream_rate_regressed"] = sorted(
             f"{q}:{prior_rates[q]}->{r}"
-            for q, r in stream_rates.items()
+            for q, r in stream_peaks.items()
             if q in prior_rates
             and r < prior_rates[q] * 0.7
             and bool(prior_plans.get(q))

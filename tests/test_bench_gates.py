@@ -92,8 +92,9 @@ def test_stream_tap_rates_are_per_batch_medians():
     # events with no open sample are dropped
     progress(999999, 1)
 
-    rates, counts = tap.rates()
+    rates, peaks, counts = tap.rates()
     assert rates == {"q_stream_x": 10000.0}  # median rejects the outlier
+    assert peaks == {"q_stream_x": 10000.0}  # peak = best steady batch
     assert counts == {"q_stream_x": 5}
 
 
