@@ -153,6 +153,13 @@ def semdedup(
 
     Returns the kept rows (lowest id per semantic group survives) with
     their ``centroid_id``.
+
+    Note: the ``semdedup_k_per_n`` ScaleProfile knob (corpus-scaled
+    centroid count) is consumed by the Arrow twin ``semdedup_pandas``,
+    which is the at-scale path — this declarative form's broadcast
+    argmax evaluates n*k interpreted folds and measured 45x growth for
+    10x data at corpus-scaled k (round-9 rehearsal), so scaling k here
+    would make it worse, not better.
     """
     assigned = ivf_assign(df, centroids, id_col, vec_col, centroid_id)
     # precompute each vector's norm BEFORE the pair join: inline
