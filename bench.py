@@ -435,14 +435,21 @@ def main() -> None:
         wall = time.time() - t0
         tick1, idle1, io1 = _cpu_ticks()
         busy = (tick1 - tick0) - (idle1 - idle0)
-        io_frac = (io1 - io0) / busy if busy > 0 else 0.0
+        dio = io1 - io0
+        io_frac = dio / busy if busy > 0 else 0.0
         # stalled samples are EXCLUDED from medians/spreads the same way
         # the warmup run already is — they measure the disk stall, not
         # the plan (round-9 VERDICT item 4: +27% uniform drift on
         # byte-identical plan fingerprints); their stream batches are
         # discarded too (round-10 ADVICE: inflated trigger durations
-        # would depress the steady-state rate)
-        if io_frac > _STALL_IOWAIT:
+        # would depress the steady-state rate).  Two conditions, both
+        # required: io-wait > 25% of non-idle ticks (a CPU-busy sample
+        # is never discarded for background flushes) AND >= half a
+        # core-second of io-wait per wall-second (a genuinely stalled
+        # task blocks ~1 core for the whole sample; /proc/stat iowait is
+        # system-wide, so a CPU-LIGHT sub-second sample overlapping
+        # another process's brief writeback must not be mass-discarded)
+        if io_frac > _STALL_IOWAIT and dio > 0.5 * wall * 100:
             stalled[name] = stalled.get(name, 0) + 1
             if tap is not None and is_stream:
                 tap.discard()
@@ -636,16 +643,15 @@ def main() -> None:
         record["stream_rows_per_sec_peak"] = stream_peaks
         record["stream_rate_samples"] = stream_rate_n
         prior_run = _load_prior(sf)
-        # regression compares PEAK rates (falling back to the median for
-        # pre-round-11 records): drift only slows batches, so a peak
-        # drop means the plan itself lost throughput, where the median
-        # of the few counted batches still moved 35% between clean
-        # back-to-back runs
-        prior_rates = (
-            prior_run.get("stream_rows_per_sec_peak")
-            or prior_run.get("stream_rows_per_sec")
-            or {}
-        )
+        # regression compares PEAK rates only (NO fallback to a
+        # pre-round-11 record's median/totals-ratio number — those sit
+        # ~13% below peak, so a genuine ~35% throughput loss could
+        # still clear the 0.7x bar against them; the first peak-format
+        # record simply becomes the baseline): drift only slows
+        # batches, so a peak drop means the plan itself lost
+        # throughput, where the median of the few counted batches
+        # moved 35% between clean back-to-back runs
+        prior_rates = prior_run.get("stream_rows_per_sec_peak") or {}
         prior_plans = prior_run.get("plans") or {}
         # same discipline as the wall tracker: a >30% rate drop counts
         # as a regression only on a CHANGED plan fingerprint, so host
@@ -703,7 +709,11 @@ def main() -> None:
     print(json.dumps(record))
     spark.stop()
     if high_variance and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
-        sys.exit(f"variance gate: {high_variance} exceed ±25% spread")
+        sys.exit(
+            f"variance gate: {high_variance} spread past the "
+            "drift-relative floor (max(25%, 2.5x cross-id median) and "
+            ">0.3s absolute)"
+        )
 
 
 if __name__ == "__main__":

@@ -26,11 +26,24 @@ HISTORY = os.path.join(REPO, "fuzz_sweep_history.jsonl")
 
 def run_seed(seed: int) -> dict:
     out_dir = f"/tmp/fuzz_sweep_seed{seed}"
-    subprocess.run(
+    gen = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/fuzz_testdata.py"),
          out_dir, str(seed)],
-        check=True,
+        capture_output=True,
+        text=True,
     )
+    if gen.returncode != 0:
+        # one seed's generation failure must not abort the sweep —
+        # completed seeds' results and the history record still land
+        msg = (gen.stdout + gen.stderr)[-200:]
+        print(f"seed {seed}: GENERATION FAILED {msg}", flush=True)
+        return {
+            "seed": seed,
+            "checked": 0,
+            "fails": [f"<generation-failed: {msg}>"],
+            "elapsed_sec": 0.0,
+            "returncode": gen.returncode,
+        }
     env = dict(os.environ, SPARK_GRAFT_SIM_SF=out_dir)
     t0 = time.time()
     proc = subprocess.run(

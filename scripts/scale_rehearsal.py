@@ -89,8 +89,6 @@ IDS = [
 # exactly as registered.
 
 
-def _fn(qs, name):
-    return qs.get(name)
 
 
 def main() -> None:
@@ -161,7 +159,7 @@ def main() -> None:
 
     def run(name: str, sf_dir: str, runs: int = 2) -> float:
         best = float("inf")
-        fn = _fn(qs, name)
+        fn = qs[name]  # KeyError names a typo'd id immediately
         for _ in range(runs):
             t0 = time.time()
             with scale_profile(PRODUCTION_100TB):
