@@ -1991,6 +1991,40 @@ def test_semdedup_k_per_n_scales_centroids_with_corpus(spark):
         assert kwarg_cids <= set(range(16))
 
 
+def test_semdedup_k_per_n_degenerate_inputs(spark):
+    """The corpus-scaled-centroid path must survive the robustness-sweep
+    fixture classes: an EMPTY corpus (count()=0 -> k floors at 16 ->
+    empty derived centroid set -> empty result, same as the JVM path's
+    empty broadcast join) and a corpus containing null vectors (nulls
+    map to the zero vector in both assignment and pair stages — the
+    crash-freedom contract)."""
+    from kafkastreamsjavachallenge_spark import scale
+    from kafkastreamsjavachallenge_spark.operators.similarity import (
+        semdedup_pandas,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    fixed = spark.createDataFrame(
+        [(0, [1.0, 0.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    with scale.scale_profile(scale.PRODUCTION_100TB):
+        assert semdedup_pandas(empty, fixed).count() == 0
+        mixed = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, None), (2, [0.5, 0.1]), (3, None)],
+            "vec_id long, embedding array<double>",
+        )
+        out = semdedup_pandas(mixed, fixed, threshold=0.9999).collect()
+        # all four rows assigned (nulls -> zero vector), no crash; zero
+        # vectors have cosine 0 against everything INCLUDING each other
+        # (the zero-norm guard divides by 1, leaving the zero row), so
+        # they are never dropped as duplicates — kept set is all four
+        kept = {r["vec_id"] for r in out}
+        assert kept == {0, 1, 2, 3}
+
+
 def test_ann_knobs_resolve_from_profile():
     """ann_nprobe / ann_refine_width resolution (no Spark needed):
     the refine queries' knob helper and the operator-level nprobe
