@@ -755,14 +755,25 @@ def q_tpch_q11(spark, sf_dir):
             "decimal(18,6)"
         ),
     )
+    # round the EXACT decimal sum to cents BEFORE any double cast: the
+    # decimal sum of 2dp-money products can land exactly on a half-cent
+    # (seed-9 fuzz caught part_value = 264571.915000), where Spark's
+    # round(double) (HALF_UP on the shortest decimal repr) says .92 and
+    # DuckDB's round(double) (on the binary value, just below the half)
+    # says .91 — decimal round is HALF_UP on the exact value in BOTH
+    # engines, and the identical decimal then casts to the identical
+    # double
     by_part = fact.groupBy("l_partkey").agg(
-        F.sum("val").cast("double").alias("part_value")
+        F.sum("val").alias("val_sum")
     )
     total = fact.agg((F.sum("val").cast("double") * F.lit(0.001)).alias("threshold"))
     return (
         by_part.join(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("threshold"))
-        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+        .filter(F.col("val_sum").cast("double") > F.col("threshold"))
+        .select(
+            "l_partkey",
+            F.round("val_sum", 2).cast("double").alias("part_value"),
+        )
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
 
@@ -1108,7 +1119,7 @@ QUERIES = {
         "AS DECIMAL(18,6)) AS val FROM lineitem "
         "JOIN supplier ON l_suppkey = s_suppkey "
         "JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7') "
-        "SELECT l_partkey, round(CAST(sum(val) AS DOUBLE), 2) AS part_value "
+        "SELECT l_partkey, CAST(round(sum(val), 2) AS DOUBLE) AS part_value "
         "FROM fact GROUP BY l_partkey "
         "HAVING CAST(sum(val) AS DOUBLE) > ("
         "SELECT CAST(sum(val) AS DOUBLE) * 0.001 FROM fact) "
