@@ -140,6 +140,14 @@ _EXTRA_SAMPLES = {
 #: push past the threshold.
 _STALL_IOWAIT = 0.25
 
+#: jiffies per second for /proc/stat arithmetic — USER_HZ is
+#: kernel-config-dependent (round-11 ADVICE: the stall gate hard-coded
+#: 100), so read it from sysconf with the conventional 100 fallback
+try:
+    _CLK_TCK = os.sysconf(os.sysconf_names["SC_CLK_TCK"]) or 100
+except (AttributeError, KeyError, OSError, ValueError):
+    _CLK_TCK = 100
+
 
 def _cpu_ticks() -> tuple[int, int, int]:
     """(total, idle, iowait) jiffies from the aggregate /proc/stat cpu
@@ -449,7 +457,7 @@ def main() -> None:
         # task blocks ~1 core for the whole sample; /proc/stat iowait is
         # system-wide, so a CPU-LIGHT sub-second sample overlapping
         # another process's brief writeback must not be mass-discarded)
-        if io_frac > _STALL_IOWAIT and dio > 0.5 * wall * 100:
+        if io_frac > _STALL_IOWAIT and dio > 0.5 * wall * _CLK_TCK:
             stalled[name] = stalled.get(name, 0) + 1
             if tap is not None and is_stream:
                 tap.discard()

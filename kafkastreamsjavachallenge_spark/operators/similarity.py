@@ -196,6 +196,14 @@ def semdedup(
     return assigned.join(dup, id_col, "left_anti")
 
 
+#: hard driver-side budget for the corpus-scaled centroid path: k rows of
+#: (dim<=1024) float64 at 64k is ~512 MB in the worst case — already at
+#: the edge of what a closure should carry; beyond it the documented
+#: IVF-style sharded assignment is mandatory, and semdedup_pandas raises
+#: rather than OOMing the driver mid-collect (round-11 ADVICE).
+_SEMDEDUP_MAX_DRIVER_K = 65536
+
+
 def semdedup_pandas(
     df: DataFrame,
     centroids: DataFrame,
@@ -255,6 +263,20 @@ def semdedup_pandas(
         # k; lowest-id selection is a distributed TakeOrdered bounded by
         # k — the same deterministic convention as the fixed-16 queries
         k = max(16, int(df.count() * k_per_n))
+        if k > _SEMDEDUP_MAX_DRIVER_K:
+            # the k x dim centroid matrix is collect()ed below and ships
+            # inside every Arrow closure — unbounded k turns the
+            # one-switch profile into a driver OOM at corpus scale.
+            # Refuse loudly and point at the documented remedy rather
+            # than letting the job die mid-collect.
+            raise ValueError(
+                f"semdedup k_per_n={k_per_n} derives k={k} centroids, "
+                f"past the driver-side closure budget of "
+                f"{_SEMDEDUP_MAX_DRIVER_K} (k x dim doubles are "
+                "collected and broadcast in every Arrow closure). "
+                "Shard the assignment with an IVF-style coarse first "
+                "level (see docstring), or lower k_per_n."
+            )
         centroids = (
             df.select(F.col(id_col).alias(centroid_id), F.col(vec_col))
             .orderBy(centroid_id)
@@ -324,10 +346,18 @@ def semdedup_pandas(
 def _resolve_nprobe(nprobe: int | None) -> int:
     """Explicit ``nprobe`` wins; ``None`` falls back to the active
     ``scale.ScaleProfile``'s ``ann_nprobe`` (the one-switch deployment
-    probe width), else the historical operator default of 2."""
+    probe width), else the historical operator default of 2.  An
+    explicit-but-invalid width (< 1, e.g. a profile typo of 0) raises
+    instead of being silently coerced — probing zero lists returns an
+    empty result, which looks like a recall bug, not a config bug."""
     from kafkastreamsjavachallenge_spark.scale import resolve
 
-    return resolve(nprobe, "ann_nprobe") or 2
+    resolved = resolve(nprobe, "ann_nprobe")
+    if resolved is None:
+        return 2
+    if resolved < 1:
+        raise ValueError(f"nprobe must be >= 1, got {resolved}")
+    return resolved
 
 
 def _probe_lists(

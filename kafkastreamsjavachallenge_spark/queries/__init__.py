@@ -50,68 +50,67 @@ _MODULES = (
 # so registration order is part of the public surface.  The slate ROTATES
 # each round: flagship canaries stay pinned and the rest are the ids with
 # the most to prove — never-checked first, then oldest-checked.
-# r11 (this slate, per round-10 VERDICT item 3 "burn q_grid_join"):
-# 2 pinned flagships; q_grid_join FIRST after them — the single registry
-# id whose latest driver-green row is r03 (its r10 slot went to the new
-# q_ann_ivfpq_refine); then the 41 ids whose latest driver-green row is
-# r04, alphabetical, and the 6 alphabetically-first of the 44 r05 ids to
-# fill the 50.  Green slate => zero registry ids with a driver check
-# older than r05.
+# r12 (this slate, per round-11 VERDICT item 4 "rotate the r05 cohort"):
+# 2 pinned flagships; then ALL 38 ids whose latest driver-green row is
+# r05, alphabetical; then the 10 alphabetically-first of the 43 r06 ids
+# to fill the 50.  Green slate => zero registry ids with a driver check
+# older than r06 (the two oracle-less rows-only ids q_approx_distinct /
+# q_hll_union stay out of the slate by design — their hash-checked
+# error-contract twins carry the exact-value evidence).
 _PRIORITY = (
     # flagship constants — every round
     "q_source_scan",
     "q_unique_users",
-    # stale burn: the ONE id whose latest driver-green row is r03
-    "q_grid_join",
-    # stale burn: latest driver-green row r04 (all 41 ids)
-    "q_ann_pq",
-    "q_bm25",
-    "q_bpe_tokenize",
-    "q_chunk_dedup",
-    "q_cume_dist",
-    "q_curriculum",
-    "q_dataset_diff",
-    "q_decontaminate",
-    "q_dense_rank",
-    "q_domain_cap",
-    "q_dsir_weights",
-    "q_first_last",
-    "q_fuzzy_join",
-    "q_gopher_repetition",
-    "q_hll_explicit",
-    "q_hybrid_rrf",
-    "q_mix_weights",
-    "q_ntile",
-    "q_pca_project",
-    "q_percent_rank",
-    "q_pii_scrub",
-    "q_priority_sample",
-    "q_range_frame",
-    "q_remove_dup_spans",
-    "q_rp_project",
-    "q_sample_hash",
-    "q_shard_assign",
-    "q_stratified_sample",
-    "q_stream_curation",
-    "q_stream_session",
-    "q_tpch_q11",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q2",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    "q_tpch_q8",
-    "q_train_test_split",
-    # stale burn: oldest r05 ids, alphabetical (6 slots remaining)
-    "q_ann_ivfpq",
-    "q_array_fns",
-    "q_autocorr",
-    "q_batch_padding",
-    "q_bit_agg",
-    "q_bool_agg",
+    # stale burn: latest driver-green row r05 (all 38 ids)
+    "q_bpe_train",
+    "q_chi_square",
+    "q_date_arith",
+    "q_dedup_recall",
+    "q_dup_rate_by_source",
+    "q_exists_subquery",
+    "q_fasttext_score",
+    "q_graph_degree",
+    "q_group_normalize",
+    "q_hist_quantile",
+    "q_histogram",
+    "q_inverted_index",
+    "q_lateral_topn",
+    "q_map_fns",
+    "q_median",
+    "q_minhash_estimate",
+    "q_null_fns",
+    "q_pack_sequences",
+    "q_percentile",
+    "q_pivot",
+    "q_pmi_collocations",
+    "q_posexplode",
+    "q_profile",
+    "q_reagg_merge",
+    "q_regexp_fns",
+    "q_regr",
+    "q_rouge_overlap",
+    "q_scalar_subquery",
+    "q_scd2",
+    "q_sessionize_gap",
+    "q_stats_agg",
+    "q_stream_neardup",
+    "q_string_agg",
+    "q_time_to_convert",
+    "q_topic_labels",
+    "q_tpch_q12",
+    "q_unpivot",
+    "q_winnow_fingerprint",
+    # stale burn: oldest r06 ids, alphabetical (10 slots remaining)
+    "q_ann_ndcg",
+    "q_bigram_freq",
+    "q_cdc_chunks",
+    "q_changepoint",
+    "q_cluster_canonical",
+    "q_count_if",
+    "q_dataset_card",
+    "q_doc_freq",
+    "q_dup_threshold_curve",
+    "q_edit_distance",
 )
 
 

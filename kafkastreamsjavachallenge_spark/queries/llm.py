@@ -792,10 +792,14 @@ def _refine_knobs() -> tuple[int, int]:
     result set by design, and their hash oracles encode nprobe=4."""
     from kafkastreamsjavachallenge_spark.scale import resolve
 
-    return (
-        resolve(None, "ann_nprobe") or 4,
-        resolve(None, "ann_refine_width") or 100,
-    )
+    nprobe = resolve(None, "ann_nprobe")
+    width = resolve(None, "ann_refine_width")
+    # is-None (not truthiness): a profile that explicitly sets 0 is a
+    # config error and must fail loudly, never be coerced to the default
+    for name, v in (("ann_nprobe", nprobe), ("ann_refine_width", width)):
+        if v is not None and v < 1:
+            raise ValueError(f"{name} must be >= 1, got {v}")
+    return (4 if nprobe is None else nprobe, 100 if width is None else width)
 
 
 def _exact_rerank(base, query, cands, k=10):

@@ -123,7 +123,8 @@ _local = threading.local()
 def get_scale_profile() -> ScaleProfile:
     """The active profile: thread-local override > process-wide default
     (``set_scale_profile``) > ``EXACT``."""
-    return getattr(_local, "profile", None) or _default
+    local = getattr(_local, "profile", None)
+    return _default if local is None else local
 
 
 def set_scale_profile(profile: ScaleProfile) -> None:

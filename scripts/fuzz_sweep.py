@@ -16,6 +16,7 @@ per-seed fail lists; exits non-zero if any seed failed any id.
 import json
 import os
 import re
+import shutil
 import subprocess
 import sys
 import time
@@ -26,6 +27,9 @@ HISTORY = os.path.join(REPO, "fuzz_sweep_history.jsonl")
 
 def run_seed(seed: int) -> dict:
     out_dir = f"/tmp/fuzz_sweep_seed{seed}"
+    # a prior sweep's leftovers (stale parquet from an older fixture
+    # layout) must never mix generations — start from an empty dir
+    shutil.rmtree(out_dir, ignore_errors=True)
     gen = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/fuzz_testdata.py"),
          out_dir, str(seed)],
@@ -67,6 +71,10 @@ def run_seed(seed: int) -> dict:
         f"seed {seed}: checked={checked} fails={fails} ({elapsed}s)",
         flush=True,
     )
+    if not fails and proc.returncode == 0:
+        # green seed: reclaim the per-seed corpus (~100 MB each); a red
+        # seed's data is kept on disk for the fix-and-rerun loop
+        shutil.rmtree(out_dir, ignore_errors=True)
     return {
         "seed": seed,
         "checked": checked,
