@@ -200,6 +200,46 @@ def _calibration(spark) -> float:
     return round(walls[1], 3)
 
 
+#: pinned SCAN-bound calibration reference (round-11 VERDICT item 2): the
+#: r11 bench window scored CPU-FAST (calibration 1.008 s vs ref 1.1) yet
+#: raw totals rose 8.4% on zero plan changes — the host decay lives in a
+#: component the in-memory hash-agg anchor cannot see (page cache /
+#: buffered-IO / memory bandwidth).  _calibration_scan times a pinned
+#: full-column parquet read-decode-aggregate of lineitem at sf0.1 (fixed
+#: file size per round, plan pinned: scan -> xxhash64 project -> single
+#: global sum, no shuffle beyond the 1-row partial merge), so its wall
+#: tracks the IO/decode side of host state.  The reference was measured
+#: in round 12's calm window alongside CALIBRATION_REF_SEC; the factor is
+#: only computed when the bench runs at the pinned SF.
+CALIBRATION_SCAN_REF_SEC = 0.55
+CALIBRATION_SCAN_SF = 0.1
+
+
+def _calibration_scan(spark, sf_dir: str) -> float:
+    """Median of 3 timed runs of the pinned scan workload (one discarded
+    warm run first — the warm run also charges the page-cache fill to
+    nobody, the same treatment every headline id gets)."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+
+    def one() -> float:
+        t0 = time.time()
+        df = spark.read.parquet(path)
+        # full-column decode (xxhash64 over every column defeats both
+        # column pruning and lazy decompression) + trivial agg: the wall
+        # is parquet IO + decode + memory bandwidth, never the CPU-side
+        # hash-agg the other anchor already covers
+        df.select(F.xxhash64(*df.columns).alias("h")).agg(
+            F.sum("h").alias("s")
+        ).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    one()
+    walls = sorted(one() for _ in range(3))
+    return round(walls[1], 3)
+
+
 def _load_prior(sf: float) -> dict:
     """Most recent recorded entry at the same scale factor."""
     try:
@@ -360,30 +400,115 @@ def _variance_gate(
 
 
 def _regressions(prior: dict, medians: dict[str, float], plans: dict[str, str],
-                 errors: dict[str, str]) -> dict[str, list]:
+                 errors: dict[str, str], speed: float = 1.0) -> dict[str, list]:
     """Noise-resistant regression report: a query regresses only when its
     MEDIAN moved >20% (and >0.2s) vs the prior run AND its plan
     fingerprint changed; a median move on an identical plan is recorded
     under `noisy` instead (run jitter, not a code change).  Errored
-    queries never enter the comparison — they are flagged in `errors`."""
+    queries never enter the comparison — they are flagged in `errors`.
+
+    Round-12 (round-11 VERDICT item 5): both sides are HOST-SPEED
+    NORMALIZED before comparison — this run's medians divide by
+    ``speed`` (the current host_speed_factor), the prior run's by ITS
+    recorded host_speed_factor (1.0 for pre-anchor records).  A 1.3x raw
+    slowdown whose calibration drifted 1.3x alongside it is host decay,
+    not a plan event, and no longer floods `noisy` (18 entries in r11);
+    a 1.3x move on a calm anchor still flags.  The report strings carry
+    the normalized values."""
     prior_t = prior.get("queries_median") or prior.get("queries") or {}
     prior_p = prior.get("plans") or {}
+    prior_speed = prior.get("host_speed_factor") or 1.0
+    if speed <= 0:
+        speed = 1.0
     slower, faster, noisy = [], [], []
     for q, t in medians.items():
         p = prior_t.get(q)
         if p is None or q in errors:
             continue
+        tn = round(t / speed, 3)
+        pn = round(p / prior_speed, 3)
         plan_changed = bool(prior_p.get(q)) and prior_p.get(q) != plans.get(q)
-        if t > p * 1.2 and t - p > 0.2:
+        if tn > pn * 1.2 and tn - pn > 0.2:
             (slower if plan_changed or not prior_p.get(q) else noisy).append(
-                f"{q}:{p}->{t}"
+                f"{q}:{pn}->{tn}"
             )
-        elif t < p * 0.8 and p - t > 0.2:
-            faster.append(f"{q}:{p}->{t}")
+        elif tn < pn * 0.8 and pn - tn > 0.2:
+            faster.append(f"{q}:{pn}->{tn}")
     return {"regressed": slower, "improved": faster, "noisy": noisy}
 
 
+#: the three ids `--quick` actually executes: the flagship composite, the
+#: heaviest multi-join TPC-H shape, and the banded LSH pair stage — one
+#: representative per workload family, so an accidental plan flip in any
+#: family's shared helpers shows up in under a minute.
+QUICK_IDS = ("q_unique_users", "q_tpch_q3", "q_minhash_pairs")
+
+
+def _quick(spark, qs, sf_dir: str, sf: float) -> None:
+    """Round-11 VERDICT item 8: a <60 s smoke for mid-round changes —
+    plan fingerprints for EVERY batch headline id (construction only,
+    no execution; q_stream_* ids are skipped because their construction
+    drains a real stream) diffed against the last FULL record's plans,
+    plus one timed sample of the 3 QUICK_IDS and both calibration
+    anchors.  Prints the same JSON shape as the full bench under metric
+    ``headline_quick_total_sec``; never appended to history, so full-run
+    regression comparisons cannot anchor on a quick record."""
+    plans: dict[str, str] = {}
+    errors: dict[str, str] = {}
+    for name in HEADLINE:
+        if name.startswith("q_stream"):
+            continue
+        try:
+            plans[name] = _plan_fingerprint(qs[name](spark, sf_dir))
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+    prior = _load_prior(sf)
+    prior_plans = prior.get("plans") or {}
+    plan_changed = sorted(
+        q
+        for q, fp in plans.items()
+        if prior_plans.get(q) and prior_plans[q] != fp
+    )
+    timings: dict[str, float] = {}
+    for name in QUICK_IDS:
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # warmup, discarded
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+    cal = _calibration(spark)
+    record = {
+        "metric": "headline_quick_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "plans": plans,
+        "plan_changed": plan_changed,
+        "calibration_sec": {"start": cal, "ref": CALIBRATION_REF_SEC},
+    }
+    if sf == CALIBRATION_SCAN_SF:
+        scan = _calibration_scan(spark, sf_dir)
+        record["calibration_scan_sec"] = {
+            "start": scan,
+            "ref": CALIBRATION_SCAN_REF_SEC,
+        }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
+    spark.stop()
+    if plan_changed:
+        sys.exit(f"quick gate: plan fingerprints changed: {plan_changed}")
+
+
 def main() -> None:
+    quick = "--quick" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -405,11 +530,20 @@ def main() -> None:
     # warmup: JVM/codegen/catalog spin-up not attributed to the first query
     qs["q_tumbling_window"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # host-speed anchor, sampled at both ends of the bench window
-    # (round-10 VERDICT item 1): a fixed pure-CPU workload whose wall
-    # moves only with host state, so totals can be normalized across
-    # rounds of compounding host decay
+    if quick:
+        _quick(spark, qs, sf_dir, sf)
+        return
+
+    # host-speed anchors, sampled at both ends of the bench window
+    # (round-10 VERDICT item 1 + round-11 item 2): a fixed pure-CPU
+    # workload and a fixed scan-bound workload whose walls move only
+    # with host state, so totals can be normalized across rounds of
+    # compounding host decay — and a raw-total move can be decomposed
+    # into cpu-side vs io-side drift
     cal_start = _calibration(spark)
+    scan_start = (
+        _calibration_scan(spark, sf_dir) if sf == CALIBRATION_SCAN_SF else None
+    )
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}   # best-of (kept for history continuity)
@@ -588,6 +722,9 @@ def main() -> None:
         tap.rates() if tap is not None else ({}, {}, {})
     )
     cal_end = _calibration(spark)
+    scan_end = (
+        _calibration_scan(spark, sf_dir) if sf == CALIBRATION_SCAN_SF else None
+    )
 
     # Variance gate (round-7 VERDICT item 5; drift-relative since round
     # 11 — see _variance_gate): flagged so the BUILDER sees genuine
@@ -600,7 +737,22 @@ def main() -> None:
     # host-speed normalization: >1 means this run's host was slower than
     # the pinned reference window; normalized totals divide that out.
     # min(): decay raises both ends, JIT-cold only raises the start.
-    speed = round(min(cal_start, cal_end) / CALIBRATION_REF_SEC, 3)
+    speed_cpu = round(min(cal_start, cal_end) / CALIBRATION_REF_SEC, 3)
+    speed_scan = (
+        round(min(scan_start, scan_end) / CALIBRATION_SCAN_REF_SEC, 3)
+        if scan_start is not None and scan_end is not None
+        else None
+    )
+    # blended factor (round-11 VERDICT item 2): the r11 drift was
+    # invisible to the CPU anchor, so normalization uses the geometric
+    # mean of both factors when the scan anchor ran — each record keeps
+    # the components so the blend can be refit once enough rounds carry
+    # both.
+    speed = (
+        round((speed_cpu * speed_scan) ** 0.5, 3)
+        if speed_scan
+        else speed_cpu
+    )
     record = {
         "metric": "headline_total_sec",
         "value": total,
@@ -614,6 +766,7 @@ def main() -> None:
             "ref": CALIBRATION_REF_SEC,
         },
         "host_speed_factor": speed,
+        "host_speed_factor_cpu": speed_cpu,
         "value_normalized": round(total / speed, 3) if speed > 0 else total,
         "median_total_sec": round(sum(medians.values()), 3),
         "median_total_normalized": (
@@ -622,9 +775,16 @@ def main() -> None:
             else round(sum(medians.values()), 3)
         ),
     }
+    if scan_start is not None and scan_end is not None:
+        record["calibration_scan_sec"] = {
+            "start": scan_start,
+            "end": scan_end,
+            "ref": CALIBRATION_SCAN_REF_SEC,
+        }
+        record["host_speed_factor_scan"] = speed_scan
     if errors:
         record["errors"] = errors
-    diff = _regressions(_load_prior(sf), medians, plans, errors)
+    diff = _regressions(_load_prior(sf), medians, plans, errors, speed=speed)
     record.update(diff)
     record["spreads"] = spreads
     record["high_variance"] = high_variance

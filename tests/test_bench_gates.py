@@ -54,6 +54,54 @@ def test_variance_gate_keeps_absolute_floors():
     assert bench._variance_gate({}, {}) == []
 
 
+def test_regressions_normalize_by_host_speed():
+    """Round-11 VERDICT item 5: the regression report must compare
+    HOST-SPEED-NORMALIZED medians.  A 1.3x raw slowdown whose
+    calibration drifted 1.3x alongside it (speed=1.3 vs prior 1.0) is
+    host decay — neither regressed NOR noisy; the identical raw move on
+    a calm anchor (speed=1.0) still flags (noisy on an identical plan,
+    regressed on a changed one)."""
+    prior = {
+        "queries_median": {"q_x": 1.0},
+        "plans": {"q_x": "aaa"},
+        "host_speed_factor": 1.0,
+    }
+    medians = {"q_x": 1.3}
+
+    drifted = bench._regressions(prior, medians, {"q_x": "aaa"}, {}, speed=1.3)
+    assert drifted["regressed"] == [] and drifted["noisy"] == []
+
+    calm_same_plan = bench._regressions(
+        prior, medians, {"q_x": "aaa"}, {}, speed=1.0
+    )
+    assert calm_same_plan["noisy"] == ["q_x:1.0->1.3"]
+    assert calm_same_plan["regressed"] == []
+
+    calm_new_plan = bench._regressions(
+        prior, medians, {"q_x": "bbb"}, {}, speed=1.0
+    )
+    assert calm_new_plan["regressed"] == ["q_x:1.0->1.3"]
+    assert calm_new_plan["noisy"] == []
+
+
+def test_regressions_normalize_prior_side_too():
+    """A prior record taken on a slow host (factor 1.3) must not make a
+    calm-host run read as an improvement: raw 1.3 -> 1.0 with the prior
+    normalized to 1.0 is flat.  Pre-anchor records (no host_speed_factor)
+    normalize by 1.0."""
+    prior = {
+        "queries_median": {"q_x": 1.3},
+        "plans": {"q_x": "aaa"},
+        "host_speed_factor": 1.3,
+    }
+    flat = bench._regressions(prior, {"q_x": 1.0}, {"q_x": "aaa"}, {}, speed=1.0)
+    assert flat["improved"] == [] and flat["noisy"] == []
+
+    legacy = {"queries_median": {"q_x": 1.0}, "plans": {"q_x": "aaa"}}
+    out = bench._regressions(legacy, {"q_x": 1.3}, {"q_x": "aaa"}, {}, speed=1.0)
+    assert out["noisy"] == ["q_x:1.0->1.3"]
+
+
 def test_stream_tap_rates_are_per_batch_medians():
     """The tap must report the MEDIAN of per-micro-batch rates over
     committed samples only: discarded (stalled) samples and zero-row /
