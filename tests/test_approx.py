@@ -756,3 +756,43 @@ def test_ivfpq_refine_restores_probe_limited_recall(spark):
     assert refined == probe_exact
     exact = {r["vec_id"] for r in q_cosine_topk(spark, SF_DIR).collect()}
     assert len(refined & exact) >= 8
+
+
+def test_invalid_profile_knobs_raise_not_coerce(spark):
+    """Round-11 ADVICE: an explicitly-configured 0 for a probe/refine
+    knob is a config error that must fail loudly — the old truthiness
+    fallback silently coerced profile ann_nprobe=0 to the default,
+    which reads as a recall bug, not a config bug."""
+    import dataclasses
+
+    from kafkastreamsjavachallenge_spark.queries.llm import _refine_knobs
+    from kafkastreamsjavachallenge_spark.scale import EXACT, scale_profile
+
+    bad = dataclasses.replace(EXACT, ann_nprobe=0)
+    with scale_profile(bad):
+        with pytest.raises(ValueError, match="nprobe"):
+            S._resolve_nprobe(None)
+        with pytest.raises(ValueError, match="ann_nprobe"):
+            _refine_knobs()
+    with pytest.raises(ValueError, match="nprobe"):
+        S._resolve_nprobe(0)
+    with scale_profile(dataclasses.replace(EXACT, ann_refine_width=-5)):
+        with pytest.raises(ValueError, match="ann_refine_width"):
+            _refine_knobs()
+    # None still falls back to the historical defaults
+    assert S._resolve_nprobe(None) == 2
+    assert _refine_knobs() == (4, 100)
+
+
+def test_semdedup_corpus_scaled_k_refuses_driver_oom(spark):
+    """Round-11 ADVICE: the corpus-scaled centroid path collects k rows
+    to the driver and ships the (k x dim) matrix in every Arrow closure;
+    a derived k past the documented budget must raise with the sharding
+    remedy in the message, never start the collect."""
+    emb = load_table(spark, SF_DIR, "embeddings").limit(200)
+    with pytest.raises(ValueError, match="IVF-style"):
+        S.semdedup_pandas(
+            emb,
+            centroids=emb.limit(0),
+            k_per_n=1000.0,  # 200 rows * 1000 = 200k derived centroids
+        )
