@@ -213,17 +213,22 @@ def ingest_rehearsal(spark, dir10: str, n_batches: int = 10) -> dict:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     refs = [x["ref_probe_bytes"] for x in batches]
+    # like-state comparison: whether compaction fired on a given batch
+    # alternates (cap=2 vs per-append file count), so probes sawtooth
+    # between the maintained state (~low) and the append-inflated state
+    # (~high); min() over a two-batch window picks the maintained state
+    # at each end, which is the steady state the flatness claim is about
+    first = min(refs[:2]) if len(refs) >= 2 else (refs[0] if refs else 1)
+    last = min(refs[-2:]) if len(refs) >= 2 else first
     return {
         "n_docs": n_docs,
         "batches": batches,
         "index_rows_final": index_rows,
         "full_read_bytes": full_read_bytes,
-        # the headline number: the FIXED probe's bytes at the final index
-        # vs the first — near-flat (~1x) means probe cost tracks the
-        # probe batch, not the 10x-grown corpus
-        "ref_probe_bytes_growth": (
-            round(refs[-1] / max(refs[0], 1), 2) if refs else None
-        ),
+        # the headline number: the FIXED probe's bytes at the final
+        # maintained index state vs the first — near-flat (~1x) means
+        # probe cost tracks the probe batch, not the 10x-grown corpus
+        "ref_probe_bytes_growth": round(last / max(first, 1), 2),
     }
 
 
