@@ -262,7 +262,18 @@ def lsh_candidate_pairs(
     from kafkastreamsjavachallenge_spark.scale import resolve
 
     max_bucket = resolve(max_bucket, "max_bucket")
-    banded = lsh_band_buckets(sigs, id_col, bands, rows_per_band)
+    # r12 optimization (guide §2.4 "remove shuffles outright" applied to
+    # passes): the band table feeds BOTH sides of the self-join (and the
+    # bucket-size cap when active), and Catalyst re-plans the whole
+    # upstream pipeline per reference — the r11 q_minhash_pairs plan ran
+    # the scan→shingle→MinHash-aggregate chain TWICE (once per join
+    # side).  A lazy localCheckpoint materializes (id, band, bucket) once
+    # — docs × bands tiny rows — and every branch reads the cached
+    # partitions; on a cluster this is a reliable checkpoint or a temp
+    # table, same as the shd idiom in q_dedup_recall.
+    banded = lsh_band_buckets(sigs, id_col, bands, rows_per_band).localCheckpoint(
+        eager=False
+    )
     if max_bucket is not None:
         small = (
             banded.groupBy("band", "bucket")
@@ -407,11 +418,16 @@ def ngram_jaccard(
         .unionAll(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # AQE broadcasts the (small) candidate id set at runtime
+    # AQE broadcasts the (small) candidate id set at runtime.  The
+    # shingle table feeds BOTH score-join sides (sh_a and sh_b) — without
+    # the r12 lazy checkpoint Catalyst re-planned the semi-join AND the
+    # HOF shingling once per side (two copies in the r11
+    # q_neardup_verified plan); materialized once, the verify stage
+    # shingles each candidate doc exactly once.
     sh = df.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col),
         F.array_distinct(shingles(tokens(text_col), shingle_k)).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -894,6 +910,11 @@ def connected_components(
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if algorithm == "star":
         return _cc_two_phase(e, nodes, id_col, max_iter)
+    # r12: the mirror union references the edge pipeline twice — lazily
+    # checkpoint the directed list first so the upstream (e.g. the whole
+    # MinHash→LSH chain in q_neardup_components) computes once, then
+    # materialize the symmetric list the iterations reuse
+    e = e.localCheckpoint(eager=False)
     e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = e.localCheckpoint(eager=True)  # reused every iteration
     labels = nodes.select(

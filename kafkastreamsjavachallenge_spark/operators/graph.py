@@ -66,7 +66,19 @@ def kcore(
     max_rounds = resolve(max_rounds, "max_rounds") or 8
     sym = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
+    # r12 optimization (guide §1.2: don't compute what you throw away):
+    # a peel round only REMOVES edges, so if a round's edge count is
+    # unchanged the round was the identity — and every later round is
+    # too (keep_{i+1} depends only on sym_i), so the remaining rounds of
+    # the fixed contract are provably no-ops and are skipped.  The
+    # RESULT is bit-identical to running all ``max_rounds`` rounds (the
+    # oracle unrolls them; parity unchanged).  LSH graphs converge in
+    # 2-3 rounds, so this cuts the 8-round contract's cost ~in half;
+    # counts run over eagerly-checkpointed blocks (tiny jobs), which
+    # also keeps the per-round lineage truncation this loop always
+    # needed.
+    n_prev = sym.count()
     for _ in range(max_rounds):
         keep = (
             sym.groupBy("src")
@@ -77,8 +89,12 @@ def kcore(
         sym = (
             sym.join(keep, "src", "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
+        n = sym.count()
+        if n == n_prev:
+            break  # fixed point: the remaining rounds are the identity
+        n_prev = n
     core = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("deg_core")
     )

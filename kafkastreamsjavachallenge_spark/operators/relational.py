@@ -257,10 +257,14 @@ def grid_near_join(
         F.radians(F.col("__r_lat"))
     ) * F.sin(dlon) * F.sin(dlon)
     km = F.round(2 * 6371.0 * F.asin(F.sqrt(h)), 4)
+    # No distinct: the right side keys on its OWN single cell and the 3x3
+    # replication puts at most one left copy in any given cell, so the
+    # equi-join emits each qualifying (left, right) input pair exactly
+    # once — output multiplicity equals input multiplicity (the r11 plan
+    # paid a full-output Exchange for a provably no-op distinct).
     return (
         l9.join(rg, ["__cx", "__cy"])
         .withColumn("km", km)
         .filter(F.col("km") < radius_km)
         .select(*l_cols, *r_cols, "km")
-        .distinct()
     )

@@ -107,13 +107,18 @@ def dsir_logweights(
     )
     # The (doc, bucket) counts are the ONE corpus-sized aggregate; both
     # bucket models re-aggregate that bounded relation (≤ docs × n_buckets
-    # rows).  Without ``cache`` Catalyst pushes the __tgt filters below the
-    # aggregate and specializes each branch (re-scanning the token source);
-    # at real scale pass cache=True to materialize the doc×bucket relation
-    # once — the 100 TB path reads the corpus a single time.
+    # rows).  r12 optimization (guide §1.2 "don't compute things twice"):
+    # without materialization Catalyst pushes the __tgt filters below the
+    # aggregate and specializes each of the FIVE consumers (db/tgt/raw/
+    # nt/nr) into its own full token-scan+aggregate — the r11
+    # q_dsir_weights plan carried five copies of the explode+groupBy
+    # subtree.  A lazy localCheckpoint computes it once; every model
+    # branch re-aggregates the cached ≤ docs × n_buckets rows, so the
+    # corpus is read a single time at any scale (on a cluster: reliable
+    # checkpoint / temp table).  ``cache=True`` keeps the old persist()
+    # semantics for callers that want executor-memory caching instead.
     db_all = tok.groupBy(id_col, "__tgt", "b").agg(F.count(F.lit(1)).alias("c"))
-    if cache:
-        db_all = db_all.persist()
+    db_all = db_all.persist() if cache else db_all.localCheckpoint(eager=False)
     tgt = db_all.filter(F.col("__tgt")).groupBy("b").agg(F.sum("c").alias("ct"))
     raw = db_all.filter(~F.col("__tgt")).groupBy("b").agg(F.sum("c").alias("cr"))
     nt = tgt.agg(F.sum("ct").alias("n_tgt"))

@@ -64,7 +64,11 @@ def q_kcore(spark, sf_dir):
     from kafkastreamsjavachallenge_spark.operators.graph import kcore
 
     sigs = D.minhash_signatures(_docs(spark, sf_dir), n_perm=8)
-    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    # r12: the mirror union references pairs twice — checkpoint so the
+    # band self-join + distinct runs once, not once per direction
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).localCheckpoint(
+        eager=False
+    )
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(

@@ -63,7 +63,14 @@ def q_heaps_law(spark, sf_dir):
         "doc_id",
         F.row_number().over(Window.orderBy("doc_id")).cast("bigint").alias("rk"),
     )
-    r = d.select("doc_id", _toks_ne().alias("toks")).join(rk, "doc_id")
+    # r12: r feeds BOTH curve aggregates (per-doc token counts and the
+    # per-type first-occurrence ranks) — checkpoint so the tokenize +
+    # rank join runs once, not once per consumer
+    r = (
+        d.select("doc_id", _toks_ne().alias("toks"))
+        .join(rk, "doc_id")
+        .localCheckpoint(eager=False)
+    )
     dec = (
         rk.agg(F.count(F.lit(1)).alias("n"))
         .select(F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"), "n")
@@ -320,22 +327,20 @@ def q_containment(spark, sf_dir, max_df=None):
     )
     if max_df is not None:
         ex = D._drop_hot_shingles(ex, max_df)
-    # aggregate the UNDIRECTED pairs (a < b: half the join fan-out), then
-    # mirror the aggregate — the directed containment check needs both
-    # orders but the expensive Σdf² stage does not
-    half = (
+    # r12 optimization: the symmetric self-join already produces both
+    # directed orders in ONE pass — the previous a<b "half" + mirrored
+    # unionByName made Catalyst re-plan (and re-execute) the whole Σdf²
+    # join+aggregate subtree per union branch (two identical Exchange
+    # stages in the r11 plan; the r12 plan has one).  Joining on
+    # id_a != id_b probes the same Σdf² rows once and aggregates the
+    # directed pairs directly — identical result by construction (the
+    # oracle's own shape: `a.doc_id <> b.doc_id`).
+    inter = (
         ex.select(F.col("doc_id").alias("id_a"), "g")
         .join(ex.select(F.col("doc_id").alias("id_b"), "g"), "g")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    inter = half.unionByName(
-        half.select(
-            F.col("id_b").alias("id_a"),
-            F.col("id_a").alias("id_b"),
-            "n_common",
-        )
     )
     sz = shd.select("doc_id", F.size("sh").cast("bigint").alias("n"))
     return (

@@ -44,36 +44,47 @@ def _t(spark, sf_dir, name):
 
 def _edges(spark, sf_dir):
     """Ordered unique edge list (ua < ub) of the co-occurrence graph.
-    Two shuffles total: the membership distinct and the pair distinct —
-    the self-join itself is co-partitioned on the bucket key.  The result
-    is lazily localCheckpoint-ed: every consumer fans out into 3-4
-    self-join branches, and without the checkpoint each branch re-runs
-    the whole edge build (on a cluster this would be a reliable
-    checkpoint or a cached table)."""
+    Two shuffles total (r12 rewrite, was four wide stages): ONE
+    collect_set aggregate builds each bucket's distinct-user set
+    (map-side partial sets, so the shuffle carries per-bucket distinct
+    users — the same bytes the old standalone distinct shuffled), the
+    bucket-size cap is ``size(set)``, and the a<b pairs are generated
+    in-array from the sorted set (≤ cap²/2 = 190 structs per bucket, an
+    interpreted-HOF loop over ≤ 20 elements) — replacing the old
+    distinct → window-count → bucket self-join chain whose window sort
+    and join shuffles are pure overhead when the pair fan-out is
+    cap-bounded anyway.  A degenerate over-cap bucket's set is built
+    then dropped, exactly like the old window count had to scan it; the
+    cap keeps per-group memory bounded at scale.  The pair distinct is
+    the second shuffle.  The result is lazily localCheckpoint-ed: every
+    consumer fans out into 3-4 self-join branches, and without the
+    checkpoint each branch re-runs the whole edge build (on a cluster
+    this would be a reliable checkpoint or a cached table)."""
     ev = _t(spark, sf_dir, "events")
-    b = (
+    us = (
         ev.select(
             "event_type",
             F.date_trunc("minute", "ts").alias("m"),
             "user_id",
         )
-        .distinct()
+        .groupBy("event_type", "m")
+        .agg(F.collect_set("user_id").alias("us"))
+        .filter(F.size("us") <= MAX_BUCKET)
+        .select(F.sort_array("us").alias("us"))
     )
-    w = Window.partitionBy("event_type", "m")
-    ok = b.withColumn("c", F.count("*").over(w)).filter(
-        F.col("c") <= MAX_BUCKET
+    # sorted distinct elements → us[i] < us[j] for i < j by construction
+    pair_arr = F.flatten(
+        F.transform(
+            "us",
+            lambda x, i: F.transform(
+                F.slice(F.col("us"), i + F.lit(2), F.size("us")),
+                lambda y: F.struct(x.alias("ua"), y.alias("ub")),
+            ),
+        )
     )
-    a, o = ok.alias("a"), ok.alias("o")
     return (
-        a.join(
-            o,
-            (F.col("a.event_type") == F.col("o.event_type"))
-            & (F.col("a.m") == F.col("o.m"))
-            & (F.col("a.user_id") < F.col("o.user_id")),
-        )
-        .select(
-            F.col("a.user_id").alias("ua"), F.col("o.user_id").alias("ub")
-        )
+        us.select(F.explode(pair_arr).alias("p"))
+        .select("p.ua", "p.ub")
         .distinct()
         .localCheckpoint(eager=False)
     )

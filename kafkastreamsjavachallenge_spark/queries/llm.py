@@ -52,7 +52,9 @@ def q_fuzzy_join(spark, sf_dir):
     when it doesn't, the block key becomes the shuffle key and skewed
     blocks get the salting treatment (operators/relational.py)."""
     p = load_table(spark, sf_dir, "part")
-    names = p.select(F.col("p_name")).distinct()
+    # r12: the vocab feeds both join sides — checkpoint so the distinct
+    # aggregate over the part scan runs once, not once per side
+    names = p.select(F.col("p_name")).distinct().localCheckpoint(eager=False)
     na = names.select(
         F.col("p_name").alias("name_a"),
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
@@ -508,11 +510,14 @@ def q_dedup_recall(spark, sf_dir, max_df=None):
     # partitions instead of re-shingling the corpus
     shd = D.shingled_docs(d, spread=True).localCheckpoint(eager=False)
     truth = D.exact_neardup_pairs_from_shingled(shd, max_df=max_df)
+    # r12: cands feeds the recall left-join AND the n_cand aggregate —
+    # checkpoint it so the MinHash→banding→pair-join chain runs once
+    # (the r11 plan carried two full copies of it, nodes 30-56 / 62-90)
     cands = D.lsh_candidate_pairs(
         D.minhash_signatures_from_shingled(shd, n_perm=8),
         bands=4,
         rows_per_band=2,
-    )
+    ).localCheckpoint(eager=False)
     flagged = truth.join(
         cands.select("id_a", "id_b", F.lit(1).alias("__hit")),
         ["id_a", "id_b"],
@@ -1251,18 +1256,25 @@ def q_ngram_novelty(spark, sf_dir):
     """Corpus novelty score (template/boilerplate detector): per doc, the
     fraction of its distinct 3-gram shingles that FIRST appear in that doc
     (first = lowest doc_id corpus-wide).  Low novelty late in the corpus
-    marks recycled text.  One explode + one gram-keyed agg + one join
-    back — the gram table shuffles once; the ratio is integer/integer so
+    marks recycled text.  r12 shape: one explode + distinct, then the
+    per-gram first-doc as a WINDOW min over g and one doc-keyed agg —
+    a single pass over the gram table.  The old groupBy(g) + join-back
+    computed the explode+distinct subtree once per branch AND (at
+    sf0.1's sizes) broadcast the entire gram vocabulary, which cannot
+    fit at 100 TB; the window shuffles the gram table by g exactly once
+    and holds one gram group at a time.  The ratio is integer/integer so
     both engines agree exactly, rounded 4 dp for display."""
+    from pyspark.sql import Window
+
     d = _docs(spark, sf_dir)
     g = (
         d.select("doc_id", F.explode_outer(T.shingles(T.tokens("text"), 3)).alias("g"))
         .filter(F.col("g").isNotNull())
         .distinct()
     )
-    first = g.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    first = F.min("doc_id").over(Window.partitionBy("g"))
     per = (
-        g.join(first, "g")
+        g.withColumn("first_doc", first)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -3013,12 +3025,19 @@ def q_mmr_rerank(spark, sf_dir):
         .filter(F.col("cos_e6").isNotNull())
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_e6").desc(), "vec_id")
+    # r12: cand fans out three ways (mmr_select input + both pair-sim
+    # sides via cv) — checkpoint so the corpus-scan + score + top-8
+    # window runs once instead of once per branch (the r11 plan carried
+    # the subtree twice more inside the cogroup's right side)
     cand = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 8)
         .drop("rn")
+        .localCheckpoint(eager=False)
     )
-    cv = cand.join(nv, "vec_id").select("qid", "vec_id", "vec")
+    cv = cand.join(nv, "vec_id").select("qid", "vec_id", "vec").localCheckpoint(
+        eager=False
+    )
     a = cv.select(
         F.col("qid").alias("qid_a"),
         F.col("vec_id").alias("id_a"),
