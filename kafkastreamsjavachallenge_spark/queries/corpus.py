@@ -539,7 +539,16 @@ def q_cluster_sample(spark, sf_dir):
     cent = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), "embedding"
     )
-    assigned = S.ivf_assign(e, cent, centroid_id="cid").select("cid", "vec_id")
+    # the narrow (cid, vec_id) assignment feeds BOTH the per-cluster size
+    # aggregate and the sampling join — checkpoint it so the argmax fold
+    # over the corpus runs once, not once per consumer branch (r12; at
+    # 100 TB the assigned table is materialized partitioned by cid
+    # anyway, per the ivf_assign scale contract)
+    assigned = (
+        S.ivf_assign(e, cent, centroid_id="cid")
+        .select("cid", "vec_id")
+        .localCheckpoint(eager=False)
+    )
     tgt = (
         assigned.groupBy("cid")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
