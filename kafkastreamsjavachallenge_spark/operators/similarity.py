@@ -823,7 +823,16 @@ def _srp_words_udf(n_planes: int, dim: int):
     # hints, which the pandas_udf validator cannot resolve against the
     # factory's locals — attach live objects instead.
     _sig.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    return pandas_udf(_sig, "array<long>")
+    # asNondeterministic (guide §4.4): the Hamming join condition implies
+    # isnotnull(__sig); Catalyst pushed that inferred constraint below
+    # the signature projection, re-evaluating the matmul kernel per row
+    # (two ArrowEvalPython nodes per scan in the r11 plans of every LSH
+    # retrieval consumer — the corpus crossed the Python boundary twice).
+    # The kernel IS deterministic; the marker only forbids the optimizer
+    # from duplicating or reordering it.  Corpus-side pre-filters
+    # (vec_id, norm) are applied before the signature column exists, so
+    # no wanted pushdown is lost.
+    return pandas_udf(_sig, "array<long>").asNondeterministic()
 
 
 def lsh_ann_topk(

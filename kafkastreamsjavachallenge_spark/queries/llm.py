@@ -1511,7 +1511,16 @@ def q_bpe_tokenize(spark, sf_dir):
     7x faster than the naive per-occurrence fold at sf0.1.  The oracle
     unrolls the identical 12 merge folds in DuckDB, so the op stays
     hash-checked end to end."""
-    d = _docs(spark, sf_dir).withColumn("toks", T.tokens("text"))
+    # r12 (guide §1.2): the tokenized corpus feeds THREE consumers (the
+    # distinct-type vocabulary, the per-doc unit sum, and the final
+    # n_tok projection) — Catalyst re-planned the scan+tokenize chain
+    # per branch.  Checkpoint the narrow (doc_id, toks) projection
+    # (text dropped) so the split runs once.
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", T.tokens("text").alias("toks"))
+        .localCheckpoint(eager=False)
+    )
     tok = d.select(
         "doc_id", F.explode(F.filter(F.col("toks"), lambda t: t != F.lit(""))).alias("tok")
     )

@@ -242,25 +242,41 @@ def q_ts_motif(spark, sf_dir):
     def fold(arr):
         return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
 
-    s = s.withColumn("m", fold(F.col("w8")) / F.lit(8.0))
-    s = s.withColumn(
-        "sd",
-        F.sqrt(
-            fold(
-                F.transform(
-                    "w8",
-                    lambda x: (x - F.col("m")) * (x - F.col("m")),
-                )
-            )
-            / F.lit(8.0)
+    # r12 (guide §4.1 / let): the sd > 0 filter used to be pushed below
+    # the (m, sd) projections by SUBSTITUTION, re-expanding the mean
+    # fold TWICE PER ARRAY ELEMENT inside the interpreted HOF lambda
+    # (~16 8-element folds per row just to test the filter — HOF lambdas
+    # get no codegen subexpression sharing).  Compute (m, sd) once per
+    # row with a let-bound mean and materialize the struct through a
+    # 1-element explode_outer Generate (the ivf_assign idiom: a
+    # generated attribute cannot be substituted below its Generate), so
+    # the filter and the distance read plain columns.  Same folds over
+    # the same values in the same order — bit-identical m/sd/dist.
+    from kafkastreamsjavachallenge_spark.functions.text import let
+
+    stat = let(
+        fold(F.col("w8")) / F.lit(8.0),
+        lambda m: F.struct(
+            m.alias("m"),
+            F.sqrt(
+                fold(F.transform("w8", lambda x: (x - m) * (x - m)))
+                / F.lit(8.0)
+            ).alias("sd"),
         ),
-    ).filter(F.col("sd") > 0)
+    )
+    s = s.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "w8",
+        F.explode_outer(F.array(stat)).alias("__st"),
+    ).filter(F.col("__st")["sd"] > 0)
+    m_c, sd_c = F.col("__st")["m"], F.col("__st")["sd"]
     zq = F.array(*[F.lit(z) for z in _ts_zq()])
     diff = F.zip_with(
         F.col("w8"),
         zq,
-        lambda x, q: ((x - F.col("m")) / F.col("sd") - q)
-        * ((x - F.col("m")) / F.col("sd") - q),
+        lambda x, q: ((x - m_c) / sd_c - q) * ((x - m_c) / sd_c - q),
     )
     return (
         s.select(
