@@ -86,114 +86,47 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF build step: assign every vector to its nearest centroid.
 
-    r12 shape: the bounded centroid list is folded into the plan as a
-    literal, so the assignment is a NARROW per-row argmax — no crossJoin
-    expansion, no groupBy(id) shuffle, nothing wide at any scale.  At
-    100 TB the assigned table is written partitioned by ``centroid_id``
-    so probes become partition-pruned scans.  Any centroid source works
-    (k-means output, a deterministic sample); the operator only requires
-    (centroid_id, vec) rows.  One row out per row in (the old max_by
-    form collapsed duplicate ids — ids are unique in every graded
-    input, and per-row assignment is the documented contract).
+    Centroids broadcast (they are small by construction: k ≪ n); the
+    argmin is a per-row reduction over the broadcast list — no shuffle of
+    the big side.  At 100 TB the assigned table is written partitioned by
+    ``centroid_id`` so probes become partition-pruned scans.  Any centroid
+    source works (k-means output, a deterministic sample); the operator
+    only requires (centroid_id, vec) rows.
     """
-    from kafkastreamsjavachallenge_spark.functions.text import let
     from kafkastreamsjavachallenge_spark.functions.vector import dot, norm
 
-    # r12 (guide §2.4): the centroid list is bounded by construction
-    # (k ≪ n) — collect it (one tiny job, same discipline as the BLAS
-    # twin) and compute the argmax as a per-row fold over the LITERAL
-    # candidate array: the k-way crossJoin expansion AND the
-    # groupBy(id) max_by shuffle of the full corpus are gone; the
-    # assignment is a narrow map, so downstream probe semi-joins read a
-    # never-shuffled scan.  Arithmetic is unchanged: the row norm is
-    # let-bound (folded once per row exactly like the old hoisted
-    # ``__dn``), each centroid's norm is computed driver-side with the
-    # same sequential float64 fold the SQL ``norm`` performs (IEEE
-    # double, index order — bit-identical), and the fold iterates
-    # centroids ascending by id replacing only on strictly-greater
-    # similarity, reproducing max_by(struct(sim, -cid)) exactly: ties
-    # keep the lowest cid, NaN wins (Spark orders NaN largest, and
-    # ``s.sim > acc.sim`` is true for NaN vs finite), null sim loses to
-    # any value and an all-null row takes the lowest cid.
-    ctype = dict(centroids.dtypes)[centroid_id]
-    c_rows = sorted(
-        centroids.select(centroid_id, vec_col).collect(),
-        key=lambda r: (r[0] is None, r[0]),
-    )
-    if not c_rows:
-        # empty centroid list: the old crossJoin produced zero rows
-        return df.withColumn(centroid_id, F.lit(None).cast(ctype)).filter(
-            F.lit(False)
+    # norms hoisted out of the k-way score: inline cosine would re-fold
+    # the row norm once per centroid and each centroid norm once per row;
+    # precomputing both leaves one dot per (row, centroid).  Bit-identical
+    # values (same fold, computed once), so argmax ties cannot move.
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_id).alias("__cid"),
+            F.col(vec_col).alias("__cvec"),
+            norm(F.col(vec_col)).alias("__cn"),
         )
-
-    def _py_norm(v):
-        # the SQL norm: sqrt of an index-order float64 fold; null array,
-        # null element or (via zip_with padding) nothing to pad here —
-        # any None poisons to None, exactly like the HOF
-        if v is None:
-            return None
-        acc = 0.0
-        for x in v:
-            if x is None:
-                return None
-            acc = acc + float(x) * float(x)
-        import math
-
-        return math.sqrt(acc)
-
-    cands_lit = F.array(
-        *[
-            F.struct(
-                F.lit(r[0]).cast(ctype).alias("cid"),
-                _lit_dvec(r[1]).alias("cvec"),
-                F.lit(_py_norm(r[1])).cast("double").alias("cn"),
-            )
-            for r in c_rows
-        ]
     )
-    vec = F.col(vec_col)
-    best = let(
-        norm(vec),
-        lambda dn: F.element_at(
-            F.transform(
-                F.array(
-                    F.transform(
-                        cands_lit,
-                        lambda cd: F.struct(
-                            (dot(vec, cd["cvec"]) / (dn * cd["cn"])).alias(
-                                "sim"
-                            ),
-                            cd["cid"].alias("cid"),
-                        ),
-                    )
-                ),
-                lambda sims: F.aggregate(
-                    F.slice(sims, 2, len(c_rows) - 1),
-                    F.element_at(sims, 1),
-                    lambda acc, s: F.when(
-                        (s["sim"] > acc["sim"])
-                        | (acc["sim"].isNull() & s["sim"].isNotNull()),
-                        s,
-                    ).otherwise(acc),
-                ),
-            ),
-            1,
-        ),
+    scored = (
+        df.withColumn("__dn", norm(F.col(vec_col)))
+        .crossJoin(c)
+        .withColumn(
+            "__sim",
+            dot(F.col(vec_col), F.col("__cvec")) / (F.col("__dn") * F.col("__cn")),
+        )
     )
-    # The assigned cid is materialized through a 1-element explode_outer
-    # (a Generate) rather than a plain projection: consumers join/group
-    # on centroid_id, Catalyst infers isnotnull(cid) from those joins
-    # and pushes the inferred filter below a projection by SUBSTITUTING
-    # the expression — re-evaluating the whole argmax fold per row
-    # (filter + project = 2x; caught by the plan linter on
-    # q_cluster_sample).  A generated attribute cannot be substituted
-    # below its Generate, so the fold runs exactly once.  explode_outer,
-    # not explode: InferFiltersFromGenerate would re-introduce the same
-    # duplication via an inferred size/notnull predicate on the inner
-    # form (operators/dedup.py, same idiom).  array(x) is never
-    # null/empty -> one row out per row in, order preserved.
-    return df.select(
-        *df.columns, F.explode_outer(F.array(best["cid"])).alias(centroid_id)
+    # argmax via max_by, not a ranking window: partial aggregation applies
+    # (each task reduces its k candidate rows per id before the shuffle),
+    # and no per-partition sort is needed.  Ties break on the lowest
+    # centroid id (negated in the max ordering) — deterministic.
+    row = F.struct(*[scored[c] for c in df.columns], F.col("__cid"))
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            row, F.struct(F.col("__sim"), (-F.col("__cid")).alias("__nc"))
+        ).alias("__b")
+    )
+    return best.select(
+        *[F.col(f"__b.{c}").alias(c) for c in df.columns],
+        F.col("__b.__cid").alias(centroid_id),
     )
 
 
@@ -743,6 +676,7 @@ def ivfpq_ann_topk_blas(
     )
 
 
+
 #: SRP packed-signature word width.  48 (not 64) so ``1 << j`` never
 #: touches the sign bit — DuckDB's ``1::BIGINT << 63`` and a JVM long
 #: would disagree on overflow semantics; 48-bit words stay positive
@@ -937,73 +871,6 @@ def _subvectors(
     ).select("__id", F.col("__s.sub").alias("sub"), F.col("__s.sv").alias("sv"))
 
 
-def _lit_dvec(v):
-    """array<double> literal preserving nulls (whole-array and element)."""
-    if v is None:
-        return F.lit(None).cast("array<double>")
-    return F.array(
-        *[
-            F.lit(None).cast("double") if x is None else F.lit(float(x))
-            for x in v
-        ]
-    )
-
-
-def _codebook_grid(codebook: DataFrame, m: int):
-    """Collect a bounded (sub, code, cvec) codebook and shape it as
-    ``cb[sub][code] = cvec`` when it is the trainer's contiguous grid
-    (every sub 0..m-1 present with the same code set 0..k_eff-1).
-    Returns ``(cb, k_eff)``, or ``None`` when the layout is anything
-    else (caller falls back to the join-based path).  The collect is
-    m x k rows — bounded by construction, the same discipline as the
-    BLAS twins' codebook collect."""
-    rows = codebook.collect()
-    if not rows:
-        return [], 0
-    by_sub: dict = {}
-    for r in rows:
-        by_sub.setdefault(r["sub"], {})[r["code"]] = r["cvec"]
-    if set(by_sub) != set(range(m)):
-        return None
-    k_eff = len(by_sub[0])
-    for s in range(m):
-        if set(by_sub[s]) != set(range(k_eff)):
-            return None
-    return [[by_sub[s][c] for c in range(k_eff)] for s in range(m)], k_eff
-
-
-def _pq_best_expr(sv, cands, k_eff: int):
-    """struct(d, code) of the nearest code — the literal-codebook twin of
-    ``min_by(struct(code, sv), struct(__d, code))`` (r12, guide §2.4):
-    the m x k codebook is bounded by construction, so the argmin is a
-    per-row fold over a LITERAL candidate array instead of a broadcast
-    join + hash aggregate — the corpus-sized (id, sub) shuffle is gone.
-
-    Ordering reproduces the min_by struct ordering exactly: iterate
-    codes ascending and replace only on strictly-smaller distance (ties
-    keep the lowest code), with null distance ranking FIRST (Spark
-    struct ordering is nulls-first) and NaN ranking last (Spark treats
-    NaN as larger than any value in comparisons, so ``d < acc.d`` is
-    true for finite d vs NaN acc and false the other way round)."""
-    from kafkastreamsjavachallenge_spark.functions.vector import l2_sq
-
-    ds = F.transform(
-        cands,
-        lambda cv, i: F.struct(
-            l2_sq(sv, cv).alias("d"), i.cast("int").alias("code")
-        ),
-    )
-    if k_eff == 1:
-        return F.element_at(ds, 1)
-    return F.aggregate(
-        F.slice(ds, 2, k_eff - 1),
-        F.element_at(ds, 1),
-        lambda acc, s: F.when(
-            (s["d"] < acc["d"]) | (s["d"].isNull() & acc["d"].isNotNull()), s
-        ).otherwise(acc),
-    )
-
-
 def pq_train(
     df: DataFrame,
     m: int = 8,
@@ -1017,14 +884,15 @@ def pq_train(
     jointly across all ``m`` subspaces (codebook key = (sub, code)).
 
     Fully deterministic (init = each subspace's k lowest-id subvectors;
-    distance ties break on the lowest code).  Scale shape per iteration
-    (r12): the assignment is a NARROW map — each subvector row folds over
-    the literal m×k codebook (``_pq_best_expr``, bounded by construction)
-    — so the only shuffle is the (m × k × sub_dim)-group mean, map-side
-    combined.  The subvector table is checkpointed once and reused by
-    every iteration.  Returns (sub, code, cvec).
+    distance ties break on the lowest code).  Scale shape per iteration:
+    the subvector table joins the broadcast m×k codebook on ``sub`` (never
+    shuffled itself), reduced by a map-side-combinable ``min_by``, then a
+    (m × k × sub_dim)-group mean — the classic PQ trainer re-expressed as
+    two hash aggregates.  Returns (sub, code, cvec).
     """
     from pyspark.sql import Window
+
+    from kafkastreamsjavachallenge_spark.functions.vector import l2_sq
 
     # r12 (guide §1.2): the subvector table feeds the init job AND every
     # iteration's assignment — a lazy localCheckpoint computes the
@@ -1045,34 +913,20 @@ def pq_train(
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
-        # r12 (guide §2.4): literal-codebook argmin instead of broadcast
-        # join + groupBy(__id, sub) min_by — the assignment becomes a
-        # narrow map (zero shuffle); only the means aggregate shuffles,
-        # and it carries (sub, code, __i, partial avg) map-side combined.
-        # The per-iteration collect is the eagerly-checkpointed m x k
-        # codebook — one tiny job.  Group membership (sub, code, sv) is
-        # identical to the min_by path (_pq_best_expr ordering proof), so
-        # the means — and the trained codebook — are bit-identical.
-        grid = _codebook_grid(codebook, m)
-        if grid == ([], 0):
-            break  # empty train set: iterations are no-ops on empty too
-        if grid is None:  # non-grid layout cannot arise from this init;
-            raise AssertionError("pq_train codebook lost its grid layout")
-        cb, k_eff = grid
-        cands = F.element_at(
-            F.array(*[F.array(*[_lit_dvec(cv) for cv in sub]) for sub in cb]),
-            F.col("sub") + 1,
+        scored = subs.join(F.broadcast(codebook), "sub").withColumn(
+            "__d", l2_sq(F.col("sv"), F.col("cvec"))
         )
-        assigned = subs.select(
-            "sub",
-            _pq_best_expr(F.col("sv"), cands, k_eff)["code"].alias("code"),
-            "sv",
+        assigned = scored.groupBy("__id", "sub").agg(
+            F.min_by(
+                F.struct(F.col("code"), F.col("sv")),
+                F.struct(F.col("__d"), F.col("code")),
+            ).alias("__b")
         )
         means = (
             assigned.select(
                 "sub",
-                "code",
-                F.posexplode("sv").alias("__i", "__v"),
+                F.col("__b.code").alias("code"),
+                F.posexplode("__b.sv").alias("__i", "__v"),
             )
             .groupBy("sub", "code", "__i")
             .agg(F.avg("__v").alias("__m"))
@@ -1102,40 +956,10 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector its m-byte PQ code word (array of code ids
-    ordered by subspace).  r12 shape (guide §2.4): when the codebook is
-    the trainer's contiguous m×k grid (always, in practice) the whole
-    encode is ONE narrow projection — per row, per subspace, a literal-
-    codebook argmin fold (``_pq_best_expr``) — replacing the explode →
-    broadcast-join → two hash aggregates chain, whose (id, sub) shuffle
-    carried every subvector.  Zero shuffles at any scale; at 100 TB the
-    stored code table is m bytes/vector instead of 4·dim.  Non-grid
-    codebooks take the original join path."""
-    from kafkastreamsjavachallenge_spark.functions.text import let
+    ordered by subspace).  The big side joins the broadcast codebook on
+    ``sub`` and reduces with min_by — no shuffle of the vectors; at 100 TB
+    the stored code table is m bytes/vector instead of 4·dim."""
     from kafkastreamsjavachallenge_spark.functions.vector import l2_sq
-
-    grid = _codebook_grid(codebook, m)
-    if grid == ([], 0):
-        # empty codebook: the inner join below yields no rows
-        return df.select(
-            F.col(id_col), F.lit(None).cast("array<int>").alias("codes")
-        ).filter(F.lit(False))
-    if grid is not None:
-        cb, k_eff = grid
-        sub_len = dim // m
-        cb_lit = F.array(
-            *[F.array(*[_lit_dvec(cv) for cv in sub]) for sub in cb]
-        )
-        vec = F.col(vec_col).cast("array<double>")
-        codes = F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda s: let(
-                F.slice(vec, s * sub_len + 1, sub_len),
-                lambda sv: _pq_best_expr(
-                    sv, F.element_at(cb_lit, s + 1), k_eff
-                )["code"],
-            ),
-        )
-        return df.select(F.col(id_col), codes.alias("codes"))
 
     subs = _subvectors(df, m, dim, id_col, vec_col)
     scored = subs.join(F.broadcast(codebook), "sub").withColumn(
@@ -1172,10 +996,10 @@ def pq_ann_topk(
     code word by summing m table lookups — the IVF-PQ probe kernel.
 
     The scored side touches only the m-byte codes; the sum-of-lookups is
-    a per-row fold over the LITERAL distance table (r12 — |q| x m x k
-    values, bounded by construction), so scan cost per query is O(n·m)
-    array lookups, zero corpus shuffles, and the table ships inside the
-    plan.  Approximate by construction → verify recall against
+    an explode + broadcast equi-join on (sub, code) + one hash aggregate,
+    so scan cost per query is O(n·m) integer joins instead of O(n·dim)
+    float math, and the whole distance table ships to every executor
+    once.  Approximate by construction → verify recall against
     ``cosine_topk``/exact-L2 (tests), not an SQL oracle.
 
     ``query`` may contain multiple rows: the distance table carries the
@@ -1199,87 +1023,14 @@ def pq_ann_topk(
             l2_sq(F.col("sv"), F.col("cvec")).alias("d"),
         )
     )
-    # r12 (guide §2.4): the distance table is |q| x m x k rows — bounded
-    # by construction.  Collect it (one tiny job; the d values are the
-    # exact float64 the join path would have used) and score each code
-    # word with a literal-table fold: explode the bounded per-query
-    # struct list, then sum the m lookups in subspace order with SQL-sum
-    # null semantics (skip nulls, all-null -> NULL) — replacing the
-    # codes-explode -> broadcast-join -> groupBy(qid, id) chain whose
-    # hash aggregate shuffled the whole corpus.  Zero corpus shuffles;
-    # the top-k window below is rank-limit-pushed (WindowGroupLimit), so
-    # only k rows per map task reach its exchange.
-    dt_rows = dtab.collect()
-    by_q: dict = {}
-    for r in dt_rows:
-        by_q.setdefault(r["__qid"], {}).setdefault(r["sub"], {})[
-            r["code"]
-        ] = r["d"]
-    grid_ok = bool(by_q) and all(
-        set(subs_) == set(range(m))
-        and all(
-            set(cs) == set(range(len(next(iter(subs_.values())))))
-            for cs in subs_.values()
-        )
-        for subs_ in by_q.values()
+    exploded = codes.select(
+        id_col, F.posexplode("codes").alias("sub", "code")
     )
-    if grid_ok:
-        qid_type = dict(query.dtypes)[id_col]
-        qarr = F.array(
-            *[
-                F.struct(
-                    F.lit(qid).cast(qid_type).alias("__qid"),
-                    F.array(
-                        *[
-                            F.array(
-                                *[
-                                    F.lit(None).cast("double")
-                                    if by_q[qid][s][c] is None
-                                    else F.lit(float(by_q[qid][s][c]))
-                                    for c in sorted(by_q[qid][s])
-                                ]
-                            )
-                            for s in range(m)
-                        ]
-                    ).alias("__dt"),
-                )
-                for qid in sorted(by_q, key=lambda x: (x is None, x))
-            ]
-        )
-        adc = F.aggregate(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            F.lit(None).cast("double"),
-            lambda acc, s: F.element_at(
-                F.transform(
-                    F.array(
-                        F.element_at(
-                            F.element_at(F.col("__q")["__dt"], s + 1),
-                            F.element_at(F.col("codes"), s + 1) + 1,
-                        )
-                    ),
-                    lambda d: F.when(d.isNull(), acc)
-                    .when(acc.isNull(), d)
-                    .otherwise(acc + d),
-                ),
-                1,
-            ),
-        )
-        scored = codes.select(
-            F.col(id_col), "codes", F.explode(qarr).alias("__q")
-        ).select(
-            F.col("__q")["__qid"].alias("__qid"),
-            F.col(id_col),
-            F.round(adc, 4).alias("adc_dist"),
-        )
-    else:
-        exploded = codes.select(
-            id_col, F.posexplode("codes").alias("sub", "code")
-        )
-        scored = (
-            exploded.join(F.broadcast(dtab), ["sub", "code"])
-            .groupBy("__qid", id_col)
-            .agg(F.round(F.sum("d"), 4).alias("adc_dist"))
-        )
+    scored = (
+        exploded.join(F.broadcast(dtab), ["sub", "code"])
+        .groupBy("__qid", id_col)
+        .agg(F.round(F.sum("d"), 4).alias("adc_dist"))
+    )
     w = Window.partitionBy("__qid").orderBy(F.col("adc_dist"), F.col(id_col))
     ranked = scored.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= k

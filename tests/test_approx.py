@@ -796,3 +796,4 @@ def test_semdedup_corpus_scaled_k_refuses_driver_oom(spark):
             centroids=emb.limit(0),
             k_per_n=1000.0,  # 200 rows * 1000 = 200k derived centroids
         )
+
