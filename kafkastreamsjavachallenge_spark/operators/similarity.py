@@ -667,7 +667,10 @@ def ivfpq_ann_topk_blas(
         return pd.Series(out, dtype="object")
 
     _fused.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    fused = pandas_udf(_fused, "double")
+    # asNondeterministic (guide §4.4): same duplicated-kernel pathology
+    # as _adc — the isnotnull(adc_dist) filter re-evaluated the fused
+    # kernel over the whole corpus (2 ArrowEvalPython nodes per scan)
+    fused = pandas_udf(_fused, "double").asNondeterministic()
     return (
         df.select(id_col, F.round(fused(F.col(vec_col)), 4).alias("adc_dist"))
         .filter(F.col("adc_dist").isNotNull())
@@ -1151,7 +1154,11 @@ def pq_ann_topk_blas(
         return pd.Series(out, dtype="object")
 
     _adc.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    adc = pandas_udf(_adc, "double")
+    # asNondeterministic (guide §4.4, the _srp_words_udf lesson): the
+    # isnotnull(adc_dist) filter below otherwise pushes beneath the
+    # projection and Catalyst re-evaluates the kernel — the executed
+    # plan carried TWO corpus-sized ArrowEvalPython nodes for one call
+    adc = pandas_udf(_adc, "double").asNondeterministic()
     return (
         df.select(id_col, F.round(adc(F.col(vec_col)), 4).alias("adc_dist"))
         # NULL marks invalid rows through Arrow; data-NaN passes through

@@ -746,3 +746,31 @@ def test_aqe_skew_join_absorbs_unsalted_fixture(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ann_blas_kernels_evaluate_once(spark):
+    """r12 (guide §4.4): the pq/ivfpq BLAS kernels are marked
+    non-deterministic so the isnotnull(adc_dist) filter cannot push
+    beneath the projection and re-evaluate the corpus-sized Arrow kernel
+    — before the fix every one of these plans carried TWO identical
+    ArrowEvalPython nodes (the whole corpus crossed the Python boundary
+    and ran the numpy ADC twice per query)."""
+    import re
+    from collections import Counter
+
+    for name in (
+        "q_ann_pq_blas",
+        "q_ann_ivfpq_blas",
+        "q_ann_pq_refine",
+        "q_ann_ivfpq_refine",
+    ):
+        p = plan(REG[name][0](spark, SF_DIR))
+        # one entry per Python-eval node, keyed by the FULL call incl.
+        # argument ids — corpus-vs-query evaluations of the same UDF are
+        # distinct expressions and stay allowed
+        calls = re.findall(
+            r"(?:ArrowEvalPython|BatchEvalPython) \[([A-Za-z_0-9]+\([^)]*\)#\d+)\]",
+            p,
+        )
+        dup = {c: n for c, n in Counter(calls).items() if n > 1}
+        assert not dup, f"{name} re-evaluates a Python kernel: {dup}"
