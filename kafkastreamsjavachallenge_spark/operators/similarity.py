@@ -161,7 +161,12 @@ def semdedup(
     10x data at corpus-scaled k (round-9 rehearsal), so scaling k here
     would make it worse, not better.
     """
-    assigned = ivf_assign(df, centroids, id_col, vec_col, centroid_id)
+    # r12 (guide §1.2): the assigned table feeds BOTH pair-join sides
+    # and the final anti-join — checkpoint so the broadcast-argmax
+    # assignment pass over the corpus runs once, not three times
+    assigned = ivf_assign(df, centroids, id_col, vec_col, centroid_id).localCheckpoint(
+        eager=False
+    )
     # precompute each vector's norm BEFORE the pair join: inline
     # cosine(va, vb) re-folds norm(va) once per partner (3 64-element
     # folds per pair); hoisting the norms leaves one dot per pair — same

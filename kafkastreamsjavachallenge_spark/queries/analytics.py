@@ -99,10 +99,15 @@ def q_funnel(spark, sf_dir):
     HashPartitioning(user_id), so AQE plans one logical shuffle reused
     across stages — per-user state never materializes on the driver."""
     ev = _t(spark, sf_dir, "events")
+    # r12 (guide §1.2): each stage table feeds the next stage AND the
+    # final assembly — checkpoint v and c so each stage's scan+aggregate
+    # runs once (the r11 plan re-computed v twice and c twice: six event
+    # scans for three stages)
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -110,6 +115,7 @@ def q_funnel(spark, sf_dir):
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -601,15 +607,21 @@ def q_pmi_collocations(spark, sf_dir):
         F.slice(toks, 2, n1),
         lambda a, b: F.struct(a.alias("a"), b.alias("b")),
     )
+    # r12 (guide §1.2): the bigram table feeds the totals AND the PMI
+    # chain, the unigram table the totals AND both vocab joins —
+    # checkpoint each so its tokenize + explode + aggregate corpus pass
+    # runs once, not once per consumer
     bg = (
         d.select(F.explode(pairs).alias("s"))
         .groupBy(F.col("s.a").alias("a"), F.col("s.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=False)
     )
     uni = (
         d.select(F.explode(toks).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     totals = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
         bg.agg(F.sum("c_ab").alias("n_bi"))

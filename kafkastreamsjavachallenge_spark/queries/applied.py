@@ -261,6 +261,11 @@ def q_cooccurrence(spark, sf_dir):
         )
         .select("l_orderkey", "p_type")
         .distinct()
+        # r12 (guide §1.2): items fans out five ways (both self-join
+        # sides, per-type counts twice, the order total) — checkpoint so
+        # the fact-table join + distinct runs once, not once per branch
+        # (measured 4.11 -> 2.82 s at sf0.1)
+        .localCheckpoint(eager=False)
     )
     a, b = items.alias("a"), items.alias("b")
     pairs = (

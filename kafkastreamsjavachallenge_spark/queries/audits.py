@@ -143,18 +143,29 @@ def q_margin_knn(spark, sf_dir):
         F.col("embedding").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    y = e.filter(
-        (F.col("vec_id") >= 20) & (F.col("vec_id") < 120) & (F.col("nrm") > 0)
-    ).select(
-        F.col("vec_id").alias("tid"),
-        F.col("embedding").alias("tv"),
-        F.col("nrm").alias("tn"),
+    # r12 (guide §1.2): the target block feeds the query-target scores
+    # and BOTH sides of its own k-NN self-join — checkpoint so the scan
+    # + norm filter runs once, not once per branch
+    y = (
+        e.filter(
+            (F.col("vec_id") >= 20) & (F.col("vec_id") < 120) & (F.col("nrm") > 0)
+        )
+        .select(
+            F.col("vec_id").alias("tid"),
+            F.col("embedding").alias("tv"),
+            F.col("nrm").alias("tn"),
+        )
+        .localCheckpoint(eager=False)
     )
     cos = lambda av, an, bv, bn: F.floor(
         dot(F.col(av), F.col(bv)) / (F.col(an) * F.col(bn)) * 1000000
     ).cast("bigint")
-    xy = x.crossJoin(F.broadcast(y)).select(
-        "qid", "tid", cos("qv", "qn", "tv", "tn").alias("cos_e6")
+    # |q|×|targets| scored pairs, read by the query-side k-NN sum AND
+    # the final margin join
+    xy = (
+        x.crossJoin(F.broadcast(y))
+        .select("qid", "tid", cos("qv", "qn", "tv", "tn").alias("cos_e6"))
+        .localCheckpoint(eager=False)
     )
     wq = Window.partitionBy("qid").orderBy(F.col("cos_e6").desc(), "tid")
     sx = (

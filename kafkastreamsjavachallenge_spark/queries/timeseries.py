@@ -405,9 +405,14 @@ def q_theil_sen(spark, sf_dir):
     (at decade scale, sample month pairs or switch to the repeated-
     median variant; same two-stage shape)."""
     o = _t(spark, sf_dir, "orders")
-    monthly = o.groupBy(
-        F.date_trunc("month", "o_orderdate").alias("month")
-    ).agg(F.count(F.lit(1)).alias("x"))
+    # r12 (guide §1.2): the |months|-row series fans out to both pair
+    # sides and the count/median branches — checkpoint so the corpus
+    # aggregate runs once, not once per branch
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
     r = monthly.select(
         "x",
         F.row_number()
@@ -423,6 +428,8 @@ def q_theil_sen(spark, sf_dir):
             "j",
             F.expr("((xj - xi) * 1000000) DIV (j - i)").alias("slope_e6"),
         )
+        # |months|²/2 rows, read by the count AND the median rank filter
+        .localCheckpoint(eager=False)
     )
     n = slopes.agg(F.count(F.lit(1)).alias("n_pairs"))
     w = Window.orderBy("slope_e6", "i", "j")
@@ -445,9 +452,14 @@ def q_mad(spark, sf_dir):
     Scale: |months| rows after the one corpus aggregate; each median is
     a rank filter against a 1-row count broadcast."""
     o = _t(spark, sf_dir, "orders")
-    monthly = o.groupBy(
-        F.date_trunc("month", "o_orderdate").alias("month")
-    ).agg(F.count(F.lit(1)).alias("x"))
+    # r12 (guide §1.2): the |months|-row series feeds the count, both
+    # medians and the deviation table — checkpoint so the corpus
+    # aggregate runs once, not once per branch
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
     n = monthly.agg(F.count(F.lit(1)).alias("__n"))
 
     def exact_median(df, col, order_extra):
