@@ -554,7 +554,13 @@ def q_minhash_estimate(spark, sf_dir):
     Cost: the signatures/pairs already exist; exact Jaccard touches
     candidates only."""
     d = _docs(spark, sf_dir)
-    sigs = D.minhash_signatures(d, n_perm=8)
+    # r12 (guide §1.2): the narrow signature table feeds the banding AND
+    # both agreement sides — checkpoint it so the tokenize + 8-permute
+    # corpus pass runs once.  The shingle sides are deliberately NOT
+    # checkpointed: shingle arrays are fatter than the source text, so
+    # materializing them moves more bytes than recomputing the
+    # projection from the (page-cached / pruned) scan costs.
+    sigs = D.minhash_signatures(d, n_perm=8).localCheckpoint(eager=False)
     pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
     sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
@@ -3134,7 +3140,10 @@ def q_lsh_tuning(spark, sf_dir):
     bucket self-join (hash-uniform keys), cost tracking candidates, not
     pairs**2."""
     d = _docs(spark, sf_dir)
-    sigs = D.minhash_signatures(d, n_perm=8)
+    # r12 (guide §1.2): ONE signature table feeds both band configs and
+    # both agreement sides — checkpoint it so the tokenize + 8-permute
+    # corpus pass runs once, not once per consumer
+    sigs = D.minhash_signatures(d, n_perm=8).localCheckpoint(eager=False)
     agree = F.aggregate(
         F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
         F.lit(0),
