@@ -1373,7 +1373,10 @@ def q_split_leakage(spark, sf_dir):
         F.size("sh") > 0
     )
     b = T.base_hash28(F.col("doc_id").cast("string")) % 100
-    shd = shd.withColumn("is_test", b >= 90)
+    # r12 (guide §1.2): shd feeds the train-side vocab, the test-side
+    # explode AND the final per-doc score — materialize the shingling
+    # once instead of once per branch (the q_containment lesson)
+    shd = shd.withColumn("is_test", b >= 90).localCheckpoint(eager=False)
     train_g = (
         shd.filter(~F.col("is_test"))
         .select(F.explode_outer("sh").alias("g"))
