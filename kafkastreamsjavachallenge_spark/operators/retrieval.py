@@ -181,7 +181,10 @@ def cap_domains_scaled(
         F.col(domain_col).alias("__dom"), F.col(id_col), h.alias("__h"), hv.alias("__hv")
     )
     sizes = d.groupBy("__dom").agg(F.count(F.lit(1)).alias("__n"))
-    d = d.join(F.broadcast(sizes), "__dom")
+    # r12 (guide §1.2): the size-annotated table fans out four ways
+    # (small, big -> candidates + fallback) — checkpoint so the scan +
+    # md5 projection + broadcast join runs once, not once per branch
+    d = d.join(F.broadcast(sizes), "__dom").localCheckpoint(eager=False)
 
     small = d.filter(F.col("__n") <= cap)
     big = d.filter(F.col("__n") > cap)
